@@ -1,44 +1,60 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl pipeline (schedule -> dedup ->
+robots -> politeness budget -> fetch -> extract) over a deterministic
+tiny synthetic frontier (FIXTURES.md F1; the input_hint table shape)
+and also touches the sf0.001 testdata to validate the read contract.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init`` / ``ray.shutdown`` here or in the library.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_FRONTIER_CACHE = "/tmp/don_crawler_frontier"
+
+
+def _frontier_path(scale: str = "tiny", seed: int = 42) -> str:
+    """Deterministic synthetic frontier parquet, cached under /tmp."""
+    from don_crawler_ray.sources.frontier import generate_frontier_parquet
+
+    os.makedirs(_FRONTIER_CACHE, exist_ok=True)
+    path = os.path.join(_FRONTIER_CACHE, f"frontier_{scale}_s{seed}.parquet")
+    if not os.path.exists(path):
+        tmp = path + ".build"
+        generate_frontier_parquet(tmp, scale=scale, seed=seed)
+        os.replace(tmp, path)
+    return path
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship crawl pipeline on the tiny synthetic frontier."""
+    import ray
+
+    from don_crawler_ray.pipelines.crawl import crawl_dataset
+    from don_crawler_ray.sources.frontier import generate_politeness
+    from don_crawler_ray.stages.schedule import PolitenessConfig
+
+    # touch the driver-provided testdata to validate the read contract
+    _ = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet").schema()
+
+    politeness = PolitenessConfig.from_table(generate_politeness(42, 20))
+    return crawl_dataset(_frontier_path("tiny"), politeness)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from don_crawler_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return q.QUERIES
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each SQL-expressible query."""
+    from don_crawler_ray.pipelines import queries as q
+
+    return q.ORACLE_SQL

@@ -1,0 +1,344 @@
+"""The crawl pipeline — schedule pass + per-round fetch/extract pass.
+
+Ray-Data restatement of the reference's ``crawl`` lifecycle
+(``crawler/crawler.go:156-347``; SURVEY.md §3.1/§3.4):
+
+    read_parquet(frontier, columns=slim)            # prune at the read
+      -> map_batches(canonicalize_slim)             # M17/M1-M4 kernels
+      -> map_batches(SeenFilterActor)               # cross-run anti-join
+      -> map_batches(add_salt)                      # skew: salt hot hosts
+      -> groupby(host_key, salt).map_groups(...)    # THE shuffle: dedup +
+                                                    # robots + budget + rank
+      -> write_parquet(schedule/)                   # slim decisions
+    per round r:
+      read_parquet(frontier, columns=url,ts,html)   # page store
+        -> map_batches(canonicalize)                # recompute keys (cheap)
+        -> map_batches(membership filter)           # broadcast semi-join
+        -> map_batches(ExtractActor, concurrency)   # actor pool, drops html
+        -> write_parquet(out/round=r/)              # partitioned output
+      commit: seen shards += round hashes; snapshot; manifest update
+
+Checkpoint/resume (north rule): the manifest is written LAST after each
+round's output + seen snapshots land; resume skips the schedule pass
+and completed rounds, restores seen shards, and reproduces byte-
+identical remaining output (deterministic sort keys everywhere —
+no arrival-order dependence, unlike the reference's goroutine
+interleaving, SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from don_crawler_ray.stages.canonicalize import (
+    canonicalize_slim_stage,
+    canonicalize_stage,
+)
+from don_crawler_ray.stages.fetch import (
+    ExtractActor,
+    SeenFilterActor,
+    make_membership_filter,
+    make_round_membership,
+)
+from don_crawler_ray.stages.schedule import (
+    PolitenessConfig,
+    add_salt_stage,
+    detect_hot_hosts,
+    make_schedule_group_fn,
+)
+
+SLIM_COLUMNS = ["url", "warc_ts"]
+FETCH_COLUMNS = ["url", "warc_ts", "html"]
+
+
+def _read_frontier(frontier_path: str, columns):
+    import ray
+
+    return ray.data.read_parquet(frontier_path, columns=columns)
+
+
+def default_extract_concurrency() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the cluster: min 1, max =
+    cluster CPUs (extract is CPU-bound at ~1 task per core)."""
+    import ray
+
+    n = int(ray.cluster_resources().get("CPU", 4))
+    return (1, max(2, n))
+
+
+def build_schedule(
+    frontier_path: str,
+    politeness: PolitenessConfig | None = None,
+    n_salts: int = 8,
+    hot_hosts: frozenset[str] | None = None,
+    hot_threshold: float = 0.05,
+    seen_shards=None,
+):
+    """Schedule pass -> slim decisions Dataset (lazy)."""
+    politeness = politeness or PolitenessConfig()
+    ds = _read_frontier(frontier_path, SLIM_COLUMNS)
+    ds = ds.map_batches(canonicalize_slim_stage, batch_format="pyarrow")
+    if hot_hosts is None:
+        hot_hosts = detect_hot_hosts(ds, hot_threshold)
+    if seen_shards:
+        ds = ds.map_batches(
+            SeenFilterActor,
+            fn_constructor_kwargs={"shard_handles": seen_shards},
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+    ds = ds.map_batches(add_salt_stage(n_salts, hot_hosts), batch_format="pyarrow")
+    grouped = ds.groupby(["host_key", "salt"]).map_groups(
+        make_schedule_group_fn(politeness, n_salts, hot_hosts),
+        batch_format="pyarrow",
+    )
+    return grouped, hot_hosts
+
+
+def schedule_counters(schedule_dir: str) -> dict:
+    """Tiny aggregate over the schedule's status column (column-pruned
+    read; per-file partial counts merged driver-side)."""
+    dataset = pads.dataset(schedule_dir)
+    counts: dict[str, int] = {}
+    for frag in dataset.get_fragments():
+        t = frag.to_table(columns=["status"])
+        vc = pc.value_counts(t.column("status"))
+        for row in vc.to_pylist():
+            counts[row["values"]] = counts.get(row["values"], 0) + row["counts"]
+    return counts
+
+
+def load_round_table(schedule_dir: str, rnd: int) -> pa.Table:
+    """One round's scheduled rows (slim), pushdown-filtered at the read."""
+    dataset = pads.dataset(schedule_dir)
+    return dataset.to_table(
+        columns=["canonical_url", "host", "url_hash", "warc_ts", "rank"],
+        filter=(pads.field("status") == "scheduled") & (pads.field("round") == rnd),
+    )
+
+
+def run_fetch_round(
+    frontier_path: str,
+    round_table: pa.Table,
+    out_dir: str,
+    extract_concurrency: int | tuple | None = None,
+    batch_size: int = 512,
+):
+    """Fetch+extract one round, write partitioned parquet. Returns rows written."""
+    import ray
+
+    members = make_round_membership(round_table)
+    ds = _read_frontier(frontier_path, FETCH_COLUMNS)
+    ds = ds.map_batches(canonicalize_stage, batch_format="pyarrow")
+    ds = ds.map_batches(make_membership_filter(members), batch_format="pyarrow")
+    ds = ds.map_batches(
+        ExtractActor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=extract_concurrency or default_extract_concurrency(),
+    )
+    ds = ds.select_columns(
+        ["canonical_url", "host", "host_key", "url_hash", "warc_ts", "text", "description", "text_len"]
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_parquet(out_dir)  # streaming sink — never materializes the round
+    n = 0
+    for name in os.listdir(out_dir):
+        if name.endswith(".parquet"):
+            n += pq.ParquetFile(os.path.join(out_dir, name)).metadata.num_rows
+    return n
+
+
+def run_crawl(
+    frontier_path: str,
+    out_dir: str,
+    politeness: PolitenessConfig | None = None,
+    n_salts: int = 8,
+    hot_hosts: frozenset[str] | None = None,
+    n_seen_shards: int = 4,
+    max_rounds: int | None = None,
+    extract_concurrency=None,
+    batch_size: int = 512,
+    resume: bool = False,
+) -> dict:
+    """Full checkpointed crawl. Returns the run's counter dict."""
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    schedule_dir = os.path.join(out_dir, "schedule")
+    seen_dir = os.path.join(out_dir, "seen")
+
+    manifest = {"schedule_done": False, "completed_rounds": [], "counters": {}}
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+
+    # --- seen shards (restored from snapshots if present) ------------------
+    SeenShardActor = ray.remote(num_cpus=0.1)(_seen_shard_cls())
+    shards = [SeenShardActor.remote(shard_id=s) for s in range(n_seen_shards)]
+    if resume:
+        ray.get([s.restore.remote(seen_dir) for s in shards])
+
+    # --- schedule pass -----------------------------------------------------
+    if not (manifest["schedule_done"] and os.path.isdir(schedule_dir)):
+        sched_ds, hot = build_schedule(
+            frontier_path,
+            politeness,
+            n_salts=n_salts,
+            hot_hosts=hot_hosts,
+            seen_shards=shards if resume else None,
+        )
+        if os.path.isdir(schedule_dir):
+            import shutil
+
+            shutil.rmtree(schedule_dir)
+        sched_ds.write_parquet(schedule_dir)
+        manifest["schedule_done"] = True
+        manifest["hot_hosts"] = sorted(hot)
+        _write_manifest(manifest_path, manifest)
+
+    counters = dict(manifest.get("counters") or {})
+    sc = schedule_counters(schedule_dir)
+    counters["scheduled"] = sc.get("scheduled", 0)
+    counters["robots_denied"] = sc.get("robots_denied", 0)
+    counters["dedup_hit"] = sc.get("dedup_hit", 0)
+
+    # --- rounds ------------------------------------------------------------
+    sched = pads.dataset(schedule_dir)
+    max_round_present = pc.max(
+        sched.to_table(columns=["round"]).column("round")
+    ).as_py()
+    n_rounds = (max_round_present or 0) + 1
+    if max_rounds is not None:
+        n_rounds = min(n_rounds, max_rounds)
+
+    fetched_total = counters.get("fetched", 0)
+    for rnd in range(n_rounds):
+        if rnd in manifest["completed_rounds"]:
+            continue
+        round_table = load_round_table(schedule_dir, rnd)
+        if round_table.num_rows == 0:
+            manifest["completed_rounds"].append(rnd)
+            continue
+        round_dir = os.path.join(out_dir, f"round={rnd}")
+        if os.path.isdir(round_dir):
+            import shutil
+
+            shutil.rmtree(round_dir)  # partial output from a killed run
+        n = run_fetch_round(
+            frontier_path,
+            round_table,
+            round_dir,
+            extract_concurrency=extract_concurrency,
+            batch_size=batch_size,
+        )
+        fetched_total += n
+        # commit: seen set += this round's hashes, snapshot, manifest last.
+        hashes = round_table.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        for s in range(n_seen_shards):
+            sel = hashes % np.uint64(n_seen_shards) == s
+            if sel.any():
+                ray.get(shards[s].check_and_add.remote(hashes[sel]))
+        ray.get([s.snapshot.remote(seen_dir) for s in shards])
+        manifest["completed_rounds"].append(rnd)
+        counters["fetched"] = fetched_total
+        manifest["counters"] = counters
+        _write_manifest(manifest_path, manifest)
+
+    counters["fetched"] = fetched_total
+    counters["rounds"] = len(manifest["completed_rounds"])
+    seen_sizes = ray.get([s.stats.remote() for s in shards])
+    counters["seen_set_size"] = int(sum(st["size"] for st in seen_sizes))
+    manifest["counters"] = counters
+    _write_manifest(manifest_path, manifest)
+    with open(os.path.join(out_dir, "counters.json"), "w") as f:
+        json.dump(counters, f, indent=1, sort_keys=True)
+    for s in shards:
+        ray.kill(s)
+    return counters
+
+
+def seen_set_hashes(out_dir: str) -> np.ndarray:
+    """Sorted uint64 seen-set from the committed snapshots (the byte-
+    comparable artifact for the north rule's seen-set equality check)."""
+    seen_dir = os.path.join(out_dir, "seen")
+    out = []
+    for name in sorted(os.listdir(seen_dir)):
+        if name.startswith("seen_shard_") and name.endswith(".npz"):
+            out.append(np.load(os.path.join(seen_dir, name))["exact"])
+    return np.sort(np.concatenate(out)) if out else np.empty(0, np.uint64)
+
+
+def crawl_output_table(out_dir: str, columns=None) -> pa.Table:
+    """Read the crawl output (all rounds) sorted deterministically."""
+    parts = []
+    for name in sorted(os.listdir(out_dir)):
+        if name.startswith("round="):
+            parts.append(pads.dataset(os.path.join(out_dir, name)).to_table(columns=columns))
+    if not parts:
+        return pa.table({})
+    t = pa.concat_tables(parts)
+    return t.take(
+        pc.sort_indices(t, sort_keys=[("host_key", "ascending"), ("canonical_url", "ascending")])
+    )
+
+
+def _seen_shard_cls():
+    from don_crawler_ray.state.cuckoo import SeenShard
+
+    return SeenShard
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+# --- flagship single-shot variant (entry()/tests) --------------------------
+
+def crawl_dataset(
+    frontier_path: str,
+    politeness: PolitenessConfig | None = None,
+    n_salts: int = 4,
+    extract_concurrency=None,
+    batch_size: int = 512,
+):
+    """One-shot streaming crawl (no checkpointing): schedule in memory,
+    fetch+extract round 0, return the lazy extracted Dataset."""
+    import ray
+
+    sched_ds, _hot = build_schedule(frontier_path, politeness, n_salts=n_salts)
+    sched_tbl = pa.concat_tables(
+        ray.get(sched_ds.to_arrow_refs()), promote_options="default"
+    )
+    mask = pc.and_(
+        pc.equal(sched_tbl.column("status"), "scheduled"),
+        pc.equal(sched_tbl.column("round"), 0),
+    )
+    round0 = sched_tbl.filter(mask)
+    members = make_round_membership(round0)
+
+    ds = ray.data.read_parquet(frontier_path, columns=FETCH_COLUMNS)
+    ds = ds.map_batches(canonicalize_stage, batch_format="pyarrow")
+    ds = ds.map_batches(make_membership_filter(members), batch_format="pyarrow")
+    ds = ds.map_batches(
+        ExtractActor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=extract_concurrency or default_extract_concurrency(),
+    )
+    return ds.select_columns(
+        ["canonical_url", "host", "host_key", "url_hash", "warc_ts", "text", "description", "text_len"]
+    )

@@ -1,0 +1,134 @@
+"""Fetch + extract stages — broadcast round membership, actor-pool extract.
+
+Scale design (SURVEY.md §3.4/§7): the schedule pass decides WHAT to
+fetch; the fetch pass is then embarrassingly parallel — read the page
+store with column pruning, keep only rows whose ``(url_hash, warc_ts)``
+was scheduled for this round (a broadcast semi-join: the small side is
+``ray.put`` once per round, ``np.searchsorted`` membership per batch —
+no shuffle of page bytes), then extract text in a stateful actor pool.
+
+In this sandbox "fetch" is the lookup of ``html`` from the input table
+(BASELINE.md protocol); on a real crawl the membership filter instead
+feeds an async-HTTP actor pool with the same signature. Reference
+analog: the publiccode probe + clone stage
+(``crawler/crawler.go:268-347``, ``git/clone_repository.go:20-71``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from don_crawler_ray.functions.extract import description_from_readme, extract_text
+
+_TS_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def combine_key(url_hash: np.ndarray, warc_ts_us: np.ndarray) -> np.ndarray:
+    """uint64 key combining (url_hash, warc_ts) for membership checks.
+
+    The schedule's first-wins dedup picks one (url, warc_ts) per
+    canonical URL; matching on the combined key re-identifies exactly
+    that row in the page store without a shuffle join.
+    """
+    with np.errstate(over="ignore"):
+        z = url_hash.astype(np.uint64) + _TS_MIX * warc_ts_us.astype(np.uint64)
+        z ^= z >> np.uint64(29)
+        z *= np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(32)
+    return z
+
+
+def make_round_membership(schedule_round: pa.Table) -> np.ndarray:
+    """Sorted combined-key array for one round's scheduled rows (the
+    broadcast small side)."""
+    h = schedule_round.column("url_hash").to_numpy(zero_copy_only=False)
+    ts = schedule_round.column("warc_ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+    return np.sort(combine_key(h, ts))
+
+
+def make_membership_filter(member_keys: np.ndarray):
+    """map_batches kernel: keep rows whose combined key is scheduled.
+
+    ``member_keys`` is closure-captured; Ray serializes it once per task
+    (for very large rounds pass a ``ray.ObjectRef`` via
+    ``fn_constructor_kwargs`` on an actor class instead).
+    """
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        h = batch.column("url_hash").to_numpy(zero_copy_only=False)
+        ts = (
+            batch.column("warc_ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        keys = combine_key(h, ts)
+        idx = np.searchsorted(member_keys, keys)
+        idx = np.clip(idx, 0, len(member_keys) - 1)
+        mask = member_keys[idx] == keys if len(member_keys) else np.zeros(len(keys), bool)
+        return batch.filter(pa.array(mask))
+
+    return _filter
+
+
+class ExtractActor:
+    """Stateful extract stage for ``map_batches(ExtractActor, concurrency=N)``.
+
+    Setup (nothing heavy today, but the seam where a real deployment
+    compiles boilerplate models / loads tokenizers) happens once per
+    actor in ``__init__`` — per-batch work is only the vectorizable
+    per-row kernel (M12/M20 analog). Drops ``html`` from the output
+    immediately: page bytes never travel past extraction (SURVEY §7
+    hard part e).
+    """
+
+    def __init__(self, keep_html: bool = False):
+        self.keep_html = keep_html
+        self.pages = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        htmls = batch.column("html").to_pylist()
+        texts = []
+        descs = []
+        _x, _d = extract_text, description_from_readme
+        for h in htmls:
+            t = _x(h)
+            texts.append(t)
+            descs.append(_d(t))
+        self.pages += len(htmls)
+        out = batch
+        if not self.keep_html:
+            out = out.drop_columns(["html"])
+        out = out.append_column("text", pa.array(texts, pa.string()))
+        out = out.append_column("description", pa.array(descs, pa.string()))
+        out = out.append_column(
+            "text_len", pa.array([len(t) for t in texts], pa.int64())
+        )
+        return out
+
+
+class SeenFilterActor:
+    """Cross-run revisit filter: drops rows whose canonical hash is in
+    the committed seen set (read-only ``contains`` against the seen
+    shards — updates are committed only after a round lands, so
+    within-run dedup determinism is untouched; SURVEY §7 step 3)."""
+
+    def __init__(self, shard_handles):
+        self.shards = shard_handles
+        self.n = len(shard_handles)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        h = batch.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        shard_ids = (h % np.uint64(self.n)).astype(np.int64)
+        mask = np.zeros(len(h), dtype=bool)
+        futures = {}
+        for s in range(self.n):
+            sel = shard_ids == s
+            if sel.any():
+                futures[s] = (sel, self.shards[s].contains.remote(h[sel]))
+        for s, (sel, fut) in futures.items():
+            mask[sel] = ray.get(fut)
+        return batch.filter(pa.array(~mask))

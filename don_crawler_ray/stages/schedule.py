@@ -1,0 +1,204 @@
+"""Frontier scheduling — salted groupby(host) -> dedup + robots + budget.
+
+This is the engine's single wide shuffle (SURVEY.md §7 step 4): the
+slim canonicalized frontier is grouped by ``(host_key, salt)`` and each
+group deterministically:
+
+1. exact-dedups by canonical URL (first-wins by ``(warc_ts, url)`` —
+   the deterministic restatement of the reference's clone-cache +
+   per-repo lock exactly-once guarantee, ST5/ST6,
+   ``crawler/crawler.go:55-80``, ``git/clone_repository.go:38``);
+2. applies robots.txt rules (broadcast map, allow/deny by path prefix);
+3. sorts survivors by ``(warc_ts, canonical_url)`` and assigns
+   ``rank`` / ``round = rank // per_round_budget`` plus a virtual
+   politeness fetch time from the host token bucket
+   (``state.robots.HostBudget`` — replaces blocking sleeps, SURVEY §4);
+4. emits counter columns (status: scheduled / robots_denied / dup).
+
+Skew: hosts in ``hot_hosts`` are salted into ``n_salts`` subgroups by
+``url_hash % n_salts`` (same canonical URL -> same salt, so dedup stays
+exact) and each salt gets ``budget / n_salts``; global rank interleaves
+``local_rank * n_salts + salt``. Salting config is part of the job
+config, so N- and 4N-parallelism runs produce identical order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from don_crawler_ray.state.robots import HostBudget, RobotsRules
+
+STATUS_SCHEDULED = "scheduled"
+STATUS_ROBOTS_DENIED = "robots_denied"
+STATUS_DUP = "dedup_hit"
+
+SCHEDULE_SCHEMA = pa.schema(
+    [
+        ("canonical_url", pa.string()),
+        ("host", pa.string()),
+        ("host_key", pa.string()),
+        ("url_hash", pa.uint64()),
+        ("warc_ts", pa.timestamp("us")),
+        ("status", pa.string()),
+        ("round", pa.int32()),
+        ("rank", pa.int64()),
+        ("virtual_ms", pa.int64()),
+    ]
+)
+
+
+def add_salt_stage(n_salts: int, hot_hosts: frozenset[str]):
+    """map_batches kernel adding the shuffle salt column."""
+
+    def _salt(batch: pa.Table) -> pa.Table:
+        hosts = batch.column("host").to_pylist()
+        if n_salts <= 1 or not hot_hosts:
+            salt = np.zeros(batch.num_rows, dtype=np.int32)
+        else:
+            hashes = batch.column("url_hash").to_numpy(zero_copy_only=False)
+            hot = np.array([h in hot_hosts for h in hosts])
+            salt = np.where(hot, (hashes % np.uint64(n_salts)).astype(np.int32), 0)
+        return batch.append_column("salt", pa.array(salt, pa.int32()))
+
+    return _salt
+
+
+class PolitenessConfig:
+    """Broadcast small-side: per-host robots rules + budgets.
+
+    Built once on the driver from the politeness table (F3) and shipped
+    to schedule tasks via closure capture of the plain-dict state (Ray
+    serializes it once per task, and it is tiny: one entry per host).
+    The reference re-read its config per repo (ST7) — we do not.
+    """
+
+    def __init__(
+        self,
+        robots_by_host: dict[str, str | None] | None = None,
+        budget_by_host: dict[str, tuple[int, int, int]] | None = None,
+        default_budget: tuple[int, int, int] = (0, 1, 1 << 60),
+    ):
+        # default: no min delay, 1 slot, effectively-unbounded budget
+        self.robots_raw = robots_by_host or {}
+        self.budget_by_host = budget_by_host or {}
+        self.default_budget = default_budget
+        self._rules_cache: dict[str, RobotsRules] = {}
+
+    @classmethod
+    def from_table(cls, politeness: pa.Table, default_budget=(0, 1, 1 << 60)) -> "PolitenessConfig":
+        robots = {}
+        budgets = {}
+        for row in politeness.to_pylist():
+            robots[row["host"]] = row["robots_txt"]
+            budgets[row["host"]] = (
+                int(row.get("min_delay_ms", 0) or 0),
+                int(row.get("max_concurrent", 1) or 1),
+                int(row.get("per_round_budget", 1 << 60) or (1 << 60)),
+            )
+        return cls(robots, budgets, default_budget)
+
+    def rules(self, host: str) -> RobotsRules:
+        r = self._rules_cache.get(host)
+        if r is None:
+            # hosts absent from the table -> allow-all (no robots known)
+            r = RobotsRules(self.robots_raw.get(host))
+            self._rules_cache[host] = r
+        return r
+
+    def budget(self, host: str) -> tuple[int, int, int]:
+        return self.budget_by_host.get(host, self.default_budget)
+
+
+def make_schedule_group_fn(config: PolitenessConfig, n_salts: int, hot_hosts: frozenset[str]):
+    """Build the map_groups callable for groupby(host_key, salt)."""
+
+    def schedule_group(group: pa.Table) -> pa.Table:
+        host = group.column("host")[0].as_py()
+        salt = group.column("salt")[0].as_py() if "salt" in group.column_names else 0
+        is_hot = host in hot_hosts and n_salts > 1
+        stride = n_salts if is_hot else 1
+
+        # Deterministic order: (warc_ts, canonical_url).
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("warc_ts", "ascending"), ("canonical_url", "ascending")],
+        )
+        g = group.take(order)
+
+        urls = g.column("canonical_url").to_pylist()
+        paths = g.column("path").to_pylist()
+
+        # 1. first-wins exact dedup by canonical url (sorted -> first is min).
+        seen: set[str] = set()
+        status = []
+        rules = config.rules(host)
+        for u, p in zip(urls, paths):
+            if u in seen:
+                status.append(STATUS_DUP)
+                continue
+            seen.add(u)
+            # 2. robots
+            status.append(STATUS_SCHEDULED if rules.allowed(p) else STATUS_ROBOTS_DENIED)
+
+        status_arr = np.array(status)
+        sched_mask = status_arr == STATUS_SCHEDULED
+
+        # 3. rank + round + virtual politeness time for scheduled rows.
+        min_delay, max_conc, budget = config.budget(host)
+        per_salt_budget = max(1, budget // stride) if budget < (1 << 59) else budget
+        n_sched = int(sched_mask.sum())
+        local_rank = np.arange(n_sched, dtype=np.int64)
+        rank = np.full(len(urls), -1, dtype=np.int64)
+        rank[sched_mask] = local_rank * stride + salt if is_hot else local_rank
+        rnd = np.full(len(urls), -1, dtype=np.int32)
+        rnd[sched_mask] = (local_rank // per_salt_budget).astype(np.int32)
+
+        bucket = HostBudget(min_delay, max_conc)
+        vms = np.full(len(urls), -1, dtype=np.int64)
+        vms[sched_mask] = np.asarray(bucket.assign(n_sched), dtype=np.int64)
+
+        return pa.table(
+            {
+                "canonical_url": g.column("canonical_url"),
+                "host": g.column("host"),
+                "host_key": g.column("host_key"),
+                "url_hash": g.column("url_hash"),
+                "warc_ts": g.column("warc_ts"),
+                "status": pa.array(status, pa.string()),
+                "round": pa.array(rnd, pa.int32()),
+                "rank": pa.array(rank, pa.int64()),
+                "virtual_ms": pa.array(vms, pa.int64()),
+            }
+        )
+
+    return schedule_group
+
+
+def detect_hot_hosts(ds, threshold_fraction: float = 0.05, sample_limit: int = 200_000) -> frozenset[str]:
+    """Cheap hot-host detection: partial per-batch host counts merged on
+    the driver (partial-aggregation pattern — no shuffle of the input).
+
+    A host holding more than ``threshold_fraction`` of sampled rows is
+    salted. Deterministic for a deterministic input sample prefix.
+    """
+    import collections
+
+    sample = ds.limit(sample_limit)
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("host"))
+        return pa.table(
+            {
+                "host": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    partials = sample.map_batches(_counts, batch_format="pyarrow").take_all()
+    totals: collections.Counter = collections.Counter()
+    for row in partials:
+        totals[row["host"]] += row["n"]
+    grand = sum(totals.values()) or 1
+    return frozenset(h for h, n in totals.items() if n / grand >= threshold_fraction)

@@ -1,0 +1,201 @@
+"""Cuckoo-filter URL-seen set — sharded actor state with snapshots.
+
+Scale analog of the reference's clone-cache "have I seen this repo"
+check (``git/clone_repository.go:30, 37-58`` — ST6 in SURVEY.md §2.3):
+the disk-existence test becomes an approximate-membership filter
+sharded by canonical-URL hash, one shard actor per hash range, so a
+10^10-URL seen set spreads across the cluster instead of living on one
+node's disk.
+
+Design (SURVEY.md §2.5/§7):
+- ``CuckooFilter``: standard (2,4)-cuckoo filter — 2 candidate buckets
+  per item, 4 slots per bucket, 16-bit fingerprints, partial-key
+  eviction (Fan et al., CoNEXT'14 — public algorithm). numpy-backed.
+- ``SeenShard``: a Ray actor owning one hash range. The filter is the
+  fast membership pre-pass; an exact uint64 hash set alongside it makes
+  the seen set byte-reproducible (false positives are verified against
+  the exact set) — verification mode required by the north rule's
+  "matching URL-seen set" criterion.
+- ``snapshot()/restore()``: per-shard persistence for checkpoint/resume
+  (ST6's "clone once, fetch on revisit" becomes "skip URL on revisit").
+
+Shard routing: ``shard_id = url_hash % n_shards`` — the same uint64
+key the dedup shuffle uses, so one partitioning scheme serves both.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+_EMPTY = np.uint16(0)
+
+
+class CuckooFilter:
+    """(2,4)-cuckoo filter over uint64 keys, 16-bit fingerprints."""
+
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int):
+        # ~95% load factor headroom: buckets = next pow2 of capacity/4.
+        n_buckets = 1
+        while n_buckets * 4 < capacity * 1.05:
+            n_buckets *= 2
+        self.n_buckets = n_buckets
+        self._mask = np.uint64(n_buckets - 1)
+        self.table = np.zeros((n_buckets, 4), dtype=np.uint16)
+        self.count = 0
+        # deterministic eviction cursor (NO random choice: inserts must
+        # be reproducible across runs for snapshot byte-equality)
+        self._evict_cursor = 0
+
+    def _fingerprint(self, h: np.ndarray | int):
+        # fp in [1, 65535]: 0 is the empty marker.
+        fp = (np.uint64(h) >> np.uint64(48)).astype(np.uint16) if isinstance(h, np.ndarray) else np.uint16((int(h) >> 48) & 0xFFFF)
+        return np.where(fp == 0, np.uint16(1), fp) if isinstance(h, np.ndarray) else (fp if fp != 0 else np.uint16(1))
+
+    def _i1(self, h):
+        return np.uint64(h) & self._mask
+
+    def _alt_index(self, i, fp):
+        # i2 = i1 XOR hash(fp); splitmix-style odd-multiplier scramble.
+        with np.errstate(over="ignore"):
+            scram = (np.uint64(fp) * np.uint64(0x5BD1E9955BD1E995)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        return (np.uint64(i) ^ scram) & self._mask
+
+    def contains_many(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized membership for a uint64 array."""
+        h = hashes.astype(np.uint64)
+        fp = (h >> np.uint64(48)).astype(np.uint16)
+        fp = np.where(fp == 0, np.uint16(1), fp)
+        i1 = (h & self._mask).astype(np.int64)
+        i2 = self._alt_index(i1.astype(np.uint64), fp).astype(np.int64)
+        rows1 = self.table[i1]  # (n, 4)
+        rows2 = self.table[i2]
+        fpc = fp[:, None]
+        return ((rows1 == fpc) | (rows2 == fpc)).any(axis=1)
+
+    def insert(self, h: int) -> bool:
+        """Insert one key; False if the filter is full (kick limit)."""
+        fp = int(self._fingerprint(int(h)))
+        i1 = int(np.uint64(h) & self._mask)
+        i2 = int(self._alt_index(np.uint64(i1), np.uint16(fp)))
+        for i in (i1, i2):
+            row = self.table[i]
+            empty = np.where(row == _EMPTY)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                self.count += 1
+                return True
+        # evict deterministically
+        i = i1 if (self._evict_cursor & 1) == 0 else i2
+        for kick in range(self.MAX_KICKS):
+            slot = (self._evict_cursor + kick) % 4
+            self._evict_cursor = (self._evict_cursor + 1) & 0x7FFFFFFF
+            fp, self.table[i][slot] = int(self.table[i][slot]), fp
+            i = int(self._alt_index(np.uint64(i), np.uint16(fp)))
+            row = self.table[i]
+            empty = np.where(row == _EMPTY)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                self.count += 1
+                return True
+        return False
+
+    def state(self) -> dict:
+        return {"table": self.table, "count": self.count, "cursor": self._evict_cursor}
+
+    @classmethod
+    def from_state(cls, st: dict) -> "CuckooFilter":
+        f = cls.__new__(cls)
+        f.table = st["table"]
+        f.n_buckets = f.table.shape[0]
+        f._mask = np.uint64(f.n_buckets - 1)
+        f.count = int(st["count"])
+        f._evict_cursor = int(st["cursor"])
+        return f
+
+
+class SeenShard:
+    """One hash-range shard of the URL-seen set (deployed as a Ray actor).
+
+    ``check_and_add`` is the anti-join primitive: given a batch of
+    uint64 url hashes it returns a boolean mask of which were NEW, and
+    adds them. The cuckoo filter answers the common case in one
+    vectorized probe; exact verification removes false positives so the
+    final seen set is byte-reproducible.
+    """
+
+    def __init__(self, shard_id: int = 0, capacity: int = 1 << 16):
+        self.shard_id = shard_id
+        self.filter = CuckooFilter(capacity)
+        self.exact: set[int] = set()
+        self.dedup_hits = 0
+
+    def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
+        h = np.asarray(hashes, dtype=np.uint64)
+        maybe_seen = self.filter.contains_many(h)
+        new_mask = np.ones(len(h), dtype=bool)
+        exact = self.exact
+        for j, (hv, maybe) in enumerate(zip(h.tolist(), maybe_seen.tolist())):
+            if maybe and hv in exact:
+                new_mask[j] = False
+                continue
+            # also catches duplicates within this batch
+            if hv in exact:
+                new_mask[j] = False
+                continue
+            exact.add(hv)
+            self.filter.insert(hv)
+        self.dedup_hits += int((~new_mask).sum())
+        return new_mask
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        h = np.asarray(hashes, dtype=np.uint64)
+        maybe = self.filter.contains_many(h)
+        out = np.zeros(len(h), dtype=bool)
+        for j, (hv, m) in enumerate(zip(h.tolist(), maybe.tolist())):
+            out[j] = m and hv in self.exact
+        return out
+
+    def stats(self) -> dict:
+        return {
+            "shard_id": self.shard_id,
+            "size": len(self.exact),
+            "filter_count": self.filter.count,
+            "dedup_hits": self.dedup_hits,
+        }
+
+    def sorted_hashes(self) -> np.ndarray:
+        return np.sort(np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact)))
+
+    # --- checkpointing (ST6 analog) ---------------------------------------
+
+    def snapshot(self, directory: str) -> str:
+        os.makedirs(directory, exist_ok=True)
+        path = os.path.join(directory, f"seen_shard_{self.shard_id:04d}.npz")
+        tmp = path + ".tmp.npz"
+        st = self.filter.state()
+        np.savez_compressed(
+            tmp,
+            table=st["table"],
+            count=np.int64(st["count"]),
+            cursor=np.int64(st["cursor"]),
+            exact=self.sorted_hashes(),
+            dedup_hits=np.int64(self.dedup_hits),
+        )
+        os.replace(tmp, path)
+        return path
+
+    def restore(self, directory: str) -> bool:
+        path = os.path.join(directory, f"seen_shard_{self.shard_id:04d}.npz")
+        if not os.path.exists(path):
+            return False
+        data = np.load(path)
+        self.filter = CuckooFilter.from_state(
+            {"table": data["table"], "count": data["count"], "cursor": data["cursor"]}
+        )
+        self.exact = set(data["exact"].tolist())
+        self.dedup_hits = int(data["dedup_hits"])
+        return True

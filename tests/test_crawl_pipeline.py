@@ -1,0 +1,155 @@
+"""End-to-end crawl pipeline tests: correctness, determinism across
+parallelism, checkpoint/resume, counters, seen-set equality.
+"""
+
+import os
+
+import numpy as np
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from don_crawler_ray.functions.urlnorm import canonicalize_url, url_host
+from don_crawler_ray.pipelines.crawl import (
+    crawl_dataset,
+    crawl_output_table,
+    run_crawl,
+    seen_set_hashes,
+)
+from don_crawler_ray.sources.frontier import generate_politeness
+from don_crawler_ray.stages.schedule import PolitenessConfig
+
+
+@pytest.fixture(scope="module")
+def politeness_cfg():
+    return PolitenessConfig.from_table(generate_politeness(42, 20))
+
+
+def _expected_sets(frontier_path):
+    t = pq.read_table(frontier_path)
+    rows = list(
+        zip(
+            t.column("url").to_pylist(),
+            t.column("warc_ts").to_pylist(),
+            t.column("text").to_pylist(),
+        )
+    )
+    by_canon = {}
+    for url, ts, text in rows:
+        c = canonicalize_url(url)
+        key = (ts, c)
+        if c not in by_canon or key < by_canon[c][0]:
+            by_canon[c] = (key, text)
+    return by_canon
+
+
+class TestCrawlDataset:
+    def test_end_to_end_text_bytes(self, ray_session, frontier_tiny, politeness_cfg):
+        """Byte-identical extracted text per url vs the independent
+        golden column, after dedup + robots filtering."""
+        ds = crawl_dataset(frontier_tiny, politeness_cfg)
+        out = {r["canonical_url"]: r["text"] for r in ds.take_all()}
+        expected = _expected_sets(frontier_tiny)
+
+        assert len(out) > 0
+        # every output url is a known canonical url with exactly the golden text
+        for url, text in out.items():
+            assert text == expected[url][1], url
+        # no duplicates possible: dict keys unique; verify robots-denied rows excluded
+        for url in out:
+            host = url_host(url)
+            path = url.split(host, 1)[1]
+            idx = int(host.split(".")[0].removeprefix("host"))
+            if idx % 4 == 3:
+                assert not (path.startswith("/b") or path.startswith("/c"))
+            assert idx != 2  # 503-robots host -> deny all
+
+    def test_round0_budget_respected(self, ray_session, frontier_tiny, politeness_cfg):
+        ds = crawl_dataset(frontier_tiny, politeness_cfg)
+        hosts = [r["host"] for r in ds.select_columns(["host"]).take_all()]
+        budgets = {
+            row["host"]: row["per_round_budget"]
+            for row in generate_politeness(42, 20).to_pylist()
+        }
+        import collections
+
+        for host, n in collections.Counter(hosts).items():
+            assert n <= budgets[host], host
+
+
+class TestRunCrawl:
+    def test_full_run_counters_and_output(self, ray_session, frontier_tiny, politeness_cfg, tmp_path):
+        out_dir = str(tmp_path / "crawl_out")
+        counters = run_crawl(
+            frontier_tiny, out_dir, politeness_cfg, n_seen_shards=2, n_salts=4
+        )
+        assert counters["fetched"] == counters["scheduled"]
+        assert counters["dedup_hit"] > 0
+        assert counters["robots_denied"] > 0
+        assert counters["seen_set_size"] == counters["scheduled"]
+        assert counters["rounds"] >= 1
+
+        table = crawl_output_table(out_dir)
+        assert table.num_rows == counters["fetched"]
+        expected = _expected_sets(frontier_tiny)
+        for url, text in zip(
+            table.column("canonical_url").to_pylist(), table.column("text").to_pylist()
+        ):
+            assert text == expected[url][1]
+
+        # seen set == exactly the scheduled canonical hashes
+        seen = seen_set_hashes(out_dir)
+        sched_hashes = np.sort(
+            np.unique(table.column("url_hash").to_numpy(zero_copy_only=False))
+        )
+        assert np.array_equal(seen, sched_hashes)
+
+    def test_resume_after_partial_run(self, ray_session, frontier_tiny, politeness_cfg, tmp_path):
+        full_dir = str(tmp_path / "full")
+        run_crawl(frontier_tiny, full_dir, politeness_cfg, n_seen_shards=2, n_salts=4)
+
+        part_dir = str(tmp_path / "partial")
+        run_crawl(
+            frontier_tiny, part_dir, politeness_cfg, n_seen_shards=2, n_salts=4,
+            max_rounds=1,
+        )
+        resumed = run_crawl(
+            frontier_tiny, part_dir, politeness_cfg, n_seen_shards=2, n_salts=4,
+            resume=True,
+        )
+        t_full = crawl_output_table(full_dir)
+        t_resumed = crawl_output_table(part_dir)
+        assert t_full.num_rows == t_resumed.num_rows
+        assert t_full.column("canonical_url").equals(t_resumed.column("canonical_url"))
+        assert t_full.column("text").equals(t_resumed.column("text"))
+        assert np.array_equal(seen_set_hashes(full_dir), seen_set_hashes(part_dir))
+        assert resumed["fetched"] == t_full.num_rows
+
+    def test_schedule_order_deterministic(self, ray_session, frontier_tiny, politeness_cfg, tmp_path):
+        """Two independent runs produce identical (round, host, rank,
+        url) crawl order — the reproducible-ordering criterion."""
+        d1 = str(tmp_path / "a")
+        d2 = str(tmp_path / "b")
+        run_crawl(frontier_tiny, d1, politeness_cfg, n_seen_shards=2, n_salts=4)
+        run_crawl(frontier_tiny, d2, politeness_cfg, n_seen_shards=2, n_salts=4)
+        import pyarrow.dataset as pads
+
+        def order(d):
+            t = pads.dataset(os.path.join(d, "schedule")).to_table(
+                columns=["round", "host", "rank", "canonical_url", "status"],
+                filter=pads.field("status") == "scheduled",
+            )
+            return t.take(
+                pc.sort_indices(
+                    t,
+                    sort_keys=[
+                        ("host", "ascending"),
+                        ("round", "ascending"),
+                        ("rank", "ascending"),
+                    ],
+                )
+            )
+
+        o1, o2 = order(d1), order(d2)
+        assert o1.column("canonical_url").equals(o2.column("canonical_url"))
+        assert o1.column("rank").equals(o2.column("rank"))
