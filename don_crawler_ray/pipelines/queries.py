@@ -1,13 +1,882 @@
 """Operator-coverage queries + DuckDB oracle SQL (driver contract).
 
-``QUERIES`` maps query name -> callable(sf_dir) -> Dataset / DataFrame /
-pyarrow Table; ``ORACLE_SQL`` maps the same names to equivalent DuckDB
-SQL over the pre-registered testdata views. Non-SQL-expressible ops
-(crawl pipeline, minhash, ANN...) appear only in ``QUERIES`` and get the
-driver's rows-only check plus dedicated pytest oracles.
+``QUERIES`` maps query name -> callable(sf_dir) -> Dataset / pyarrow
+Table; ``ORACLE_SQL`` maps the same names to equivalent DuckDB SQL over
+the pre-registered testdata views (``region nation customer supplier
+part orders lineitem events documents embeddings``). Column names match
+exactly on both sides (the driver's compare requires it).
+
+Non-SQL-expressible ops (crawl pipeline, vitality, minhash/simhash,
+ANN) appear only in ``QUERIES`` — the driver records rows-only checks —
+and each has a dedicated pytest oracle in ``tests/``.
+
+Float discipline: per-row expressions are written with the identical
+operation order in Ray (numpy/pyarrow doubles) and SQL (doubles) so
+results are bit-equal; aggregate sums of non-integral doubles are
+rounded to 2 decimals on both sides (summation order differs between
+engines only below that precision).
+
+Reference parity notes (SURVEY.md §2): each query cites the operator
+family it covers.
 """
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLE_SQL: dict = {}
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _read_table(sf_dir: str, table: str, columns=None) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# SQL-checked relational operators
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """A1/A5 analog aggregates: multi-key groupby with partial
+    pre-aggregation (SURVEY §2.5). TPC-H-Q1-shaped over lineitem."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = np.datetime64("1998-09-02T00:00:00", "us")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        mask = pc.less_equal(batch.column("l_shipdate"), pa.scalar(cutoff, pa.timestamp("us")))
+        b = batch.filter(mask)
+        # Integer-exact money math: per-row doubles are bit-identical in
+        # both engines; summing after scaling to cents / 1e-4 units keeps
+        # the aggregate exact regardless of summation order (a raw
+        # double sum differs in ulps between engines and can straddle a
+        # rounding boundary).
+        ext = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        base_cents = np.rint(ext * 100.0).astype(np.int64)
+        disc_e4 = np.rint(ext * (1.0 - disc) * 10000.0).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "l_quantity": b.column("l_quantity"),
+                "base_cents": pa.array(base_cents),
+                "disc_e4": pa.array(disc_e4),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_e4", alias_name="sum_disc_e4"),
+            Count(alias_name="count_order"),
+        )
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    return pa.table(
+        {
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "sum_qty": t.column("sum_qty"),
+            "sum_base_cents": pc.cast(t.column("sum_base_cents"), pa.int64()),
+            "sum_disc_e4": pc.cast(t.column("sum_disc_e4"), pa.int64()),
+            "count_order": pc.cast(t.column("count_order"), pa.int64()),
+        }
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS sum_base_cents,
+       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS sum_disc_e4,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(sf_dir: str):
+    """Broadcast join (J2-style small side) + sort + limit (SURVEY
+    §2.4/§2.6): top 10 orders by price with customer/nation names."""
+    cust = _read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+    nat = _read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nation_by_key = dict(zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist()))
+    cust_by_key = {
+        k: (nm, nation_by_key.get(nk))
+        for k, nm, nk in zip(
+            cust.column("c_custkey").to_pylist(),
+            cust.column("c_name").to_pylist(),
+            cust.column("c_nationkey").to_pylist(),
+        )
+    }
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def join(batch: pa.Table) -> pa.Table:
+        names, nations = [], []
+        for ck in batch.column("o_custkey").to_pylist():
+            nm, nn = cust_by_key.get(ck, (None, None))
+            names.append(nm)
+            nations.append(nn)
+        return batch.append_column("c_name", pa.array(names, pa.string())).append_column(
+            "n_name", pa.array(nations, pa.string())
+        )
+
+    out = (
+        ds.map_batches(join, batch_format="pyarrow")
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+    return out.select_columns(["o_orderkey", "o_totalprice", "c_name", "n_name"])
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_totalprice, c_name, n_name
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_daily_events(sf_dir: str):
+    """A1 analog: per-calendar-day counts with doubled weight for
+    'purchase' (merge-commits-count-double, git/repo_activity.go:190-195)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        w = pc.if_else(
+            pc.equal(batch.column("event_type"), "purchase"),
+            pa.scalar(2, pa.int64()),
+            pa.scalar(1, pa.int64()),
+        )
+        return pa.table({"day": day, "event_type": batch.column("event_type"), "weight": w})
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("weight", alias_name="weighted"))
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    return pa.table(
+        {
+            "day": pc.cast(t.column("day"), pa.timestamp("us")),
+            "event_type": t.column("event_type"),
+            "n": pc.cast(t.column("n"), pa.int64()),
+            "weighted": pc.cast(t.column("weighted"), pa.int64()),
+        }
+    )
+
+
+SQL_DAILY_EVENTS = """
+SELECT date_trunc('day', ts) AS day, event_type,
+       count(*) AS n,
+       sum(CASE WHEN event_type = 'purchase' THEN 2 ELSE 1 END) AS weighted
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_first_seen(sf_dir: str):
+    """A3 analog: min(ts) per user (FirstCommitByEmail,
+    git/repo_activity.go:184-188)."""
+    from ray.data.aggregate import Min
+
+    agg = (
+        _read(sf_dir, "events", columns=["user_id", "ts"])
+        .groupby("user_id")
+        .aggregate(Min("ts", alias_name="first_ts"))
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    return pa.table(
+        {
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "first_ts": pc.cast(t.column("first_ts"), pa.timestamp("us")),
+        }
+    )
+
+
+SQL_FIRST_SEEN = "SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id"
+
+
+def q_last_event_per_user(sf_dir: str):
+    """Top-1-per-group by time (last-commit pattern, SURVEY §2.6) with
+    deterministic tiebreak (ts desc, event_id desc)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def pick_last(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("ts", "descending"), ("event_id", "descending")]
+        )
+        return group.take(idx[:1])
+
+    out = ds.groupby("user_id").map_groups(pick_last, batch_format="pyarrow")
+    return out.select_columns(["user_id", "ts", "event_id", "event_type"])
+
+
+SQL_LAST_EVENT = """
+SELECT user_id, ts, event_id, event_type
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_distinct_users(sf_dir: str):
+    """Distinct-count per group (user-community analog, A3) via
+    two-level groupby: distinct pairs then count (pre-aggregated —
+    no driver-side set building)."""
+    from ray.data.aggregate import Count
+
+    pairs = (
+        _read(sf_dir, "events", columns=["event_type", "user_id"])
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    agg = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+    t = pa.Table.from_pylist(agg.take_all())
+    return pa.table(
+        {
+            "event_type": t.column("event_type"),
+            "n_users": pc.cast(t.column("n_users"), pa.int64()),
+        }
+    )
+
+
+SQL_DISTINCT_USERS = (
+    "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
+)
+
+
+# vitality-ranges.yml codeActivity buckets as an inline SQL CASE.
+_CODE_ACTIVITY_CASE = """
+CASE
+  WHEN l_quantity >= 0  AND l_quantity < 4  THEN 2
+  WHEN l_quantity >= 4  AND l_quantity < 6  THEN 8
+  WHEN l_quantity >= 6  AND l_quantity < 9  THEN 14
+  WHEN l_quantity >= 9  AND l_quantity < 12 THEN 20
+  WHEN l_quantity >= 12 AND l_quantity < 15 THEN 26
+  WHEN l_quantity >= 15 AND l_quantity < 18 THEN 32
+  WHEN l_quantity >= 18 AND l_quantity < 25 THEN 38
+  WHEN l_quantity >= 25 AND l_quantity < 30 THEN 44
+  WHEN l_quantity >= 30 AND l_quantity < 35 THEN 50
+  WHEN l_quantity >= 35 AND l_quantity < 10000 THEN 60
+  ELSE 0
+END
+"""
+
+
+def q_range_points(sf_dir: str):
+    """J2 broadcast range-bucket lookup (rangePoints,
+    git/repo_activity.go:260-274) applied to lineitem quantity."""
+    from ray.data.aggregate import Count
+
+    from don_crawler_ray.functions.vitality import RangeTable
+
+    rt = RangeTable()
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        pts = rt.points("codeActivity", batch.column("l_quantity").to_numpy(zero_copy_only=False))
+        return pa.table({"points": pa.array(pts.astype(np.int64))})
+
+    agg = ds.map_batches(bucket, batch_format="pyarrow").groupby("points").aggregate(
+        Count(alias_name="n")
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    return pa.table(
+        {
+            "points": pc.cast(t.column("points"), pa.int64()),
+            "n": pc.cast(t.column("n"), pa.int64()),
+        }
+    )
+
+
+SQL_RANGE_POINTS = f"""
+SELECT {_CODE_ACTIVITY_CASE} AS points, count(*) AS n
+FROM lineitem
+GROUP BY 1
+"""
+
+
+def q_upsert_customers(sf_dir: str):
+    """J1 upsert/merge by key (download_publishers.go:63-84): base set
+    updated-or-extended by an updates set (update if matched, append if
+    not)."""
+    base = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"]).filter(
+        lambda r: r["c_custkey"] <= 100
+    )
+    updates = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"]).filter(
+        lambda r: 51 <= r["c_custkey"] <= 150
+    )
+
+    def tag(src):
+        def _t(batch: pa.Table) -> pa.Table:
+            return batch.append_column("_src", pa.array([src] * batch.num_rows, pa.int8()))
+
+        return _t
+
+    unioned = base.map_batches(tag(0), batch_format="pyarrow").union(
+        updates.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def pick(group: pa.Table) -> pa.Table:
+        # updates (src=1) win; acctbal gets +1000 marker when updated
+        idx = pc.sort_indices(group, sort_keys=[("_src", "descending")])
+        g = group.take(idx[:1])
+        src = g.column("_src")[0].as_py()
+        bal = g.column("c_acctbal")[0].as_py()
+        return pa.table(
+            {
+                "c_custkey": g.column("c_custkey"),
+                "c_name": g.column("c_name"),
+                "acctbal_final": pa.array([bal + 1000.0 if src == 1 else bal], pa.float64()),
+                "was_updated": pa.array([src == 1], pa.bool_()),
+            }
+        )
+
+    return unioned.groupby("c_custkey").map_groups(pick, batch_format="pyarrow")
+
+
+SQL_UPSERT = """
+SELECT coalesce(b.c_custkey, u.c_custkey) AS c_custkey,
+       coalesce(b.c_name, u.c_name) AS c_name,
+       CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal + 1000.0 ELSE b.c_acctbal END AS acctbal_final,
+       u.c_custkey IS NOT NULL AS was_updated
+FROM (SELECT * FROM customer WHERE c_custkey <= 100) b
+FULL OUTER JOIN (SELECT * FROM customer WHERE c_custkey BETWEEN 51 AND 150) u
+  ON b.c_custkey = u.c_custkey
+"""
+
+
+def q_exact_dedup_docs(sf_dir: str):
+    """Exact dedup: fingerprint hash-partition + per-group first-wins
+    (SURVEY §2.7); fingerprint matches the SQL md5 exactly."""
+    from don_crawler_ray.functions.textstats import doc_fingerprint_md5
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        fps = [doc_fingerprint_md5(t) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps, pa.string())})
+
+    def first(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
+        return group.take(idx[:1])
+
+    return (
+        ds.map_batches(fp, batch_format="pyarrow")
+        .groupby("fingerprint")
+        .map_groups(first, batch_format="pyarrow")
+        .select_columns(["doc_id", "fingerprint"])
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT min(doc_id) AS doc_id,
+       md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+GROUP BY 2
+"""
+
+
+def q_token_counts(sf_dir: str):
+    """Token counting (text analysis op): whitespace tokens per lang."""
+    from ray.data.aggregate import Count, Sum
+
+    from don_crawler_ray.functions.textstats import whitespace_token_count
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        n = [whitespace_token_count(t) for t in batch.column("text").to_pylist()]
+        return pa.table({"lang": batch.column("lang"), "ws_tokens": pa.array(n, pa.int64())})
+
+    agg = (
+        ds.map_batches(toks, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("ws_tokens", alias_name="total_tokens"))
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    return pa.table(
+        {
+            "lang": t.column("lang"),
+            "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+            "total_tokens": pc.cast(t.column("total_tokens"), pa.int64()),
+        }
+    )
+
+
+SQL_TOKEN_COUNTS = """
+SELECT lang, count(*) AS n_docs,
+       sum(length(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens
+FROM documents
+GROUP BY lang
+"""
+
+
+def q_quality_lite(sf_dir: str):
+    """Per-doc quality scoring (identical expression tree in SQL and
+    numpy doubles -> bit-equal): 0.5*len_score + 0.5*(1-punct_ratio)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    import re
+
+    punct_re = re.compile(r"[^\w\s]")
+
+    def score(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch.column("text").to_pylist():
+            n = len(t)
+            length_score = min(1.0, n / 500.0)
+            punct_ratio = len(punct_re.findall(t)) / n if n else 0.0
+            out.append(0.5 * length_score + 0.5 * (1.0 - punct_ratio))
+        return pa.table({"doc_id": batch.column("doc_id"), "quality": pa.array(out, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_QUALITY = """
+SELECT doc_id,
+       0.5 * least(1.0, length(text) / 500.0)
+       + 0.5 * (1.0 - (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text)) AS quality
+FROM documents
+"""
+
+
+def q_lang_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    agg = (
+        _read(sf_dir, "documents", columns=["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"), Sum("n_chars", alias_name="sum_chars"))
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    return pa.table(
+        {
+            "lang": t.column("lang"),
+            "n": pc.cast(t.column("n"), pa.int64()),
+            "sum_chars": pc.cast(t.column("sum_chars"), pa.int64()),
+        }
+    )
+
+
+SQL_LANG_STATS = "SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars FROM documents GROUP BY lang"
+
+
+def q_hourly_events(sf_dir: str):
+    """Tumbling-window aggregate (streaming-window analog, SURVEY §2.9):
+    per-hour per-type counts and value extrema."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return pa.table(
+            {"hour": hour, "event_type": batch.column("event_type"), "value": batch.column("value")}
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(
+            Count(alias_name="n"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    return pa.table(
+        {
+            "hour": pc.cast(t.column("hour"), pa.timestamp("us")),
+            "event_type": t.column("event_type"),
+            "n": pc.cast(t.column("n"), pa.int64()),
+            "min_value": t.column("min_value"),
+            "max_value": t.column("max_value"),
+        }
+    )
+
+
+SQL_HOURLY_EVENTS = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, min(value) AS min_value, max(value) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_coalesce_desc(sf_dir: str):
+    """M13/M14/M16 coalesce cascade (ensureDescription,
+    crawler/crawler.go:716-730) over documents."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+
+    def coalesce(batch: pa.Table) -> pa.Table:
+        out = []
+        for t, lang, src in zip(
+            batch.column("text").to_pylist(),
+            batch.column("lang").to_pylist(),
+            batch.column("source").to_pylist(),
+        ):
+            cand = "" if lang == "en" else t[:30]
+            desc = cand if cand else (src if src else "No description provided")
+            out.append(desc)
+        return pa.table({"doc_id": batch.column("doc_id"), "description": pa.array(out, pa.string())})
+
+    return ds.map_batches(coalesce, batch_format="pyarrow")
+
+
+SQL_COALESCE = """
+SELECT doc_id,
+       coalesce(nullif(CASE WHEN lang = 'en' THEN '' ELSE substr(text, 1, 30) END, ''),
+                nullif(source, ''), 'No description provided') AS description
+FROM documents
+"""
+
+
+def q_filter_parts(sf_dir: str):
+    """Predicate filters (M5-M7 analogs) with column pruning."""
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_type", "p_size", "p_retailprice"])
+
+    def flt(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(batch.column("p_type"), "ECONOMY"),
+            pc.greater_equal(batch.column("p_size"), 25),
+        )
+        return batch.filter(mask).select(["p_partkey", "p_name", "p_retailprice"])
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+SQL_FILTER_PARTS = """
+SELECT p_partkey, p_name, p_retailprice
+FROM part WHERE p_type = 'ECONOMY' AND p_size >= 25
+"""
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL ops (rows-only driver check + pytest oracles)
+# ---------------------------------------------------------------------------
+
+VITALITY_NOW = np.datetime64("2024-01-20T00:00:00", "us")
+
+
+def q_vitality_events(sf_dir: str):
+    """A1-A5 vitality rollup (git/repo_activity.go:38-108) mapped onto
+    the events stream: repo := user_id % 20, commit ts := ts, author :=
+    user_id, merge := purchase, tag := signup; pinned now. Oracle:
+    numpy vitality_for_repo in tests."""
+    from don_crawler_ray.functions.vitality import vitality_for_repo
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        et = batch.column("event_type").to_pylist()
+        return pa.table(
+            {
+                "repo": pa.array([f"r{u % 20}" for u in uid], pa.string()),
+                "ts": batch.column("ts"),
+                "author_email": pa.array([f"u{u}@x" for u in uid], pa.string()),
+                "n_parents": pa.array([2 if e == "purchase" else 1 for e in et], pa.int8()),
+                "is_tag": pa.array([e == "signup" for e in et], pa.bool_()),
+            }
+        )
+
+    def vitality(group: pa.Table) -> pa.Table:
+        repo = group.column("repo")[0].as_py()
+        vit, per_day, detail = vitality_for_repo(
+            group.column("ts").to_numpy(zero_copy_only=False),
+            np.array(group.column("author_email").to_pylist(), dtype=object),
+            group.column("n_parents").to_numpy(zero_copy_only=False),
+            group.column("is_tag").to_numpy(zero_copy_only=False),
+            now=VITALITY_NOW,
+            days=60,
+        )
+        return pa.table(
+            {
+                "repo": pa.array([repo], pa.string()),
+                "vitality_index": pa.array([vit], pa.float64()),
+                "activity_total": pa.array([float(detail["daily_activity"].sum())], pa.float64()),
+                "n_authors": pa.array([int(detail["user_community"][0])], pa.int64()),
+                "longevity_days": pa.array([detail["longevity"]], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("repo")
+        .map_groups(vitality, batch_format="pyarrow")
+    )
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidates (shingle -> signature -> band
+    buckets -> groupby(band) pairs -> exact-Jaccard verify >= 0.5).
+    Oracle: brute-force Jaccard in tests."""
+    from don_crawler_ray.functions.dedup import (
+        jaccard_exact,
+        lsh_band_keys,
+        minhash_signature,
+        shingle_hashes,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        ids, bands, texts = [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            sig = minhash_signature(shingle_hashes(t, k=3), n_perm=64)
+            for bk in lsh_band_keys(sig, n_bands=16).tolist():
+                ids.append(d)
+                bands.append(bk)
+                texts.append(t)
+        return pa.table(
+            {
+                "band_key": pa.array(bands, pa.uint64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())})
+        ids = group.column("doc_id").to_pylist()
+        texts = group.column("text").to_pylist()
+        order = np.argsort(ids, kind="stable")
+        a_out, b_out, j_out = [], [], []
+        for x in range(n):
+            for y in range(x + 1, n):
+                i, j = order[x], order[y]
+                if ids[i] == ids[j]:
+                    continue
+                jac = jaccard_exact(texts[i], texts[j], k=3)
+                if jac >= 0.5:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    j_out.append(jac)
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.int64()),
+                "b": pa.array(b_out, pa.int64()),
+                "jaccard": pa.array(j_out, pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(sigs, batch_format="pyarrow").groupby("band_key").map_groups(
+        pairs, batch_format="pyarrow"
+    )
+    # dedup pairs found in multiple bands
+    def uniq(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return cand.groupby(["a", "b"]).map_groups(uniq, batch_format="pyarrow")
+
+
+def q_simhash_docs(sf_dir: str):
+    """SimHash signatures per document (near-dup by hamming distance)."""
+    from don_crawler_ray.functions.dedup import simhash64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sh(batch: pa.Table) -> pa.Table:
+        # hex-string signatures: stable across pandas/arrow boundaries
+        # (uint64 values >= 2^63 overflow naive int64 conversions)
+        sigs = [f"{simhash64(t):016x}" for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"), "simhash": pa.array(sigs, pa.string())})
+
+    return ds.map_batches(sh, batch_format="pyarrow")
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 ANN baseline: 5 query vectors
+    (vec_id 0..4) broadcast to every batch, per-batch partial top-k
+    (numpy matmul), driver-side merge of partials (k*queries rows).
+    Oracle: numpy in tests."""
+    import ray
+
+    from don_crawler_ray.functions.dedup import cosine_topk
+
+    emb = _read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qmat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in emb.column("embedding").to_pylist()[:5]]
+    )
+    q_ids = emb.column("vec_id").to_pylist()[:5]
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()])
+        mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+        scores = mn @ qn.T  # (n, 5)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            s = scores[:, qi]
+            order = np.lexsort((ids, -s))[:10]
+            out_q.extend([q_ids[qi]] * len(order))
+            out_v.extend(ids[order].tolist())
+            out_s.extend(s[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
+    t = pa.Table.from_pylist(partials)
+    # final merge: global top-10 per query with (score desc, vec_id) tiebreak
+    out_rows = []
+    for qid in q_ids:
+        sub = t.filter(pc.equal(t.column("query_id"), qid))
+        s = sub.column("score").to_numpy(zero_copy_only=False)
+        v = sub.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -s))[:10]
+        for rank, j in enumerate(order):
+            out_rows.append(
+                {"query_id": qid, "rank": rank, "vec_id": int(v[j]), "score": float(s[j])}
+            )
+    return pa.Table.from_pylist(out_rows)
+
+
+def q_crawl_extract(sf_dir: str):
+    """Flagship crawl pipeline output over the tiny synthetic frontier
+    (deterministic; byte-identical text invariant checked in pytest)."""
+    import __ray_entry__ as e
+
+    from don_crawler_ray.pipelines.crawl import crawl_dataset
+    from don_crawler_ray.sources.frontier import generate_politeness
+    from don_crawler_ray.stages.schedule import PolitenessConfig
+
+    politeness = PolitenessConfig.from_table(generate_politeness(42, 20))
+    ds = crawl_dataset(e._frontier_path("tiny"), politeness)
+
+    def project(batch: pa.Table) -> pa.Table:
+        hx = [f"{h:016x}" for h in batch.column("url_hash").to_pylist()]
+        return pa.table(
+            {
+                "canonical_url": batch.column("canonical_url"),
+                "host": batch.column("host"),
+                "url_hash_hex": pa.array(hx, pa.string()),
+                "text_len": batch.column("text_len"),
+                "description": batch.column("description"),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def q_crawl_schedule(sf_dir: str):
+    """Schedule decisions (dedup/robots/budget/rank) over the tiny
+    frontier — the crawl-ordering artifact."""
+    import __ray_entry__ as e
+
+    from don_crawler_ray.pipelines.crawl import build_schedule
+    from don_crawler_ray.sources.frontier import generate_politeness
+    from don_crawler_ray.stages.schedule import PolitenessConfig
+
+    politeness = PolitenessConfig.from_table(generate_politeness(42, 20))
+    ds, _ = build_schedule(e._frontier_path("tiny"), politeness, n_salts=4)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["url_hash"])
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def q_url_canonicalize(sf_dir: str):
+    """RFC 3986 canonicalizer + stable hash over the tiny frontier
+    (M17/M4 analogs)."""
+    import __ray_entry__ as e
+    import ray
+
+    from don_crawler_ray.stages.canonicalize import canonicalize_stage
+
+    ds = ray.data.read_parquet(e._frontier_path("tiny"), columns=["url", "warc_ts"])
+
+    def hexify(batch: pa.Table) -> pa.Table:
+        hx = [f"{h:016x}" for h in batch.column("url_hash").to_pylist()]
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "canonical_url": batch.column("canonical_url"),
+                "host_key": batch.column("host_key"),
+                "url_hash_hex": pa.array(hx, pa.string()),
+            }
+        )
+
+    return ds.map_batches(canonicalize_stage, batch_format="pyarrow").map_batches(
+        hexify, batch_format="pyarrow"
+    )
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "top_orders": q_top_orders,
+    "daily_events": q_daily_events,
+    "first_seen": q_first_seen,
+    "last_event_per_user": q_last_event_per_user,
+    "distinct_users": q_distinct_users,
+    "range_points": q_range_points,
+    "upsert_customers": q_upsert_customers,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "token_counts": q_token_counts,
+    "quality_lite": q_quality_lite,
+    "lang_stats": q_lang_stats,
+    "hourly_events": q_hourly_events,
+    "coalesce_desc": q_coalesce_desc,
+    "filter_parts": q_filter_parts,
+    "vitality_events": q_vitality_events,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_docs": q_simhash_docs,
+    "ann_topk": q_ann_topk,
+    "crawl_extract": q_crawl_extract,
+    "crawl_schedule": q_crawl_schedule,
+    "url_canonicalize": q_url_canonicalize,
+}
+
+ORACLE_SQL = {
+    "pricing_summary": SQL_PRICING,
+    "top_orders": SQL_TOP_ORDERS,
+    "daily_events": SQL_DAILY_EVENTS,
+    "first_seen": SQL_FIRST_SEEN,
+    "last_event_per_user": SQL_LAST_EVENT,
+    "distinct_users": SQL_DISTINCT_USERS,
+    "range_points": SQL_RANGE_POINTS,
+    "upsert_customers": SQL_UPSERT,
+    "exact_dedup_docs": SQL_EXACT_DEDUP,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "quality_lite": SQL_QUALITY,
+    "lang_stats": SQL_LANG_STATS,
+    "hourly_events": SQL_HOURLY_EVENTS,
+    "coalesce_desc": SQL_COALESCE,
+    "filter_parts": SQL_FILTER_PARTS,
+}

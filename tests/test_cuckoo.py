@@ -1,0 +1,124 @@
+"""Cuckoo filter + seen-shard tests (membership, determinism, snapshots)."""
+
+import numpy as np
+
+from don_crawler_ray.state.cuckoo import CuckooFilter, SeenShard
+from don_crawler_ray.state.robots import HostBudget, RobotsRules
+
+
+def _keys(n, seed=1):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 2**63, size=n).astype(np.uint64)
+
+
+class TestCuckooFilter:
+    def test_insert_and_contains(self):
+        f = CuckooFilter(capacity=10_000)
+        keys = _keys(5_000)
+        for k in keys.tolist():
+            assert f.insert(k)
+        assert f.contains_many(keys).all()
+
+    def test_false_positive_rate(self):
+        f = CuckooFilter(capacity=20_000)
+        ins = _keys(10_000, seed=2)
+        for k in ins.tolist():
+            f.insert(k)
+        probe = _keys(20_000, seed=3)
+        fresh = probe[~np.isin(probe, ins)]
+        fp_rate = f.contains_many(fresh).mean()
+        assert fp_rate < 0.01  # 16-bit fingerprints, 2x4 buckets
+
+    def test_deterministic_state(self):
+        a, b = CuckooFilter(4096), CuckooFilter(4096)
+        keys = _keys(3_500, seed=4)
+        for k in keys.tolist():
+            a.insert(k)
+            b.insert(k)
+        assert np.array_equal(a.table, b.table)
+        assert a._evict_cursor == b._evict_cursor
+
+    def test_state_roundtrip(self):
+        f = CuckooFilter(1024)
+        keys = _keys(500, seed=5)
+        for k in keys.tolist():
+            f.insert(k)
+        g = CuckooFilter.from_state(f.state())
+        assert g.contains_many(keys).all()
+        assert g.count == f.count
+
+
+class TestSeenShard:
+    def test_check_and_add_semantics(self):
+        s = SeenShard(0, capacity=4096)
+        keys = _keys(100, seed=6)
+        first = s.check_and_add(keys)
+        assert first.all()
+        again = s.check_and_add(keys)
+        assert not again.any()
+        assert s.dedup_hits == 100
+
+    def test_within_batch_duplicates(self):
+        s = SeenShard(0, capacity=1024)
+        k = np.array([7, 7, 8, 7], dtype=np.uint64)
+        mask = s.check_and_add(k)
+        assert mask.tolist() == [True, False, True, False]
+
+    def test_exact_no_false_positives(self):
+        s = SeenShard(0, capacity=4096)
+        s.check_and_add(_keys(2000, seed=7))
+        fresh = _keys(2000, seed=8)
+        fresh = fresh[~np.isin(fresh, _keys(2000, seed=7))]
+        assert not s.contains(fresh).any()  # exact verification kills FPs
+
+    def test_snapshot_restore(self, tmp_path):
+        s = SeenShard(3, capacity=2048)
+        keys = _keys(900, seed=9)
+        s.check_and_add(keys)
+        s.snapshot(str(tmp_path))
+        r = SeenShard(3, capacity=16)
+        assert r.restore(str(tmp_path))
+        assert r.contains(keys).all()
+        assert np.array_equal(r.sorted_hashes(), s.sorted_hashes())
+        assert not SeenShard(9).restore(str(tmp_path))  # missing shard file
+
+
+class TestRobotsRules:
+    def test_prefix_rules(self):
+        r = RobotsRules("User-agent: *\nDisallow: /b\nDisallow: /priv/x\n")
+        assert not r.allowed("/bad/path")
+        assert not r.allowed("/priv/xyz")
+        assert r.allowed("/a/ok")
+        assert r.allowed("/priv/other")
+
+    def test_allow_all_variants(self):
+        assert RobotsRules(None).allowed("/x")  # 404
+        assert RobotsRules("User-agent: *\nDisallow:\n").allowed("/x")
+        assert RobotsRules("").allowed("/x")
+
+    def test_deny_all_sentinel(self):
+        assert not RobotsRules("__503__").allowed("/")
+
+    def test_other_agent_groups_ignored(self):
+        r = RobotsRules("User-agent: botX\nDisallow: /\nUser-agent: *\nDisallow: /q\n")
+        assert r.allowed("/anything")
+        assert not r.allowed("/q/1")
+
+    def test_comments_and_blanks(self):
+        r = RobotsRules("# hi\n\nUser-agent: *\nDisallow: /z # trailing\n")
+        assert not r.allowed("/z/1")
+
+
+class TestHostBudget:
+    def test_min_delay_single_slot(self):
+        b = HostBudget(min_delay_ms=100, max_concurrent=1)
+        assert b.assign(4) == [0, 100, 200, 300]
+
+    def test_concurrency_slots(self):
+        b = HostBudget(min_delay_ms=100, max_concurrent=2)
+        assert b.assign(5) == [0, 0, 100, 100, 200]
+
+    def test_zero_delay_monotone(self):
+        b = HostBudget(0, 1)
+        out = b.assign(3)
+        assert out == sorted(out) and len(set(out)) == 3

@@ -1,0 +1,138 @@
+"""Driver-mirror correctness harness: every SQL-checked query is run
+through Ray AND DuckDB at sf0.001 and compared (row count, column
+names, order-insensitive values) — the same gate the driver applies at
+sf0.01. Non-SQL queries get dedicated oracles below.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con.execute(sql).fetchdf()
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas(limit=None)
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
+    assert sorted(ray_df.columns) == sorted(sql_df.columns), f"{name}: columns differ"
+    assert len(ray_df) == len(sql_df), f"{name}: row counts {len(ray_df)} vs {len(sql_df)}"
+    a, b = _normalize(ray_df), _normalize(sql_df)
+    for col in a.columns:
+        av, bv = a[col].to_numpy(), b[col].to_numpy()
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            assert np.allclose(av.astype(float), bv.astype(float), rtol=0, atol=1e-9), f"{name}.{col}"
+        else:
+            assert (av == bv).all(), f"{name}.{col}"
+
+
+SQL_CHECKED = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_sql_checked_query(ray_session, name):
+    queries = entrymod.queries()
+    sql = entrymod.oracle_sql()[name]
+    ray_df = _to_pandas(queries[name](SF_DIR))
+    sql_df = _duck(sql)
+    compare(ray_df, sql_df, name)
+
+
+class TestNonSqlOracles:
+    def test_vitality_events(self, ray_session):
+        from don_crawler_ray.functions.vitality import vitality_for_repo
+        from don_crawler_ray.pipelines.queries import VITALITY_NOW
+
+        out = _to_pandas(entrymod.queries()["vitality_events"](SF_DIR))
+        # independent recomputation straight from parquet
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+        ev["repo"] = "r" + (ev.user_id % 20).astype(str)
+        assert len(out) == ev.repo.nunique()
+        for repo, grp in ev.groupby("repo"):
+            vit, _, _ = vitality_for_repo(
+                grp.ts.to_numpy(),
+                np.array([f"u{u}@x" for u in grp.user_id], dtype=object),
+                np.where(grp.event_type == "purchase", 2, 1),
+                (grp.event_type == "signup").to_numpy(),
+                now=VITALITY_NOW,
+                days=60,
+            )
+            got = out.loc[out.repo == repo, "vitality_index"].iloc[0]
+            assert got == vit, repo
+
+    def test_ann_topk_matches_numpy(self, ray_session):
+        out = _to_pandas(entrymod.queries()["ann_topk"](SF_DIR))
+        emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+        ids = emb.vec_id.to_numpy()
+        mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        for qid in range(5):
+            q = mn[qid]
+            scores = mn @ q
+            order = np.lexsort((ids, -scores))[:10]
+            want = ids[order].tolist()
+            got = out[out.query_id == qid].sort_values("rank").vec_id.tolist()
+            assert got == want, f"query {qid}"
+
+    def test_minhash_pairs_verified(self, ray_session):
+        from don_crawler_ray.functions.dedup import jaccard_exact
+
+        out = _to_pandas(entrymod.queries()["minhash_pairs"](SF_DIR))
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet").set_index("doc_id").text
+        # every reported pair really has jaccard >= 0.5
+        for _, row in out.iterrows():
+            assert jaccard_exact(docs[row.a], docs[row.b]) >= 0.5
+        # recall vs brute force on a slice of 80 docs
+        sub = docs.iloc[:80]
+        truth = set()
+        items = list(sub.items())
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                if jaccard_exact(items[i][1], items[j][1]) >= 0.6:
+                    a, b = sorted((items[i][0], items[j][0]))
+                    truth.add((a, b))
+        found = {tuple(sorted((r.a, r.b))) for _, r in out.iterrows()}
+        if truth:
+            recall = len(truth & found) / len(truth)
+            assert recall >= 0.8, (recall, len(truth))
+
+    def test_simhash_deterministic(self, ray_session):
+        a = _to_pandas(entrymod.queries()["simhash_docs"](SF_DIR))
+        b = _to_pandas(entrymod.queries()["simhash_docs"](SF_DIR))
+        assert a.sort_values("doc_id").simhash.tolist() == b.sort_values("doc_id").simhash.tolist()
+
+    def test_crawl_queries_run(self, ray_session):
+        q = entrymod.queries()
+        ext = _to_pandas(q["crawl_extract"](SF_DIR))
+        assert len(ext) > 0 and "canonical_url" in ext.columns
+        sched = _to_pandas(q["crawl_schedule"](SF_DIR))
+        assert set(sched.status.unique()) <= {"scheduled", "robots_denied", "dedup_hit"}
+        canon = _to_pandas(q["url_canonicalize"](SF_DIR))
+        assert len(canon) == 1000
