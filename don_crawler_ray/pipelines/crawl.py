@@ -43,6 +43,7 @@ from don_crawler_ray.stages.canonicalize import (
 )
 from don_crawler_ray.stages.fetch import (
     ExtractActor,
+    FetchExtractActor,
     SeenFilterActor,
     make_membership_filter,
     make_round_membership,
@@ -64,13 +65,30 @@ def _read_frontier(frontier_path: str, columns):
     return ray.data.read_parquet(frontier_path, columns=columns)
 
 
+def tune_data_context() -> None:
+    """Executor tuning for this engine's stage mix (measured on the
+    2M-row bench frontier, 8 and 32 cpus):
+
+    - ``op_resource_reservation_enabled=False``: the default 50%
+      reservation for the sort AllToAll starves the canonicalize map
+      stage (61.6s -> 33.9s at 8 cpus on the schedule pass);
+    - push-based sort shuffle: 16.4s -> 13.7s at 32 cpus.
+    """
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.op_resource_reservation_enabled = False
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+
+
 def default_extract_concurrency() -> tuple[int, int]:
     """Autoscaling actor-pool bounds sized to the cluster: min 1, max =
     cluster CPUs (extract is CPU-bound at ~1 task per core)."""
     import ray
 
     n = int(ray.cluster_resources().get("CPU", 4))
-    return (1, max(2, n))
+    # start at half the pool to skip the slow autoscale ramp; cap at CPUs
+    return (max(1, n // 2), max(2, n))
 
 
 def build_schedule(
@@ -134,12 +152,12 @@ def run_fetch_round(
     """Fetch+extract one round, write partitioned parquet. Returns rows written."""
     import ray
 
-    members = make_round_membership(round_table)
+    members_ref = ray.put(make_round_membership(round_table))
     ds = _read_frontier(frontier_path, FETCH_COLUMNS)
     ds = ds.map_batches(canonicalize_stage, batch_format="pyarrow")
-    ds = ds.map_batches(make_membership_filter(members), batch_format="pyarrow")
     ds = ds.map_batches(
-        ExtractActor,
+        FetchExtractActor,
+        fn_constructor_kwargs={"members_ref": members_ref},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=extract_concurrency or default_extract_concurrency(),
@@ -162,15 +180,22 @@ def run_crawl(
     politeness: PolitenessConfig | None = None,
     n_salts: int = 8,
     hot_hosts: frozenset[str] | None = None,
-    n_seen_shards: int = 4,
+    n_seen_shards: int = 8,
     max_rounds: int | None = None,
     extract_concurrency=None,
     batch_size: int = 512,
     resume: bool = False,
 ) -> dict:
-    """Full checkpointed crawl. Returns the run's counter dict."""
+    """Full checkpointed crawl. Returns the run's counter dict
+    (including per-phase wall times under ``phase_*`` keys)."""
+    import time
+
     import ray
 
+    tune_data_context()
+    phases: dict[str, float] = {}
+    _t = time.perf_counter
+    t_start = _t()
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "manifest.json")
     schedule_dir = os.path.join(out_dir, "schedule")
@@ -204,6 +229,7 @@ def run_crawl(
         manifest["schedule_done"] = True
         manifest["hot_hosts"] = sorted(hot)
         _write_manifest(manifest_path, manifest)
+        phases["schedule"] = round(_t() - t_start, 2)
 
     counters = dict(manifest.get("counters") or {})
     sc = schedule_counters(schedule_dir)
@@ -224,6 +250,7 @@ def run_crawl(
     for rnd in range(n_rounds):
         if rnd in manifest["completed_rounds"]:
             continue
+        t_round = _t()
         round_table = load_round_table(schedule_dir, rnd)
         if round_table.num_rows == 0:
             manifest["completed_rounds"].append(rnd)
@@ -241,19 +268,26 @@ def run_crawl(
             batch_size=batch_size,
         )
         fetched_total += n
+        phases["fetch"] = phases.get("fetch", 0.0) + round(_t() - t_round, 2)
+        t_commit = _t()
         # commit: seen set += this round's hashes, snapshot, manifest last.
         hashes = round_table.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        futures = []
         for s in range(n_seen_shards):
             sel = hashes % np.uint64(n_seen_shards) == s
             if sel.any():
-                ray.get(shards[s].check_and_add.remote(hashes[sel]))
+                futures.append(shards[s].add_many.remote(hashes[sel]))
+        ray.get(futures)  # all shards ingest in parallel
         ray.get([s.snapshot.remote(seen_dir) for s in shards])
         manifest["completed_rounds"].append(rnd)
         counters["fetched"] = fetched_total
         manifest["counters"] = counters
         _write_manifest(manifest_path, manifest)
+        phases["commit"] = phases.get("commit", 0.0) + round(_t() - t_commit, 2)
 
     counters["fetched"] = fetched_total
+    for k, v in phases.items():
+        counters[f"phase_{k}"] = round(v, 2)
     counters["rounds"] = len(manifest["completed_rounds"])
     seen_sizes = ray.get([s.stats.remote() for s in shards])
     counters["seen_set_size"] = int(sum(st["size"] for st in seen_sizes))
@@ -286,6 +320,15 @@ def crawl_output_table(out_dir: str, columns=None) -> pa.Table:
     if not parts:
         return pa.table({})
     t = pa.concat_tables(parts)
+    # large_string offsets: a sorted take on a multi-GiB text column
+    # overflows 32-bit string offsets otherwise
+    schema = pa.schema(
+        [
+            (f.name, pa.large_string() if f.type == pa.string() else f.type)
+            for f in t.schema
+        ]
+    )
+    t = t.cast(schema)
     return t.take(
         pc.sort_indices(t, sort_keys=[("host_key", "ascending"), ("canonical_url", "ascending")])
     )
@@ -341,4 +384,64 @@ def crawl_dataset(
     )
     return ds.select_columns(
         ["canonical_url", "host", "host_key", "url_hash", "warc_ts", "text", "description", "text_len"]
+    )
+
+
+def crawl_single_url(url: str, frontier_path: str, politeness: PolitenessConfig | None = None):
+    """Single-URL crawl mode — the ``crawl-software`` entry point
+    (``cmd/crawl-software.go:28-42`` -> ``CrawlSoftwareByID``,
+    ``crawler/crawler.go:106-153``): one row through the same pipeline.
+
+    The URL is canonicalized (``.git`` suffix stripped per
+    ``crawler/crawler.go:121`` intent), matched against the page store,
+    robots-checked, and extracted. Returns a pyarrow Table with 0 or 1
+    rows.
+    """
+    import ray
+
+    from don_crawler_ray.functions.urlnorm import canonicalize_url, strip_git_suffix, url_hash64, url_host
+
+    politeness = politeness or PolitenessConfig()
+    canon = canonicalize_url(strip_git_suffix(url))
+    host = url_host(canon)
+    path = canon.split(host, 1)[1] if host and host in canon else "/"
+    if not politeness.rules(host).allowed(path.split("?")[0]):
+        return pa.table(
+            {
+                "canonical_url": pa.array([canon]),
+                "status": pa.array(["robots_denied"]),
+                "text": pa.array([None], pa.string()),
+            }
+        )
+    target = url_hash64(canon)
+
+    ds = _read_frontier(frontier_path, FETCH_COLUMNS)
+    ds = ds.map_batches(canonicalize_stage, batch_format="pyarrow")
+
+    def pick(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("url_hash"), pa.scalar(target, pa.uint64()))
+        return batch.filter(mask)
+
+    rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    if not rows:
+        return pa.table(
+            {
+                "canonical_url": pa.array([canon]),
+                "status": pa.array(["not_found"]),
+                "text": pa.array([None], pa.string()),
+            }
+        )
+    # first-wins dedup: min (warc_ts, url)
+    rows.sort(key=lambda r: (r["warc_ts"], r["url"]))
+    row = rows[0]
+    from don_crawler_ray.functions.extract import description_from_readme, extract_text
+
+    text = extract_text(row["html"])
+    return pa.table(
+        {
+            "canonical_url": pa.array([canon]),
+            "status": pa.array(["fetched"]),
+            "text": pa.array([text]),
+            "description": pa.array([description_from_readme(text)]),
+        }
     )

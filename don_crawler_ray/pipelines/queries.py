@@ -880,3 +880,183 @@ ORACLE_SQL = {
     "coalesce_desc": SQL_COALESCE,
     "filter_parts": SQL_FILTER_PARTS,
 }
+
+
+# ---------------------------------------------------------------------------
+# Additional operators: native hash join, sessionization, IVF assign
+# ---------------------------------------------------------------------------
+
+def q_hash_join_orders(sf_dir: str):
+    """Native Ray Data hash join (shuffle join; contrast with the
+    broadcast join in q_top_orders): per-nation order totals."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_nationkey": pc.cast(batch.column("c_nationkey"), pa.int64()),
+                "price_cents": pa.array(np.rint(v * 100.0).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        joined.map_batches(cents, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Count(alias_name="n_orders"), Sum("price_cents", alias_name="total_cents"))
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    return pa.table(
+        {
+            "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+            "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
+            "total_cents": pc.cast(t.column("total_cents"), pa.int64()),
+        }
+    )
+
+
+SQL_HASH_JOIN = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def q_sessionize(sf_dir: str):
+    """Sessionization (streaming-gap windows, SURVEY §2.9 extension):
+    per-user sessions split at >30min idle gaps; deterministic order
+    (ts, event_id)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def sessions(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
+        g = group.take(idx)
+        ts = g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        gaps = np.diff(ts, prepend=ts[0] - SESSION_GAP_US - 1)
+        brk = (gaps > SESSION_GAP_US).astype(np.int64)
+        session_num = np.cumsum(brk)
+        uid = g.column("user_id")[0].as_py()
+        out = []
+        for s in np.unique(session_num):
+            sel = session_num == s
+            out.append(
+                {
+                    "user_id": uid,
+                    "session_num": int(s),
+                    "n_events": int(sel.sum()),
+                    "session_start": ts[sel].min(),
+                    "session_end": ts[sel].max(),
+                }
+            )
+        t = pa.Table.from_pylist(out)
+        return pa.table(
+            {
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                "session_num": pc.cast(t.column("session_num"), pa.int64()),
+                "n_events": pc.cast(t.column("n_events"), pa.int64()),
+                "session_start": pc.cast(t.column("session_start"), pa.timestamp("us")),
+                "session_end": pc.cast(t.column("session_end"), pa.timestamp("us")),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
+SQL_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), m AS (
+  SELECT user_id, ts,
+         CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM o
+), s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+  FROM m
+)
+SELECT user_id, session_num, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_ivf_assign(sf_dir: str):
+    """IVF coarse quantization (the ANN scale path): label centroids are
+    the broadcast codebook; every vector is assigned to its nearest
+    centroid by cosine (deterministic tiebreak by centroid id).
+    Oracle: numpy in tests."""
+    from ray.data.aggregate import Count
+
+    emb = _read_table(sf_dir, "embeddings", columns=["embedding", "label"])
+    mat = np.stack([np.asarray(v, np.float64) for v in emb.column("embedding").to_pylist()])
+    labels = np.asarray(emb.column("label").to_pylist())
+    cents = np.stack([mat[labels == l].mean(axis=0) for l in sorted(set(labels.tolist()))])
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = np.stack([np.asarray(v, np.float64) for v in batch.column("embedding").to_pylist()])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        scores = mn @ cn.T
+        best = np.argmax(scores, axis=1)
+        return pa.table(
+            {
+                "vec_id": pc.cast(batch.column("vec_id"), pa.int64()),
+                "centroid": pa.array(best.astype(np.int64)),
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    agg = assigned.groupby("centroid").aggregate(Count(alias_name="n"))
+    t = pa.Table.from_pylist(agg.take_all())
+    return pa.table(
+        {
+            "centroid": pc.cast(t.column("centroid"), pa.int64()),
+            "n": pc.cast(t.column("n"), pa.int64()),
+        }
+    )
+
+
+def q_text_stats(sf_dir: str):
+    """Full text-analysis stage (tokens, quality, language-ID,
+    fingerprint) over documents — rows-only; kernels unit-tested."""
+    from don_crawler_ray.functions.textstats import text_stats_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(text_stats_batch, batch_format="pyarrow")
+    return out.select_columns(
+        ["doc_id", "ws_tokens", "bpe_tokens", "quality", "lang_detected", "fingerprint"]
+    )
+
+
+QUERIES.update(
+    {
+        "hash_join_orders": q_hash_join_orders,
+        "sessionize": q_sessionize,
+        "ivf_assign": q_ivf_assign,
+        "text_stats": q_text_stats,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "hash_join_orders": SQL_HASH_JOIN,
+        "sessionize": SQL_SESSIONIZE,
+    }
+)

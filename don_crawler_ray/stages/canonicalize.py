@@ -56,17 +56,18 @@ def canonicalize_stage(batch: pa.Table) -> pa.Table:
 def canonicalize_slim_stage(batch: pa.Table) -> pa.Table:
     """Slim variant for the schedule pass: input is (url, warc_ts) only;
     output drops the raw url and keeps just what scheduling needs, so
-    the groupby(host) shuffle never moves page bytes (SURVEY.md §7)."""
+    the groupby(host) shuffle never moves page bytes (SURVEY.md §7).
+    ``host`` and ``path`` are NOT carried — they are recomputed inside
+    the group fn from ``host_key``/``canonical_url`` (string columns
+    through a sort cost real shuffle bytes; recomputation is ~free)."""
     canon, hosts, rev, hashes, paths = _canonicalize_columns(
         batch.column("url").to_pylist()
     )
     return pa.table(
         {
             "canonical_url": pa.array(canon, pa.string()),
-            "host": pa.array(hosts, pa.string()),
             "host_key": pa.array(rev, pa.string()),
             "url_hash": pa.array(hashes, pa.uint64()),
-            "path": pa.array(paths, pa.string()),
             "warc_ts": batch.column("warc_ts"),
         }
     )

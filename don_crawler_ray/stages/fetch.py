@@ -108,6 +108,50 @@ class ExtractActor:
         return out
 
 
+class FetchExtractActor:
+    """Fused membership-filter + extract actor: the round's scheduled-key
+    array is ``ray.put`` ONCE and fetched per ACTOR in ``__init__`` (a
+    closure-captured array would be re-serialized into every task —
+    gigabytes at 10^10-URL rounds). Output drops ``html``."""
+
+    def __init__(self, members_ref):
+        import ray
+
+        self.members = (
+            ray.get(members_ref) if not isinstance(members_ref, np.ndarray) else members_ref
+        )
+        self.extract = ExtractActor()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        members = self.members
+        h = batch.column("url_hash").to_numpy(zero_copy_only=False)
+        ts = (
+            batch.column("warc_ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        keys = combine_key(h, ts)
+        if len(members):
+            idx = np.clip(np.searchsorted(members, keys), 0, len(members) - 1)
+            mask = members[idx] == keys
+        else:
+            mask = np.zeros(len(keys), bool)
+        kept = batch.filter(pa.array(mask))
+        if kept.num_rows == 0:
+            return _empty_extract_table(kept)
+        return self.extract(kept)
+
+
+def _empty_extract_table(batch: pa.Table) -> pa.Table:
+    out = batch.drop_columns(["html"])
+    return (
+        out.append_column("text", pa.array([], pa.string()))
+        .append_column("description", pa.array([], pa.string()))
+        .append_column("text_len", pa.array([], pa.int64()))
+    )
+
+
 class SeenFilterActor:
     """Cross-run revisit filter: drops rows whose canonical hash is in
     the committed seen set (read-only ``contains`` against the seen

@@ -50,15 +50,19 @@ SCHEDULE_SCHEMA = pa.schema(
 
 
 def add_salt_stage(n_salts: int, hot_hosts: frozenset[str]):
-    """map_batches kernel adding the shuffle salt column."""
+    """map_batches kernel adding the shuffle salt column (works on the
+    slim schema: hot hosts are matched on the reversed host_key)."""
+    from don_crawler_ray.functions.urlnorm import reverse_host
+
+    hot_keys = frozenset(reverse_host(h) for h in hot_hosts)
 
     def _salt(batch: pa.Table) -> pa.Table:
-        hosts = batch.column("host").to_pylist()
-        if n_salts <= 1 or not hot_hosts:
+        keys = batch.column("host_key").to_pylist()
+        if n_salts <= 1 or not hot_keys:
             salt = np.zeros(batch.num_rows, dtype=np.int32)
         else:
             hashes = batch.column("url_hash").to_numpy(zero_copy_only=False)
-            hot = np.array([h in hot_hosts for h in hosts])
+            hot = np.array([k in hot_keys for k in keys])
             salt = np.where(hot, (hashes % np.uint64(n_salts)).astype(np.int32), 0)
         return batch.append_column("salt", pa.array(salt, pa.int32()))
 
@@ -115,7 +119,10 @@ def make_schedule_group_fn(config: PolitenessConfig, n_salts: int, hot_hosts: fr
     """Build the map_groups callable for groupby(host_key, salt)."""
 
     def schedule_group(group: pa.Table) -> pa.Table:
-        host = group.column("host")[0].as_py()
+        from don_crawler_ray.functions.urlnorm import reverse_host
+
+        host_key = group.column("host_key")[0].as_py()
+        host = reverse_host(host_key)  # reversal is an involution
         salt = group.column("salt")[0].as_py() if "salt" in group.column_names else 0
         is_hot = host in hot_hosts and n_salts > 1
         stride = n_salts if is_hot else 1
@@ -128,7 +135,14 @@ def make_schedule_group_fn(config: PolitenessConfig, n_salts: int, hot_hosts: fr
         g = group.take(order)
 
         urls = g.column("canonical_url").to_pylist()
-        paths = g.column("path").to_pylist()
+        # path: substring after the authority (robots prefix rules are
+        # path-only; query excluded)
+        paths = []
+        for u in urls:
+            rest = u.split("://", 1)[1] if "://" in u else u
+            slash = rest.find("/")
+            p = rest[slash:] if slash >= 0 else "/"
+            paths.append(p.split("?", 1)[0])
 
         # 1. first-wins exact dedup by canonical url (sorted -> first is min).
         seen: set[str] = set()
@@ -162,7 +176,7 @@ def make_schedule_group_fn(config: PolitenessConfig, n_salts: int, hot_hosts: fr
         return pa.table(
             {
                 "canonical_url": g.column("canonical_url"),
-                "host": g.column("host"),
+                "host": pa.array([host] * len(urls), pa.string()),
                 "host_key": g.column("host_key"),
                 "url_hash": g.column("url_hash"),
                 "warc_ts": g.column("warc_ts"),
@@ -188,17 +202,21 @@ def detect_hot_hosts(ds, threshold_fraction: float = 0.05, sample_limit: int = 2
     sample = ds.limit(sample_limit)
 
     def _counts(batch: pa.Table) -> pa.Table:
-        vc = pc.value_counts(batch.column("host"))
+        vc = pc.value_counts(batch.column("host_key"))
         return pa.table(
             {
-                "host": vc.field("values"),
+                "host_key": vc.field("values"),
                 "n": pc.cast(vc.field("counts"), pa.int64()),
             }
         )
 
+    from don_crawler_ray.functions.urlnorm import reverse_host
+
     partials = sample.map_batches(_counts, batch_format="pyarrow").take_all()
     totals: collections.Counter = collections.Counter()
     for row in partials:
-        totals[row["host"]] += row["n"]
+        totals[row["host_key"]] += row["n"]
     grand = sum(totals.values()) or 1
-    return frozenset(h for h, n in totals.items() if n / grand >= threshold_fraction)
+    return frozenset(
+        reverse_host(k) for k, n in totals.items() if n / grand >= threshold_fraction
+    )

@@ -77,30 +77,40 @@ class CuckooFilter:
         return ((rows1 == fpc) | (rows2 == fpc)).any(axis=1)
 
     def insert(self, h: int) -> bool:
-        """Insert one key; False if the filter is full (kick limit)."""
-        fp = int(self._fingerprint(int(h)))
-        i1 = int(np.uint64(h) & self._mask)
-        i2 = int(self._alt_index(np.uint64(i1), np.uint16(fp)))
+        """Insert one key; False if the filter is full (kick limit).
+
+        Pure-int hot path (numpy scalar ops cost ~1us each; python int
+        arithmetic is ~20x cheaper — this runs once per NEW url)."""
+        mask = self.n_buckets - 1
+        h = int(h)
+        fp = (h >> 48) & 0xFFFF
+        if fp == 0:
+            fp = 1
+        i1 = h & mask
+        i2 = (i1 ^ ((fp * 0x5BD1E9955BD1E995) & 0xFFFFFFFFFFFFFFFF)) & mask
+        table = self.table
         for i in (i1, i2):
-            row = self.table[i]
-            empty = np.where(row == _EMPTY)[0]
-            if len(empty):
-                row[empty[0]] = fp
-                self.count += 1
-                return True
+            row = table[i]
+            for s in range(4):
+                if row[s] == 0:
+                    row[s] = fp
+                    self.count += 1
+                    return True
         # evict deterministically
         i = i1 if (self._evict_cursor & 1) == 0 else i2
         for kick in range(self.MAX_KICKS):
             slot = (self._evict_cursor + kick) % 4
             self._evict_cursor = (self._evict_cursor + 1) & 0x7FFFFFFF
-            fp, self.table[i][slot] = int(self.table[i][slot]), fp
-            i = int(self._alt_index(np.uint64(i), np.uint16(fp)))
-            row = self.table[i]
-            empty = np.where(row == _EMPTY)[0]
-            if len(empty):
-                row[empty[0]] = fp
-                self.count += 1
-                return True
+            old = int(table[i, slot])
+            table[i, slot] = fp
+            fp = old
+            i = (i ^ ((fp * 0x5BD1E9955BD1E995) & 0xFFFFFFFFFFFFFFFF)) & mask
+            row = table[i]
+            for s in range(4):
+                if row[s] == 0:
+                    row[s] = fp
+                    self.count += 1
+                    return True
         return False
 
     def state(self) -> dict:
@@ -133,23 +143,47 @@ class SeenShard:
         self.exact: set[int] = set()
         self.dedup_hits = 0
 
+    def _maybe_grow(self, incoming: int) -> None:
+        """Rebuild the filter at 2x when load would exceed ~90% — an
+        overfull cuckoo filter degrades to 500-kick eviction storms
+        (250us per failed insert)."""
+        need = len(self.exact) + incoming
+        while need > int(self.filter.n_buckets * 4 * 0.90):
+            bigger = CuckooFilter(max(need * 2, self.filter.n_buckets * 8))
+            for hv in self.exact:
+                bigger.insert(hv)
+            self.filter = bigger
+
     def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
         h = np.asarray(hashes, dtype=np.uint64)
-        maybe_seen = self.filter.contains_many(h)
+        self._maybe_grow(len(h))
         new_mask = np.ones(len(h), dtype=bool)
         exact = self.exact
-        for j, (hv, maybe) in enumerate(zip(h.tolist(), maybe_seen.tolist())):
-            if maybe and hv in exact:
-                new_mask[j] = False
-                continue
-            # also catches duplicates within this batch
+        insert = self.filter.insert
+        for j, hv in enumerate(h.tolist()):
             if hv in exact:
                 new_mask[j] = False
                 continue
             exact.add(hv)
-            self.filter.insert(hv)
+            insert(hv)
         self.dedup_hits += int((~new_mask).sum())
         return new_mask
+
+    def add_many(self, hashes: np.ndarray) -> int:
+        """Bulk commit path (round ingest): set-union at C speed + cuckoo
+        inserts for the genuinely-new keys only. Returns new-key count.
+        Unlike ``check_and_add`` no per-key mask is produced — the crawl
+        commit doesn't need one."""
+        h = np.asarray(hashes, dtype=np.uint64)
+        incoming = set(h.tolist())
+        new = incoming - self.exact
+        self._maybe_grow(len(new))
+        self.exact |= new
+        insert = self.filter.insert
+        for hv in new:
+            insert(hv)
+        self.dedup_hits += len(incoming) - len(new)
+        return len(new)
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
         h = np.asarray(hashes, dtype=np.uint64)
@@ -177,7 +211,8 @@ class SeenShard:
         path = os.path.join(directory, f"seen_shard_{self.shard_id:04d}.npz")
         tmp = path + ".tmp.npz"
         st = self.filter.state()
-        np.savez_compressed(
+        # uncompressed: snapshot speed beats size for checkpoint cadence
+        np.savez(
             tmp,
             table=st["table"],
             count=np.int64(st["count"]),

@@ -153,3 +153,34 @@ class TestRunCrawl:
         o1, o2 = order(d1), order(d2)
         assert o1.column("canonical_url").equals(o2.column("canonical_url"))
         assert o1.column("rank").equals(o2.column("rank"))
+
+
+class TestSingleUrlCrawl:
+    """crawl-software single-URL mode (crawler/crawler.go:106-153)."""
+
+    def test_fetch_one(self, ray_session, frontier_tiny, politeness_cfg):
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.crawl import crawl_single_url
+
+        t = pq.read_table(frontier_tiny)
+        url = t.column("url")[0].as_py()
+        want_text = t.column("text")[0].as_py()
+        out = crawl_single_url(url + ".git", frontier_tiny, politeness_cfg)
+        assert out.column("status").to_pylist() == ["fetched"]
+        assert out.column("text").to_pylist() == [want_text]
+
+    def test_not_found(self, ray_session, frontier_tiny, politeness_cfg):
+        from don_crawler_ray.pipelines.crawl import crawl_single_url
+
+        out = crawl_single_url("https://nowhere.example/xyz", frontier_tiny, politeness_cfg)
+        assert out.column("status").to_pylist() == ["not_found"]
+
+    def test_robots_denied(self, ray_session, frontier_tiny, politeness_cfg):
+        from don_crawler_ray.pipelines.crawl import crawl_single_url
+        from don_crawler_ray.sources.frontier import host_name
+
+        # hosts with idx % 4 == 3 disallow /b*; host3 qualifies
+        host = host_name(3)
+        out = crawl_single_url(f"https://{host}/bad/path", frontier_tiny, politeness_cfg)
+        assert out.column("status").to_pylist() == ["robots_denied"]

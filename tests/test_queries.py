@@ -136,3 +136,38 @@ class TestNonSqlOracles:
         assert set(sched.status.unique()) <= {"scheduled", "robots_denied", "dedup_hit"}
         canon = _to_pandas(q["url_canonicalize"](SF_DIR))
         assert len(canon) == 1000
+
+
+class TestAdditionalOps:
+    def test_ivf_assign_matches_numpy(self, ray_session):
+        out = _to_pandas(entrymod.queries()["ivf_assign"](SF_DIR))
+        emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+        labels = emb.label.to_numpy()
+        cents = np.stack([mat[labels == l].mean(axis=0) for l in sorted(set(labels.tolist()))])
+        cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        best = np.argmax(mn @ cn.T, axis=1)
+        want = pd.Series(best).value_counts().sort_index()
+        got = out.set_index("centroid").n.sort_index()
+        assert got.to_dict() == want.to_dict()
+
+    def test_text_stats_kernels(self, ray_session):
+        from don_crawler_ray.functions.textstats import (
+            bpe_token_count,
+            detect_language,
+            doc_fingerprint_md5,
+            quality_score,
+            whitespace_token_count,
+        )
+
+        out = _to_pandas(entrymod.queries()["text_stats"](SF_DIR)).set_index("doc_id")
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet").set_index("doc_id")
+        for doc_id in list(docs.index[:50]):
+            t = docs.loc[doc_id].text
+            row = out.loc[doc_id]
+            assert row.ws_tokens == whitespace_token_count(t)
+            assert row.bpe_tokens == bpe_token_count(t)
+            assert abs(row.quality - quality_score(t)) < 1e-12
+            assert row.lang_detected == detect_language(t)
+            assert row.fingerprint == doc_fingerprint_md5(t)
