@@ -185,6 +185,7 @@ def run_crawl(
     extract_concurrency=None,
     batch_size: int = 512,
     resume: bool = False,
+    seen_restore_dir: str | None = None,
 ) -> dict:
     """Full checkpointed crawl. Returns the run's counter dict
     (including per-phase wall times under ``phase_*`` keys)."""
@@ -207,10 +208,17 @@ def run_crawl(
             manifest = json.load(f)
 
     # --- seen shards (restored from snapshots if present) ------------------
+    # seen_restore_dir enables INCREMENTAL crawls: restore a previous
+    # run's committed seen set so its URLs are skipped as revisits (the
+    # reference's clone-once / fetch-on-revisit cache, ST6,
+    # git/clone_repository.go:37-58).
     SeenShardActor = ray.remote(num_cpus=0.1)(_seen_shard_cls())
     shards = [SeenShardActor.remote(shard_id=s) for s in range(n_seen_shards)]
-    if resume:
-        ray.get([s.restore.remote(seen_dir) for s in shards])
+    restore_from = seen_dir if resume else seen_restore_dir
+    use_seen_filter = False
+    if restore_from and os.path.isdir(restore_from):
+        restored = ray.get([s.restore.remote(restore_from) for s in shards])
+        use_seen_filter = any(restored)
 
     # --- schedule pass -----------------------------------------------------
     if not (manifest["schedule_done"] and os.path.isdir(schedule_dir)):
@@ -219,7 +227,7 @@ def run_crawl(
             politeness,
             n_salts=n_salts,
             hot_hosts=hot_hosts,
-            seen_shards=shards if resume else None,
+            seen_shards=shards if use_seen_filter else None,
         )
         if os.path.isdir(schedule_dir):
             import shutil
@@ -236,6 +244,16 @@ def run_crawl(
     counters["scheduled"] = sc.get("scheduled", 0)
     counters["robots_denied"] = sc.get("robots_denied", 0)
     counters["dedup_hit"] = sc.get("dedup_hit", 0)
+    # revisit skips (cross-run seen-set anti-join): frontier rows that
+    # never reached the shuffle. Frontier size from parquet metadata.
+    counters["frontier_rows"] = _frontier_row_count(frontier_path)
+    counters["revisit_skipped"] = max(
+        0,
+        counters["frontier_rows"]
+        - counters["scheduled"]
+        - counters["robots_denied"]
+        - counters["dedup_hit"],
+    )
 
     # --- rounds ------------------------------------------------------------
     sched = pads.dataset(schedule_dir)
@@ -298,6 +316,17 @@ def run_crawl(
     for s in shards:
         ray.kill(s)
     return counters
+
+
+def _frontier_row_count(frontier_path: str) -> int:
+    """Row count from parquet footers only (no data read)."""
+    if os.path.isfile(frontier_path):
+        return pq.ParquetFile(frontier_path).metadata.num_rows
+    total = 0
+    for name in os.listdir(frontier_path):
+        if name.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(frontier_path, name)).metadata.num_rows
+    return total
 
 
 def seen_set_hashes(out_dir: str) -> np.ndarray:

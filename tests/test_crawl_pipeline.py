@@ -184,3 +184,28 @@ class TestSingleUrlCrawl:
         host = host_name(3)
         out = crawl_single_url(f"https://{host}/bad/path", frontier_tiny, politeness_cfg)
         assert out.column("status").to_pylist() == ["robots_denied"]
+
+
+class TestIncrementalCrawl:
+    """ST6 clone-once / fetch-on-revisit: a second crawl restoring the
+    first run's seen set skips every already-fetched URL."""
+
+    def test_revisit_skip(self, ray_session, frontier_tiny, politeness_cfg, tmp_path):
+        from don_crawler_ray.pipelines.crawl import run_crawl
+
+        first = str(tmp_path / "first")
+        c1 = run_crawl(frontier_tiny, first, politeness_cfg, n_seen_shards=2, n_salts=4)
+        assert c1["revisit_skipped"] == 0
+
+        second = str(tmp_path / "second")
+        c2 = run_crawl(
+            frontier_tiny, second, politeness_cfg, n_seen_shards=2, n_salts=4,
+            seen_restore_dir=os.path.join(first, "seen"),
+        )
+        # every canonical URL was already seen: nothing scheduled,
+        # everything skipped or non-schedulable
+        assert c2["fetched"] == 0
+        assert c2["scheduled"] == 0
+        assert c2["revisit_skipped"] > 0
+        # skipped rows = all rows whose canonical hash was committed
+        assert c2["revisit_skipped"] + c2["robots_denied"] + c2["dedup_hit"] == c2["frontier_rows"]
