@@ -202,10 +202,21 @@ def run_crawl(
     schedule_dir = os.path.join(out_dir, "schedule")
     seen_dir = os.path.join(out_dir, "seen")
 
-    manifest = {"schedule_done": False, "completed_rounds": [], "counters": {}}
+    manifest = {
+        "schedule_done": False,
+        "completed_rounds": [],
+        "counters": {},
+        "n_seen_shards": n_seen_shards,
+    }
     if resume and os.path.exists(manifest_path):
         with open(manifest_path) as f:
             manifest = json.load(f)
+        prev = manifest.get("n_seen_shards", n_seen_shards)
+        if prev != n_seen_shards:
+            raise ValueError(
+                f"resume requires the original n_seen_shards={prev} "
+                f"(got {n_seen_shards}): shard routing is hash % n"
+            )
 
     # --- seen shards (restored from snapshots if present) ------------------
     # seen_restore_dir enables INCREMENTAL crawls: restore a previous
