@@ -1122,3 +1122,64 @@ def q_embedding_neardup(sf_dir: str):
 
 
 QUERIES["embedding_neardup"] = q_embedding_neardup
+
+
+def q_fetch_simulation(sf_dir: str):
+    """Politeness retry behavior end-to-end (ST3/M21-M23 parity): the
+    round-0 schedule of the tiny frontier is fetched under scripted
+    rate-limit episodes (F3 rl_script) in virtual time via
+    groupby(host).map_groups — per-host request order is owned by one
+    group call, so attempts/waits are reproducible at any parallelism."""
+    import __ray_entry__ as e
+    import ray
+
+    from don_crawler_ray.pipelines.crawl import build_schedule
+    from don_crawler_ray.sources.frontier import generate_politeness, generate_rl_script
+    from don_crawler_ray.stages.ratelimit_sim import make_fetch_sim_group_fn
+    from don_crawler_ray.stages.schedule import PolitenessConfig
+
+    politeness = PolitenessConfig.from_table(generate_politeness(42, 20))
+    sched_ds, _ = build_schedule(e._frontier_path("tiny"), politeness, n_salts=4)
+
+    def round0(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(batch.column("status"), "scheduled"),
+            pc.equal(batch.column("round"), 0),
+        )
+        return batch.filter(mask).select(["canonical_url", "host", "rank"])
+
+    sim = make_fetch_sim_group_fn(generate_rl_script(42, 20))
+    out = sched_ds.map_batches(round0, batch_format="pyarrow").groupby("host").map_groups(
+        sim, batch_format="pyarrow"
+    )
+    return out
+
+
+def q_crawl_counters(sf_dir: str):
+    """Run counters as a table (fetched / robots_denied / dedup_hit /
+    revisit_skipped / seen_set_size — the north-rule counter set) from a
+    full checkpointed crawl of the tiny frontier."""
+    import shutil
+
+    import __ray_entry__ as e
+
+    from don_crawler_ray.pipelines.crawl import run_crawl
+    from don_crawler_ray.sources.frontier import generate_politeness
+    from don_crawler_ray.stages.schedule import PolitenessConfig
+
+    politeness = PolitenessConfig.from_table(generate_politeness(42, 20))
+    out_dir = "/tmp/don_crawler_counters_run"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    counters = run_crawl(
+        e._frontier_path("tiny"), out_dir, politeness, n_seen_shards=2, n_salts=4
+    )
+    rows = [
+        {"metric": k, "value": int(v)}
+        for k, v in sorted(counters.items())
+        if not k.startswith("phase_")
+    ]
+    return pa.Table.from_pylist(rows)
+
+
+QUERIES["fetch_simulation"] = q_fetch_simulation
+QUERIES["crawl_counters"] = q_crawl_counters

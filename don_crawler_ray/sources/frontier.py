@@ -408,3 +408,32 @@ def generate_politeness(seed: int = 42, n_hosts: int = 20) -> pa.Table:
             "robots_txt": pa.array(robots, type=pa.string()),
         }
     )
+
+
+def generate_rl_script(seed: int = 42, n_hosts: int = 20) -> dict[str, list[tuple[int, int, dict]]]:
+    """Scripted rate-limit episodes (F3 ``rl_script``): per host, a list
+    of ``(after_n_requests, status, headers)``. Covers the reference's
+    header edge cases (``common/rate_limit_headers_test.go:10-164``):
+    multi-value resets (latest wins), comma lists, negative and
+    over-24h Retry-After (ignored -> fallback), HTTP-date form, plain
+    403 (not rate limited), 403 + X-RateLimit-Remaining: 0."""
+    now = 1_700_000_000
+    script: dict[str, list[tuple[int, int, dict]]] = {
+        host_name(0): [
+            (3, 429, {"Retry-After": "30"}),
+            (10, 429, {"RateLimit-Reset": f"{now + 60}, {now + 120}"}),  # comma list
+        ],
+        host_name(4): [
+            (0, 429, {}),  # no headers -> 15s fallback
+            (5, 403, {"X-RateLimit-Remaining": "0"}),
+        ],
+        host_name(5): [
+            (1, 429, {"Retry-After": "-5"}),  # ignored -> fallback
+            (2, 429, {"Retry-After": str(25 * 3600)}),  # >24h ignored -> fallback
+            (4, 403, {}),  # plain 403: NOT rate limited
+        ],
+        host_name(6): [
+            (0, 429, {"X-RateLimit-Reset": [str(now + 10), str(now + 40)]}),  # latest wins
+        ],
+    }
+    return script

@@ -193,3 +193,27 @@ class TestAdditionalOps:
                 want.add(tuple(sorted((int(sub_ids[i]), int(sub_ids[j])))))
         got = {tuple(sorted((int(r.a), int(r.b)))) for _, r in out.iterrows()}
         assert got == want
+
+    def test_fetch_simulation_deterministic_and_scripted(self, ray_session):
+        a = _to_pandas(entrymod.queries()["fetch_simulation"](SF_DIR))
+        b = _to_pandas(entrymod.queries()["fetch_simulation"](SF_DIR))
+        key = ["host", "rank"]
+        a = a.sort_values(key, ignore_index=True)
+        b = b.sort_values(key, ignore_index=True)
+        assert a.equals(b)
+        # scripted host0 episode at request 3 -> some row has 2 attempts + 30s wait
+        h0 = a[a.host.str.startswith("host0.")]
+        assert (h0.attempts >= 2).any()
+        assert (h0.virtual_wait_ms == 30_000).any()
+        # unscripted hosts: single attempts, zero waits
+        h9 = a[a.host.str.startswith("host9.")]
+        if len(h9):
+            assert (h9.attempts == 1).all()
+
+    def test_crawl_counters_table(self, ray_session):
+        out = _to_pandas(entrymod.queries()["crawl_counters"](SF_DIR)).set_index("metric")
+        assert out.loc["fetched"].value == out.loc["scheduled"].value
+        assert out.loc["dedup_hit"].value > 0
+        assert out.loc["robots_denied"].value > 0
+        assert out.loc["seen_set_size"].value == out.loc["fetched"].value
+        assert out.loc["revisit_skipped"].value == 0
