@@ -85,39 +85,24 @@ def _remove_dot_segments(path: str) -> str:
     return result
 
 
-def canonicalize_url(url: str) -> str:
-    """Canonicalize one URL per RFC 3986 §6.2.2/.2.3 (syntax-based +
-    scheme-based normalization).
-
-    - scheme and host lowercased
-    - default port stripped (http:80, https:443, ...)
-    - %XX escapes uppercased; escapes of unreserved chars decoded
-    - dot-segments removed from the path
-    - empty path -> "/" (for http(s) and other authority-based schemes)
-    - fragment dropped (crawl identity ignores fragments)
-    - query preserved (order significant per RFC), escapes normalized
-
-    Unparseable inputs are returned stripped but otherwise verbatim so
-    they surface as error rows downstream rather than crashing a batch
-    (reference emits error rows for unsupported URLs,
-    ``crawler/crawler.go:213-219``).
-    """
+def canonicalize_parts(url: str) -> tuple[str, str, str]:
+    """Single-parse canonicalization returning
+    ``(canonical_url, host, path)`` — the batch kernels need all three
+    and a second ``urlsplit`` of the canonical form would double the
+    per-row parse cost (measured ~6us/row of ~30us total)."""
     url = url.strip()
     try:
         parts = urlsplit(url)
     except ValueError:
-        return url
+        return url, "", "/"
     scheme = parts.scheme.lower()
     if not scheme or not parts.netloc:
-        return url
+        return url, "", "/"
 
-    host = parts.hostname or ""
-    host = host.lower().rstrip(".")
-    port = None
+    host = (parts.hostname or "").lower().rstrip(".")
     try:
         port = parts.port
     except ValueError:
-        # Invalid port (non-numeric) — keep netloc verbatim minus case.
         netloc = parts.netloc.lower()
     else:
         netloc = host
@@ -138,7 +123,27 @@ def canonicalize_url(url: str) -> str:
     out = f"{scheme}://{netloc}{path}"
     if query:
         out += f"?{query}"
-    return out
+    return out, host, path
+
+
+def canonicalize_url(url: str) -> str:
+    """Canonicalize one URL per RFC 3986 §6.2.2/.2.3 (syntax-based +
+    scheme-based normalization).
+
+    - scheme and host lowercased
+    - default port stripped (http:80, https:443, ...)
+    - %XX escapes uppercased; escapes of unreserved chars decoded
+    - dot-segments removed from the path
+    - empty path -> "/" (for http(s) and other authority-based schemes)
+    - fragment dropped (crawl identity ignores fragments)
+    - query preserved (order significant per RFC), escapes normalized
+
+    Unparseable inputs are returned stripped but otherwise verbatim so
+    they surface as error rows downstream rather than crashing a batch
+    (reference emits error rows for unsupported URLs,
+    ``crawler/crawler.go:213-219``).
+    """
+    return canonicalize_parts(url)[0]
 
 
 def url_host(url: str) -> str:

@@ -9,12 +9,10 @@ collapse into one canonicalization kernel keyed for partitioning.
 
 from __future__ import annotations
 
-from urllib.parse import urlsplit
-
 import pyarrow as pa
 
 from don_crawler_ray.functions.urlnorm import (
-    canonicalize_url,
+    canonicalize_parts,
     reverse_host,
     url_hash64,
 )
@@ -22,16 +20,10 @@ from don_crawler_ray.functions.urlnorm import (
 
 def _canonicalize_columns(urls: list[str]):
     canon, hosts, rev, hashes, paths = [], [], [], [], []
-    _c, _r, _h = canonicalize_url, reverse_host, url_hash64
+    _c, _r, _h = canonicalize_parts, reverse_host, url_hash64
     for u in urls:
-        c = _c(u)
+        c, host, path = _c(u)
         canon.append(c)
-        try:
-            sp = urlsplit(c)
-            host = (sp.hostname or "").lower()
-            path = sp.path or "/"
-        except ValueError:
-            host, path = "", "/"
         hosts.append(host)
         rev.append(_r(host))
         paths.append(path)
