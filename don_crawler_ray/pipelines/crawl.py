@@ -147,7 +147,7 @@ def run_fetch_round(
     round_table: pa.Table,
     out_dir: str,
     extract_concurrency: int | tuple | None = None,
-    batch_size: int = 512,
+    batch_size: int = 2048,
 ):
     """Fetch+extract one round, write partitioned parquet. Returns rows written."""
     import ray
@@ -161,9 +161,6 @@ def run_fetch_round(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=extract_concurrency or default_extract_concurrency(),
-    )
-    ds = ds.select_columns(
-        ["canonical_url", "host", "host_key", "url_hash", "warc_ts", "text", "description", "text_len"]
     )
     os.makedirs(out_dir, exist_ok=True)
     ds.write_parquet(out_dir)  # streaming sink — never materializes the round
@@ -183,7 +180,7 @@ def run_crawl(
     n_seen_shards: int = 8,
     max_rounds: int | None = None,
     extract_concurrency=None,
-    batch_size: int = 512,
+    batch_size: int = 2048,
     resume: bool = False,
     seen_restore_dir: str | None = None,
 ) -> dict:

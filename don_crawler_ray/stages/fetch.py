@@ -138,9 +138,16 @@ class FetchExtractActor:
         else:
             mask = np.zeros(len(keys), bool)
         kept = batch.filter(pa.array(mask))
-        if kept.num_rows == 0:
-            return _empty_extract_table(kept)
-        return self.extract(kept)
+        out = self.extract(kept) if kept.num_rows else _empty_extract_table(kept)
+        # project here: a separate Project op would re-ship every text
+        # block through the object store once more
+        return out.select(_OUTPUT_COLUMNS)
+
+
+_OUTPUT_COLUMNS = [
+    "canonical_url", "host", "host_key", "url_hash", "warc_ts",
+    "text", "description", "text_len",
+]
 
 
 def _empty_extract_table(batch: pa.Table) -> pa.Table:
