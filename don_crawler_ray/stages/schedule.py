@@ -220,3 +220,20 @@ def detect_hot_hosts(ds, threshold_fraction: float = 0.05, sample_limit: int = 2
     return frozenset(
         reverse_host(k) for k, n in totals.items() if n / grand >= threshold_fraction
     )
+
+
+def suggest_salts(frontier_rows: int, hot_fraction: float, max_group_rows: int = 5_000_000) -> int:
+    """Size the salt count so a hot host's largest (host, salt) group
+    stays under ``max_group_rows`` — a ``map_groups`` call materializes
+    one group, so group size (not dataset size) is the memory bound at
+    10^10-URL scale. Returns a power of two >= 1.
+
+    Example: a mega-host holding 50% of a 10^10-row frontier needs
+    n_salts >= 1000 to keep groups at ~5M rows; the budget split and
+    rank interleave stay deterministic for any fixed value.
+    """
+    need = max(1, int(frontier_rows * hot_fraction) // max_group_rows + 1)
+    n = 1
+    while n < need:
+        n *= 2
+    return n

@@ -209,3 +209,13 @@ class TestIncrementalCrawl:
         assert c2["revisit_skipped"] > 0
         # skipped rows = all rows whose canonical hash was committed
         assert c2["revisit_skipped"] + c2["robots_denied"] + c2["dedup_hit"] == c2["frontier_rows"]
+
+
+def test_suggest_salts():
+    from don_crawler_ray.stages.schedule import suggest_salts
+
+    assert suggest_salts(1_000, 0.5) == 1
+    assert suggest_salts(10**10, 0.5, max_group_rows=5_000_000) >= 1000
+    assert suggest_salts(10**7, 0.5) == 2
+    # power of two
+    assert suggest_salts(10**9, 0.5) & (suggest_salts(10**9, 0.5) - 1) == 0
