@@ -662,10 +662,19 @@ def q_minhash_pairs(sf_dir: str):
             }
         )
 
+    MAX_BUCKET = 256  # bound the per-bucket O(n^2) verify; an LSH bucket
+    # larger than this means the band hash is degenerate for these docs —
+    # the cap keeps worst-case work bounded and is DETERMINISTIC (first
+    # MAX_BUCKET docs by doc_id), not a silent sample.
+
     def pairs(group: pa.Table) -> pa.Table:
         n = group.num_rows
         if n < 2:
             return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())})
+        if n > MAX_BUCKET:
+            keep = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])[:MAX_BUCKET]
+            group = group.take(keep)
+            n = MAX_BUCKET
         ids = group.column("doc_id").to_pylist()
         texts = group.column("text").to_pylist()
         order = np.argsort(ids, kind="stable")
