@@ -1192,3 +1192,38 @@ def q_crawl_counters(sf_dir: str):
 
 QUERIES["fetch_simulation"] = q_fetch_simulation
 QUERIES["crawl_counters"] = q_crawl_counters
+
+
+def q_seed_expand(sf_dir: str):
+    """Publisher expansion (ScanPublisher / ScanGroupOfRepos analog,
+    ``crawler/crawler.go:199-255``): the seed list selects its hosts'
+    frontier rows via a broadcast membership filter (never a shuffle),
+    tagging each row with its publisher id; unsupported-scheme seeds
+    become error rows (M1 dispatch). Returns per-publisher counts plus
+    the error rows."""
+    import __ray_entry__ as e
+    import ray
+
+    from ray.data.aggregate import Count
+
+    from don_crawler_ray.sources.frontier import generate_seeds
+    from don_crawler_ray.sources.seeds import classify_seeds, seed_filter_stage
+    from don_crawler_ray.stages.canonicalize import canonicalize_stage
+
+    seeds = generate_seeds(42, 20).to_pylist()
+    host_map, errors = classify_seeds(seeds)
+
+    ds = ray.data.read_parquet(e._frontier_path("tiny"), columns=["url", "warc_ts"])
+    ds = ds.map_batches(canonicalize_stage, batch_format="pyarrow")
+    ds = ds.map_batches(seed_filter_stage(host_map), batch_format="pyarrow")
+    agg = ds.groupby("publisher_id").aggregate(Count(alias_name="n_urls"))
+    t = pa.Table.from_pylist(agg.take_all())
+    rows = [
+        {"publisher_id": p, "n_urls": int(n), "error": None}
+        for p, n in zip(t.column("publisher_id").to_pylist(), t.column("n_urls").to_pylist())
+    ]
+    rows += [{"publisher_id": err["id"], "n_urls": 0, "error": err["error"]} for err in errors]
+    return pa.Table.from_pylist(sorted(rows, key=lambda r: r["publisher_id"]))
+
+
+QUERIES["seed_expand"] = q_seed_expand

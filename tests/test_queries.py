@@ -217,3 +217,13 @@ class TestAdditionalOps:
         assert out.loc["robots_denied"].value > 0
         assert out.loc["seen_set_size"].value == out.loc["fetched"].value
         assert out.loc["revisit_skipped"].value == 0
+
+    def test_seed_expand(self, ray_session):
+        out = _to_pandas(entrymod.queries()["seed_expand"](SF_DIR))
+        # 20 publishers cover all 20 tiny-frontier hosts; 1000 urls total
+        assert out[out.error.isna()].n_urls.sum() == 1000
+        # the bad-scheme seed surfaces as an error row, not a crash
+        bad = out[out.publisher_id == "org-bad"]
+        assert len(bad) == 1 and "unsupported scheme" in bad.error.iloc[0]
+        # mega-host publisher holds ~50%
+        assert out.n_urls.max() > 400
