@@ -86,20 +86,27 @@ def html_to_lines(html: bytes | str) -> list[str]:
     text = _ANY_TAG_RE.sub("", text)
     text = _ENTITY_RE.sub(lambda m: _ENTITIES[m.group(0)], text)
     text = _NUMERIC_ENTITY_RE.sub(_decode_entity, text)
-    lines = [_INTRALINE_WS_RE.sub(" ", ln).strip() for ln in text.split("\n")]
-    return lines
+    # one whole-text collapse == per-line collapse: the class excludes \n
+    text = _INTRALINE_WS_RE.sub(" ", text)
+    return [ln.strip() for ln in text.split("\n")]
 
 
 def is_skippable_line(line: str) -> bool:
     """Byte-faithful port of ``isReadmeSkippableLine``
     (``crawler/crawler.go:698-714``): headings, leading ``<img``/``<a``
-    (case-insensitive), badge lines ``![`` / ``[!``."""
-    lower = line.lower()
-    if line.startswith("#"):
+    (case-insensitive), badge lines ``![`` / ``[!``. The ``lower()`` is
+    taken lazily — only lines starting with ``<`` can match the tag
+    prefixes, and lowercasing every line dominated the profile."""
+    c0 = line[0] if line else ""
+    if c0 == "#":
         return True
-    if lower.startswith("<img") or lower.startswith("<a"):
+    if c0 == "<":
+        lower = line[:4].lower()
+        if lower.startswith("<img") or lower.startswith("<a"):
+            return True
+    if c0 == "!" and line.startswith("!["):
         return True
-    if line.startswith("![") or line.startswith("[!"):
+    if c0 == "[" and line.startswith("[!"):
         return True
     return False
 
