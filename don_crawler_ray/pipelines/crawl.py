@@ -47,6 +47,7 @@ from don_crawler_ray.stages.fetch import (
     SeenFilterActor,
     make_membership_filter,
     make_round_membership,
+    make_rounds_membership,
 )
 from don_crawler_ray.stages.schedule import (
     PolitenessConfig,
@@ -145,6 +146,55 @@ def load_round_table(schedule_dir: str, rnd: int) -> pa.Table:
         columns=["canonical_url", "host", "url_hash", "warc_ts", "rank"],
         filter=(pads.field("status") == "scheduled") & (pads.field("round") == rnd),
     )
+
+
+def load_rounds_table(schedule_dir: str, rounds: list[int]) -> pa.Table:
+    """All pending rounds' scheduled rows in one pushdown-filtered read."""
+    dataset = pads.dataset(schedule_dir)
+    return dataset.to_table(
+        columns=["url_hash", "warc_ts", "round"],
+        filter=(pads.field("status") == "scheduled") & (pads.field("round").isin(rounds)),
+    )
+
+
+def run_fetch_rounds(
+    frontier_path: str,
+    rounds_table: pa.Table,
+    out_dir: str,
+    extract_concurrency: int | tuple | None = None,
+    batch_size: int = 2048,
+) -> None:
+    """Fetch+extract EVERY pending round in ONE page-store scan; output
+    lands hive-partitioned as ``out_dir/round=<N>/``. The per-round
+    loop used to rescan the whole frontier once per round — O(rounds x
+    full scan); this is O(1 scan) with the round looked up from the
+    broadcast key array."""
+    import ray
+
+    keys, rounds = make_rounds_membership(rounds_table)
+    members_ref = ray.put(keys)
+    rounds_ref = ray.put(rounds)
+    ds = _read_frontier(frontier_path, FETCH_COLUMNS)
+    ds = ds.map_batches(canonicalize_stage, batch_format="pyarrow")
+    ds = ds.map_batches(
+        FetchExtractActor,
+        fn_constructor_kwargs={"members_ref": members_ref, "rounds_ref": rounds_ref},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=extract_concurrency or default_extract_concurrency(),
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_parquet(out_dir, partition_cols=["round"])
+
+
+def _round_dir_rows(out_dir: str, rnd: int) -> int:
+    round_dir = os.path.join(out_dir, f"round={rnd}")
+    n = 0
+    if os.path.isdir(round_dir):
+        for name in os.listdir(round_dir):
+            if name.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(round_dir, name)).metadata.num_rows
+    return n
 
 
 def run_fetch_round(
@@ -278,42 +328,47 @@ def run_crawl(
         n_rounds = min(n_rounds, max_rounds)
 
     fetched_total = counters.get("fetched", 0)
-    for rnd in range(n_rounds):
-        if rnd in manifest["completed_rounds"]:
-            continue
+    pending = [r for r in range(n_rounds) if r not in manifest["completed_rounds"]]
+    if pending:
         t_round = _t()
-        round_table = load_round_table(schedule_dir, rnd)
-        if round_table.num_rows == 0:
-            manifest["completed_rounds"].append(rnd)
-            continue
-        round_dir = os.path.join(out_dir, f"round={rnd}")
-        if os.path.isdir(round_dir):
-            import shutil
+        rounds_table = load_rounds_table(schedule_dir, pending)
+        # wipe any uncommitted round output from a killed run, then fetch
+        # every pending round in ONE page-store scan.
+        import shutil
 
-            shutil.rmtree(round_dir)  # partial output from a killed run
-        n = run_fetch_round(
-            frontier_path,
-            round_table,
-            round_dir,
-            extract_concurrency=extract_concurrency,
-            batch_size=batch_size,
-        )
-        fetched_total += n
+        for rnd in pending:
+            round_dir = os.path.join(out_dir, f"round={rnd}")
+            if os.path.isdir(round_dir):
+                shutil.rmtree(round_dir)
+        if rounds_table.num_rows:
+            run_fetch_rounds(
+                frontier_path,
+                rounds_table,
+                out_dir,
+                extract_concurrency=extract_concurrency,
+                batch_size=batch_size,
+            )
         phases["fetch"] = phases.get("fetch", 0.0) + round(_t() - t_round, 2)
+
+        # commit rounds IN ORDER: seen set += round hashes, snapshot,
+        # manifest last (per-round checkpoint granularity is preserved).
         t_commit = _t()
-        # commit: seen set += this round's hashes, snapshot, manifest last.
-        hashes = round_table.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        futures = []
-        for s in range(n_seen_shards):
-            sel = hashes % np.uint64(n_seen_shards) == s
-            if sel.any():
-                futures.append(shards[s].add_many.remote(hashes[sel]))
-        ray.get(futures)  # all shards ingest in parallel
-        ray.get([s.snapshot.remote(seen_dir) for s in shards])
-        manifest["completed_rounds"].append(rnd)
-        counters["fetched"] = fetched_total
-        manifest["counters"] = counters
-        _write_manifest(manifest_path, manifest)
+        rt_rounds = rounds_table.column("round").to_numpy(zero_copy_only=False)
+        rt_hashes = rounds_table.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        for rnd in pending:
+            hashes = rt_hashes[rt_rounds == rnd]
+            fetched_total += _round_dir_rows(out_dir, rnd)
+            futures = []
+            for s in range(n_seen_shards):
+                sel = hashes % np.uint64(n_seen_shards) == s
+                if sel.any():
+                    futures.append(shards[s].add_many.remote(hashes[sel]))
+            ray.get(futures)  # all shards ingest in parallel
+            ray.get([s.snapshot.remote(seen_dir) for s in shards])
+            manifest["completed_rounds"].append(rnd)
+            counters["fetched"] = fetched_total
+            manifest["counters"] = counters
+            _write_manifest(manifest_path, manifest)
         phases["commit"] = phases.get("commit", 0.0) + round(_t() - t_commit, 2)
 
     counters["fetched"] = fetched_total

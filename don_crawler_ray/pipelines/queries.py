@@ -1180,8 +1180,7 @@ def q_crawl_counters(sf_dir: str):
     out_dir = "/tmp/don_crawler_counters_run"
     shutil.rmtree(out_dir, ignore_errors=True)
     counters = run_crawl(
-        e._frontier_path("tiny"), out_dir, politeness, n_seen_shards=2, n_salts=4,
-        max_rounds=3,  # bounded: per-round fixed cost dominates at tiny scale
+        e._frontier_path("tiny"), out_dir, politeness, n_seen_shards=2, n_salts=4
     )
     rows = [
         {"metric": k, "value": int(v)}

@@ -47,6 +47,18 @@ def make_round_membership(schedule_round: pa.Table) -> np.ndarray:
     return np.sort(combine_key(h, ts))
 
 
+def make_rounds_membership(schedule_rounds: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Multi-round broadcast side: sorted combined keys + the round each
+    key belongs to (aligned). One page-store scan then serves EVERY
+    pending round — the output is partitioned by the looked-up round."""
+    h = schedule_rounds.column("url_hash").to_numpy(zero_copy_only=False)
+    ts = schedule_rounds.column("warc_ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+    rounds = schedule_rounds.column("round").to_numpy(zero_copy_only=False).astype(np.int32)
+    keys = combine_key(h, ts)
+    order = np.argsort(keys, kind="stable")
+    return keys[order], rounds[order]
+
+
 def make_membership_filter(member_keys: np.ndarray):
     """map_batches kernel: keep rows whose combined key is scheduled.
 
@@ -114,12 +126,17 @@ class FetchExtractActor:
     closure-captured array would be re-serialized into every task —
     gigabytes at 10^10-URL rounds). Output drops ``html``."""
 
-    def __init__(self, members_ref):
+    def __init__(self, members_ref, rounds_ref=None):
         import ray
 
         self.members = (
             ray.get(members_ref) if not isinstance(members_ref, np.ndarray) else members_ref
         )
+        self.rounds = None
+        if rounds_ref is not None:
+            self.rounds = (
+                ray.get(rounds_ref) if not isinstance(rounds_ref, np.ndarray) else rounds_ref
+            )
         self.extract = ExtractActor()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -141,7 +158,16 @@ class FetchExtractActor:
         out = self.extract(kept) if kept.num_rows else _empty_extract_table(kept)
         # project here: a separate Project op would re-ship every text
         # block through the object store once more
-        return out.select(_OUTPUT_COLUMNS)
+        out = out.select(_OUTPUT_COLUMNS)
+        if self.rounds is not None:
+            if kept.num_rows:
+                kept_idx = idx[mask]
+                out = out.append_column(
+                    "round", pa.array(self.rounds[kept_idx], pa.int32())
+                )
+            else:
+                out = out.append_column("round", pa.array([], pa.int32()))
+        return out
 
 
 _OUTPUT_COLUMNS = [
