@@ -88,6 +88,14 @@ def cmd_gen_frontier(args) -> int:
     return 0
 
 
+def cmd_version(args) -> int:
+    """``version`` subcommand parity (``cmd/version.go:10-26``)."""
+    from don_crawler_ray import __version__
+
+    print(f"Version:\t {__version__}")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="don_crawler_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -122,6 +130,9 @@ def main(argv=None) -> int:
     g.add_argument("--rows", type=int, default=None)
     g.add_argument("--hosts", type=int, default=None)
     g.set_defaults(fn=cmd_gen_frontier)
+
+    v = sub.add_parser("version", help="print the engine version")
+    v.set_defaults(fn=cmd_version)
 
     args = ap.parse_args(argv)
     return args.fn(args)
