@@ -103,8 +103,8 @@ def q_pricing_summary(sf_dir: str):
 SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS sum_base_cents,
-       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS sum_disc_e4,
+       CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -192,7 +192,7 @@ def q_daily_events(sf_dir: str):
 SQL_DAILY_EVENTS = """
 SELECT date_trunc('day', ts) AS day, event_type,
        count(*) AS n,
-       sum(CASE WHEN event_type = 'purchase' THEN 2 ELSE 1 END) AS weighted
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 2 ELSE 1 END) AS BIGINT) AS weighted
 FROM events
 GROUP BY 1, 2
 """
@@ -315,7 +315,7 @@ def q_range_points(sf_dir: str):
 
 
 SQL_RANGE_POINTS = f"""
-SELECT {_CODE_ACTIVITY_CASE} AS points, count(*) AS n
+SELECT CAST({_CODE_ACTIVITY_CASE} AS BIGINT) AS points, count(*) AS n
 FROM lineitem
 GROUP BY 1
 """
@@ -431,7 +431,7 @@ def q_token_counts(sf_dir: str):
 
 SQL_TOKEN_COUNTS = """
 SELECT lang, count(*) AS n_docs,
-       sum(length(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens
+       CAST(sum(length(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens
 FROM documents
 GROUP BY lang
 """
@@ -484,7 +484,9 @@ def q_lang_stats(sf_dir: str):
     )
 
 
-SQL_LANG_STATS = "SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars FROM documents GROUP BY lang"
+SQL_LANG_STATS = (
+    "SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY lang"
+)
 
 
 def q_hourly_events(sf_dir: str):
@@ -936,7 +938,7 @@ def q_hash_join_orders(sf_dir: str):
 
 SQL_HASH_JOIN = """
 SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS n_orders,
-       sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS total_cents
+       CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1
 """
@@ -995,8 +997,9 @@ WITH o AS (
   FROM o
 ), s AS (
   SELECT user_id, ts,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_num
   FROM m
 )
 SELECT user_id, session_num, count(*) AS n_events,

@@ -44,6 +44,13 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 def compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
     assert sorted(ray_df.columns) == sorted(sql_df.columns), f"{name}: columns differ"
     assert len(ray_df) == len(sql_df), f"{name}: row counts {len(ray_df)} vs {len(sql_df)}"
+    # The driver's gate hashes raw column bytes, so representation must
+    # match, not just value (DuckDB HUGEINT vs engine int64 broke 6
+    # queries in round 1 — ADVICE.md item 1).
+    for col in ray_df.columns:
+        assert ray_df[col].dtype == sql_df[col].dtype, (
+            f"{name}.{col}: dtype {ray_df[col].dtype} vs oracle {sql_df[col].dtype}"
+        )
     a, b = _normalize(ray_df), _normalize(sql_df)
     for col in a.columns:
         av, bv = a[col].to_numpy(), b[col].to_numpy()
