@@ -6,9 +6,12 @@ the pre-registered testdata views (``region nation customer supplier
 part orders lineitem events documents embeddings``). Column names match
 exactly on both sides (the driver's compare requires it).
 
-Non-SQL-expressible ops (crawl pipeline, vitality, minhash/simhash,
-ANN) appear only in ``QUERIES`` — the driver records rows-only checks —
-and each has a dedicated pytest oracle in ``tests/``.
+Only the crawl-pipeline queries (which read the synthetic frontier the
+driver cannot see) and minhash_pairs appear without an ``ORACLE_SQL``
+entry — the driver records rows-only checks for those — and each has a
+dedicated pytest oracle in ``tests/``. Everything else, including
+simhash (FNV-1a in SQL), vitality, and the embedding ops, is
+DuckDB-checked.
 
 Float discipline: per-row expressions are written with the identical
 operation order in Ray (numpy/pyarrow doubles) and SQL (doubles) so
@@ -764,7 +767,10 @@ def q_ann_topk(sf_dir: str):
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
     t = pa.Table.from_pylist(partials)
-    # final merge: global top-10 per query with (score desc, vec_id) tiebreak
+    # final merge: global top-10 per query with (score desc, vec_id) tiebreak.
+    # Scores are emitted quantized to 1e-6 (int64): a float dot product is
+    # not bit-reproducible across engines (summation order), so the
+    # SQL-checkable contract is the quantized value.
     out_rows = []
     for qid in q_ids:
         sub = t.filter(pc.equal(t.column("query_id"), qid))
@@ -773,7 +779,12 @@ def q_ann_topk(sf_dir: str):
         order = np.lexsort((v, -s))[:10]
         for rank, j in enumerate(order):
             out_rows.append(
-                {"query_id": qid, "rank": rank, "vec_id": int(v[j]), "score": float(s[j])}
+                {
+                    "query_id": qid,
+                    "rank": rank,
+                    "vec_id": int(v[j]),
+                    "score_e6": int(np.rint(s[j] * 1e6)),
+                }
             )
     return pa.Table.from_pylist(out_rows)
 
@@ -1118,11 +1129,15 @@ def q_embedding_neardup(sf_dir: str):
         sims = mn @ mn.T
         iu, ju = np.triu_indices(len(ids), k=1)
         sel = sims[iu, ju] >= THRESH
+        # 1e-6-quantized cosine: the SQL-checkable contract (float dot
+        # products are not bit-reproducible across engines).
         return pa.table(
             {
                 "a": pa.array(ids[iu[sel]], pa.int64()),
                 "b": pa.array(ids[ju[sel]], pa.int64()),
-                "cosine": pa.array(sims[iu, ju][sel], pa.float64()),
+                "cosine_e6": pa.array(
+                    np.rint(sims[iu, ju][sel] * 1e6).astype(np.int64)
+                ),
             }
         )
 
@@ -1230,3 +1245,279 @@ def q_seed_expand(sf_dir: str):
 
 
 QUERIES["seed_expand"] = q_seed_expand
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles for the formerly rows-only queries over driver tables
+# (VERDICT r01 item 2). Each mirrors the engine kernels exactly:
+# integer/string columns bit-equal; float columns either follow the
+# identical IEEE operation order (quality, longevity) or are quantized
+# to 1e-6 integers on both sides (cosine scores).
+# ---------------------------------------------------------------------------
+
+def _sql_str_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in sorted(words))
+
+
+def _build_text_stats_sql() -> str:
+    from don_crawler_ray.functions.textstats import _LANG_PROFILES, _STOPWORDS_ALL
+
+    stop_all = _sql_str_list(_STOPWORDS_ALL)
+    prof = {lang: _sql_str_list(ws) for lang, ws in _LANG_PROFILES.items()}
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+         length(text) AS n_chars
+  FROM documents
+),
+s AS (
+  SELECT doc_id, text, n_chars,
+         length(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+         length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS bpe_tokens,
+         length(toks) AS n_toks,
+         length(list_filter(toks, x -> x IN ({stop_all}))) AS n_stop,
+         n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         length(list_filter(toks, x -> x IN ({prof["de"]}))) AS c_de,
+         length(list_filter(toks, x -> x IN ({prof["en"]}))) AS c_en,
+         length(list_filter(toks, x -> x IN ({prof["fr"]}))) AS c_fr,
+         length(list_filter(toks, x -> x IN ({prof["nl"]}))) AS c_nl
+  FROM t
+)
+SELECT doc_id,
+       CAST(ws_tokens AS BIGINT) AS ws_tokens,
+       CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+       0.4 * least(1.0, n_chars / 500.0)
+         + 0.3 * (1.0 - n_punct / CAST(n_chars AS DOUBLE))
+         + 0.3 * (n_stop / CAST(n_toks AS DOUBLE)) AS quality,
+       CASE WHEN greatest(c_de, c_en, c_fr, c_nl) = 0 THEN 'und'
+            WHEN c_de = greatest(c_de, c_en, c_fr, c_nl) THEN 'de'
+            WHEN c_en = greatest(c_de, c_en, c_fr, c_nl) THEN 'en'
+            WHEN c_fr = greatest(c_de, c_en, c_fr, c_nl) THEN 'fr'
+            ELSE 'nl' END AS lang_detected,
+       md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+FROM s
+"""
+
+
+SQL_TEXT_STATS = _build_text_stats_sql()
+
+# Shared embedding CTE fragments: per-dimension unnest, dense centroid
+# ids (position in the sorted label set — matches numpy
+# sorted(set(labels))), norms clamped at 1e-12 like the engine.
+_SQL_EMB_DIMS = """
+d AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+vnorm AS (SELECT vec_id, greatest(sqrt(sum(v * v)), 1e-12) AS vn FROM d GROUP BY 1)
+"""
+
+_SQL_EMB_CENTROIDS = """
+cmap AS (
+  SELECT label, CAST(dense_rank() OVER (ORDER BY label) - 1 AS BIGINT) AS cid
+  FROM (SELECT DISTINCT label FROM embeddings)
+),
+cent AS (
+  SELECT cmap.cid, d.dim, avg(d.v) AS cv
+  FROM d JOIN cmap ON d.label = cmap.label
+  GROUP BY 1, 2
+),
+cnorm AS (SELECT cid, greatest(sqrt(sum(cv * cv)), 1e-12) AS cn FROM cent GROUP BY 1)
+"""
+
+SQL_IVF_ASSIGN = f"""
+WITH {_SQL_EMB_DIMS}, {_SQL_EMB_CENTROIDS},
+best AS (
+  SELECT d.vec_id, c.cid,
+         row_number() OVER (
+           PARTITION BY d.vec_id
+           ORDER BY sum(d.v / vn.vn * c.cv / cn.cn) DESC, c.cid ASC
+         ) AS rn
+  FROM d JOIN cent c ON d.dim = c.dim
+  JOIN vnorm vn ON vn.vec_id = d.vec_id
+  JOIN cnorm cn ON cn.cid = c.cid
+  GROUP BY d.vec_id, c.cid
+)
+SELECT cid AS centroid, count(*) AS n FROM best WHERE rn = 1 GROUP BY 1
+"""
+
+SQL_ANN_TOPK = f"""
+WITH {_SQL_EMB_DIMS},
+q AS (SELECT d.vec_id AS qid, d.dim, d.v / vn.vn AS qv
+      FROM d JOIN vnorm vn ON vn.vec_id = d.vec_id WHERE d.vec_id < 5),
+m AS (SELECT d.vec_id, d.dim, d.v / vn.vn AS mv
+      FROM d JOIN vnorm vn ON vn.vec_id = d.vec_id),
+scores AS (
+  SELECT q.qid AS query_id, m.vec_id, sum(m.mv * q.qv) AS score
+  FROM m JOIN q ON m.dim = q.dim
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) - 1 AS rank
+  FROM scores
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+       CAST(round(score * 1000000) AS BIGINT) AS score_e6
+FROM ranked WHERE rank < 10
+"""
+
+SQL_EMBEDDING_NEARDUP = f"""
+WITH {_SQL_EMB_DIMS}, {_SQL_EMB_CENTROIDS},
+nd AS (SELECT d.vec_id, d.dim, d.v / vn.vn AS nv
+       FROM d JOIN vnorm vn ON vn.vec_id = d.vec_id),
+assign AS (
+  SELECT nd.vec_id, c.cid,
+         row_number() OVER (
+           PARTITION BY nd.vec_id
+           ORDER BY sum(nd.nv * c.cv / cn.cn) DESC, c.cid ASC
+         ) AS rn
+  FROM nd JOIN cent c ON nd.dim = c.dim JOIN cnorm cn ON cn.cid = c.cid
+  GROUP BY nd.vec_id, c.cid
+),
+bucket AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b, sum(na.nv * nb.nv) AS cosine
+  FROM bucket a JOIN bucket b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN nd na ON na.vec_id = a.vec_id
+  JOIN nd nb ON nb.vec_id = b.vec_id AND nb.dim = na.dim
+  GROUP BY 1, 2
+)
+SELECT a, b, CAST(round(cosine * 1000000) AS BIGINT) AS cosine_e6
+FROM pairs WHERE cosine >= 0.40
+"""
+
+
+def _range_case(rows, var: str) -> str:
+    """vitality-ranges.yml [min, max) lookup as a SQL CASE over ``var``
+    (same table as RangeTable; value outside every range -> 0)."""
+    whens = " ".join(
+        f"WHEN ({var}) >= {lo} AND ({var}) < {hi} THEN {int(pts)}" for lo, hi, pts in rows
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+def _build_vitality_sql() -> str:
+    from don_crawler_ray.functions.vitality import DEFAULT_RANGES
+
+    uc = _range_case(DEFAULT_RANGES["userCommunity"], "uc.n_users")
+    ca = _range_case(DEFAULT_RANGES["codeActivity"], "coalesce(act.activity, 0.0)")
+    rh = _range_case(DEFAULT_RANGES["releaseHistory"], "coalesce(tags.tags, 0.0)")
+    lo = _range_case(DEFAULT_RANGES["longevity"], "coalesce(lon.longevity, 0.0)")
+    now = str(VITALITY_NOW).replace("T", " ")
+    # trunc(), not CAST(double AS BIGINT): DuckDB's cast rounds-half-even
+    # while the engine's float(int(mean)) truncates.
+    return f"""
+WITH params AS (SELECT TIMESTAMP '{now}' AS now),
+ev AS (
+  SELECT 'r' || CAST(user_id % 20 AS VARCHAR) AS repo, user_id, ts,
+         event_type = 'signup' AS is_tag,
+         CASE WHEN event_type = 'purchase' THEN 2.0 ELSE 1.0 END AS w,
+         date_diff('day', CAST(ts AS DATE), CAST((SELECT now FROM params) AS DATE)) AS di
+  FROM events
+),
+repos AS (SELECT DISTINCT repo FROM ev),
+grid AS (SELECT repo, unnest(generate_series(0, 59)) AS d FROM repos),
+act AS (
+  SELECT repo, di AS d, sum(w) AS activity FROM ev
+  WHERE NOT is_tag AND di BETWEEN 0 AND 59 GROUP BY 1, 2
+),
+tags AS (
+  SELECT repo, di AS d, CAST(count(*) AS DOUBLE) AS tags FROM ev
+  WHERE is_tag AND di BETWEEN 0 AND 59 GROUP BY 1, 2
+),
+firsts AS (
+  SELECT repo, user_id, min(ts) AS first_ts FROM ev WHERE NOT is_tag GROUP BY 1, 2
+),
+uc AS (
+  SELECT g.repo, g.d,
+         CAST(count(CASE WHEN f.first_ts <
+           (SELECT now FROM params) - to_microseconds(CAST(g.d AS BIGINT) * 86400000000)
+           THEN 1 END) AS DOUBLE) AS n_users
+  FROM grid g LEFT JOIN firsts f ON f.repo = g.repo
+  GROUP BY 1, 2
+),
+old AS (SELECT repo, min(ts) AS oldest FROM ev WHERE NOT is_tag GROUP BY 1),
+lon AS (
+  SELECT repo,
+         CASE WHEN CAST(date_diff('microsecond', oldest, (SELECT now FROM params)) AS DOUBLE) / 86400000000.0
+                   > CAST(date_diff('microsecond', TIMESTAMP '2005-01-01 01:00:00', (SELECT now FROM params)) AS DOUBLE) / 86400000000.0
+              THEN -1.0
+              ELSE CAST(date_diff('microsecond', oldest, (SELECT now FROM params)) AS DOUBLE) / 86400000000.0 END
+           AS longevity
+  FROM old
+),
+per_day AS (
+  SELECT g.repo, least({uc} + {ca} + {rh} + {lo}, 100.0) AS pts
+  FROM grid g
+  JOIN uc ON uc.repo = g.repo AND uc.d = g.d
+  LEFT JOIN act ON act.repo = g.repo AND act.d = g.d
+  LEFT JOIN tags ON tags.repo = g.repo AND tags.d = g.d
+  LEFT JOIN lon ON lon.repo = g.repo
+),
+idx AS (
+  SELECT repo, trunc(least(sum(pts) / 60.0, 100.0)) AS vitality_index
+  FROM per_day GROUP BY 1
+),
+atot AS (SELECT repo, sum(activity) AS activity_total FROM act GROUP BY 1),
+nauth AS (
+  SELECT repo, CAST(count(CASE WHEN first_ts < (SELECT now FROM params) THEN 1 END) AS BIGINT) AS n_authors
+  FROM firsts GROUP BY 1
+)
+SELECT r.repo, idx.vitality_index,
+       coalesce(atot.activity_total, 0.0) AS activity_total,
+       coalesce(nauth.n_authors, 0) AS n_authors,
+       coalesce(lon.longevity, 0.0) AS longevity_days
+FROM repos r
+JOIN idx ON idx.repo = r.repo
+LEFT JOIN atot ON atot.repo = r.repo
+LEFT JOIN nauth ON nauth.repo = r.repo
+LEFT JOIN lon ON lon.repo = r.repo
+"""
+
+
+SQL_VITALITY_EVENTS = _build_vitality_sql()
+
+# SimHash, bit-for-bit in SQL: FNV-1a over each token's characters via
+# list_reduce in HUGEINT (mod 2^64), then the 64-bit majority vote.
+# Matches functions/dedup.py:simhash64 exactly (ASCII corpus; the
+# engine hashes UTF-8 bytes, the oracle codepoints — equal for ASCII).
+SQL_SIMHASH = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+h AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(CAST(1469598103934665603 AS UBIGINT),
+        list_transform(regexp_extract_all(tok, '.'), c -> CAST(ascii(c) AS UBIGINT))),
+      (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)
+    ) AS th
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, g.b,
+         sum(CASE WHEN (th >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) g
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       printf('%08x%08x',
+         CAST(sum(CASE WHEN b >= 32 AND s > 0 THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN b < 32 AND s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+ORACLE_SQL.update(
+    {
+        "text_stats": SQL_TEXT_STATS,
+        "ivf_assign": SQL_IVF_ASSIGN,
+        "ann_topk": SQL_ANN_TOPK,
+        "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+        "vitality_events": SQL_VITALITY_EVENTS,
+        "simhash_docs": SQL_SIMHASH,
+    }
+)
