@@ -133,54 +133,79 @@ def make_schedule_group_fn(config: PolitenessConfig, n_salts: int, hot_hosts: fr
             sort_keys=[("warc_ts", "ascending"), ("canonical_url", "ascending")],
         )
         g = group.take(order)
+        n = g.num_rows
+        urls = g.column("canonical_url")
 
-        urls = g.column("canonical_url").to_pylist()
-        # path: substring after the authority (robots prefix rules are
-        # path-only; query excluded)
-        paths = []
-        for u in urls:
-            rest = u.split("://", 1)[1] if "://" in u else u
-            slash = rest.find("/")
-            p = rest[slash:] if slash >= 0 else "/"
-            paths.append(p.split("?", 1)[0])
+        # 1. first-wins exact dedup by canonical url, vectorized: the
+        # dictionary codes identify equal URLs; np.unique's return_index
+        # gives each code's first occurrence in g order (= the sorted
+        # first-wins winner).
+        codes = pc.dictionary_encode(urls.combine_chunks()).indices.to_numpy(
+            zero_copy_only=False
+        )
+        _, first_idx = np.unique(codes, return_index=True)
+        dup_mask = np.ones(n, dtype=bool)
+        dup_mask[first_idx] = False
 
-        # 1. first-wins exact dedup by canonical url (sorted -> first is min).
-        seen: set[str] = set()
-        status = []
+        # 2. robots, vectorized: path = canonical minus scheme+authority
+        # minus query (Arrow RE2 kernels), then one starts_with per
+        # disallow prefix (the prefix list is small by construction).
         rules = config.rules(host)
-        for u, p in zip(urls, paths):
-            if u in seen:
-                status.append(STATUS_DUP)
-                continue
-            seen.add(u)
-            # 2. robots
-            status.append(STATUS_SCHEDULED if rules.allowed(p) else STATUS_ROBOTS_DENIED)
+        if rules.deny_all:
+            allowed = np.zeros(n, dtype=bool)
+        elif not rules.disallow:
+            allowed = np.ones(n, dtype=bool)
+        else:
+            paths = pc.replace_substring_regex(
+                urls, pattern=r"^[a-z][a-z0-9+.\-]*://[^/]*", replacement=""
+            )
+            paths = pc.replace_substring_regex(paths, pattern=r"\?.*$", replacement="")
+            paths = pc.if_else(pc.equal(paths, ""), pa.scalar("/"), paths)
+            denied_arr = pc.starts_with(paths, pattern=rules.disallow[0])
+            for p in rules.disallow[1:]:
+                denied_arr = pc.or_(denied_arr, pc.starts_with(paths, pattern=p))
+            allowed = ~denied_arr.to_numpy(zero_copy_only=False)
 
-        status_arr = np.array(status)
-        sched_mask = status_arr == STATUS_SCHEDULED
+        sched_mask = ~dup_mask & allowed
+        status_pa = pc.if_else(
+            pa.array(dup_mask),
+            pa.scalar(STATUS_DUP),
+            pc.if_else(
+                pa.array(allowed), pa.scalar(STATUS_SCHEDULED), pa.scalar(STATUS_ROBOTS_DENIED)
+            ),
+        )
 
         # 3. rank + round + virtual politeness time for scheduled rows.
         min_delay, max_conc, budget = config.budget(host)
         per_salt_budget = max(1, budget // stride) if budget < (1 << 59) else budget
         n_sched = int(sched_mask.sum())
         local_rank = np.arange(n_sched, dtype=np.int64)
-        rank = np.full(len(urls), -1, dtype=np.int64)
+        rank = np.full(n, -1, dtype=np.int64)
         rank[sched_mask] = local_rank * stride + salt if is_hot else local_rank
-        rnd = np.full(len(urls), -1, dtype=np.int32)
+        rnd = np.full(n, -1, dtype=np.int32)
         rnd[sched_mask] = (local_rank // per_salt_budget).astype(np.int32)
 
         bucket = HostBudget(min_delay, max_conc)
-        vms = np.full(len(urls), -1, dtype=np.int64)
-        vms[sched_mask] = np.asarray(bucket.assign(n_sched), dtype=np.int64)
+        vms = np.full(n, -1, dtype=np.int64)
+        vms[sched_mask] = bucket.assign_array(n_sched)
+
+        # constant host column without a Python list: one dictionary
+        # entry fanned out over n int32 indices, cast back to string.
+        host_col = pc.cast(
+            pa.DictionaryArray.from_arrays(
+                pa.array(np.zeros(n, dtype=np.int32)), pa.array([host], pa.string())
+            ),
+            pa.string(),
+        )
 
         return pa.table(
             {
-                "canonical_url": g.column("canonical_url"),
-                "host": pa.array([host] * len(urls), pa.string()),
+                "canonical_url": urls,
+                "host": host_col,
                 "host_key": g.column("host_key"),
                 "url_hash": g.column("url_hash"),
                 "warc_ts": g.column("warc_ts"),
-                "status": pa.array(status, pa.string()),
+                "status": status_pa,
                 "round": pa.array(rnd, pa.int32()),
                 "rank": pa.array(rank, pa.int64()),
                 "virtual_ms": pa.array(vms, pa.int64()),

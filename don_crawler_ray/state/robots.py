@@ -87,3 +87,19 @@ class HostBudget:
             out.append(t)
             slots[s] = t + delay if delay > 0 else t + 1
         return out
+
+    def assign_array(self, n: int):
+        """Vectorized ``assign``: request i takes slot ``i % k`` whose
+        value advances by ``delay`` (or 1) per use — so
+        ``t[i] = slot0[i % k] + (i // k) * delta`` in one numpy
+        expression. Identical output to ``assign`` (pytest-pinned)."""
+        import numpy as np
+
+        k = self.max_concurrent
+        delta = self.min_delay_ms if self.min_delay_ms > 0 else 1
+        base = np.asarray(self._slot_ms, dtype=np.int64)
+        i = np.arange(n, dtype=np.int64)
+        out = base[i % k] + (i // k) * delta
+        uses = np.bincount(i % k, minlength=k) if n else np.zeros(k, dtype=np.int64)
+        self._slot_ms = (base + uses * delta).tolist()
+        return out
