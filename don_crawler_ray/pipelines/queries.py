@@ -639,61 +639,120 @@ def q_vitality_events(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
-    """MinHash+LSH near-dup candidates (shingle -> signature -> band
-    buckets -> groupby(band) pairs -> exact-Jaccard verify >= 0.5).
-    Oracle: brute-force Jaccard in tests."""
+    """MinHash+LSH near-dup pairs, scale-safe shuffle shape:
+
+    1. signature stage emits ONLY ``(band_key, doc_id)`` rows — document
+       text never rides the band shuffle (at 100 TB the old
+       text-in-every-band layout shuffled 16x the corpus;
+       VERDICT r01 item 5);
+    2. ``groupby(band_key)`` emits slim candidate pairs (per-bucket
+       O(n^2) bounded by the deterministic 256-doc cap);
+    3. pairs are deduped across bands, then ONLY the candidate docs'
+       texts are pulled (broadcast membership filter over documents —
+       the candidate set is LSH-selected, orders of magnitude smaller
+       than the corpus) and each pair is exact-Jaccard verified >= 0.5
+       with each doc's shingle set computed once.
+
+    Output identical to the text-through-shuffle version (same bands,
+    same cap, same exact verify). Oracle: brute-force Jaccard in tests.
+    """
+    import ray
+
     from don_crawler_ray.functions.dedup import (
-        jaccard_exact,
         lsh_band_keys,
         minhash_signature,
         shingle_hashes,
     )
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # the testdata table is one single-row-group file -> one block; the
+    # signature kernel is the expensive stage, so spread it across the
+    # pool (at real scale the corpus arrives as many files and this
+    # repartition is unnecessary)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
 
     def sigs(batch: pa.Table) -> pa.Table:
-        ids, bands, texts = [], [], []
+        ids, bands = [], []
         for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
             sig = minhash_signature(shingle_hashes(t, k=3), n_perm=64)
             for bk in lsh_band_keys(sig, n_bands=16).tolist():
                 ids.append(d)
                 bands.append(bk)
-                texts.append(t)
         return pa.table(
             {
                 "band_key": pa.array(bands, pa.uint64()),
                 "doc_id": pa.array(ids, pa.int64()),
-                "text": pa.array(texts, pa.string()),
             }
         )
 
-    MAX_BUCKET = 256  # bound the per-bucket O(n^2) verify; an LSH bucket
-    # larger than this means the band hash is degenerate for these docs —
-    # the cap keeps worst-case work bounded and is DETERMINISTIC (first
+    MAX_BUCKET = 256  # bound the per-bucket O(n^2); an LSH bucket larger
+    # than this means the band hash is degenerate for these docs — the
+    # cap keeps worst-case work bounded and is DETERMINISTIC (first
     # MAX_BUCKET docs by doc_id), not a silent sample.
 
-    def pairs(group: pa.Table) -> pa.Table:
+    def bucket_pairs(group: pa.Table) -> pa.Table:
         n = group.num_rows
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
         if n < 2:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())})
-        if n > MAX_BUCKET:
-            keep = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])[:MAX_BUCKET]
-            group = group.take(keep)
-            n = MAX_BUCKET
-        ids = group.column("doc_id").to_pylist()
-        texts = group.column("text").to_pylist()
-        order = np.argsort(ids, kind="stable")
+            return empty
+        ids = np.sort(group.column("doc_id").to_numpy(zero_copy_only=False))[:MAX_BUCKET]
+        iu, ju = np.triu_indices(len(ids), k=1)
+        sel = ids[iu] != ids[ju]
+        return pa.table(
+            {"a": pa.array(ids[iu[sel]], pa.int64()), "b": pa.array(ids[ju[sel]], pa.int64())}
+        )
+
+    cand = ds.map_batches(sigs, batch_format="pyarrow").groupby("band_key").map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+
+    # cross-band pair dedup: a vectorized hash aggregate (per-group
+    # Python map_groups calls would dominate at thousands of pairs)
+    from ray.data.aggregate import Count
+
+    pairs_tbl = pa.Table.from_pylist(
+        cand.groupby(["a", "b"]).aggregate(Count(alias_name="_nb")).take_all()
+    )
+    pairs_tbl = pairs_tbl.drop_columns(["_nb"]) if pairs_tbl.num_rows else pairs_tbl
+    if pairs_tbl.num_rows == 0:
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+
+    cand_ids = np.unique(
+        np.concatenate(
+            [
+                pairs_tbl.column("a").to_numpy(zero_copy_only=False),
+                pairs_tbl.column("b").to_numpy(zero_copy_only=False),
+            ]
+        )
+    )
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(cand_ids, d), 0, len(cand_ids) - 1)
+        return batch.filter(pa.array(cand_ids[idx] == d))
+
+    cand_texts = ds.map_batches(keep_candidates, batch_format="pyarrow").take_all()
+    shingles_by_id = {
+        row["doc_id"]: set(shingle_hashes(row["text"], k=3).tolist()) for row in cand_texts
+    }
+    shingles_ref = ray.put(shingles_by_id)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sh = ray.get(shingles_ref)
         a_out, b_out, j_out = [], [], []
-        for x in range(n):
-            for y in range(x + 1, n):
-                i, j = order[x], order[y]
-                if ids[i] == ids[j]:
-                    continue
-                jac = jaccard_exact(texts[i], texts[j], k=3)
-                if jac >= 0.5:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    j_out.append(jac)
+        for a, b in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist()):
+            sa, sb = sh[a], sh[b]
+            union = len(sa | sb)
+            jac = (len(sa & sb) / union) if union else 1.0
+            if jac >= 0.5:
+                a_out.append(a)
+                b_out.append(b)
+                j_out.append(jac)
         return pa.table(
             {
                 "a": pa.array(a_out, pa.int64()),
@@ -702,21 +761,16 @@ def q_minhash_pairs(sf_dir: str):
             }
         )
 
-    cand = ds.map_batches(sigs, batch_format="pyarrow").groupby("band_key").map_groups(
-        pairs, batch_format="pyarrow"
-    )
-    # dedup pairs found in multiple bands
-    def uniq(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-
-    return cand.groupby(["a", "b"]).map_groups(uniq, batch_format="pyarrow")
+    return ray.data.from_arrow(pairs_tbl).map_batches(verify, batch_format="pyarrow")
 
 
 def q_simhash_docs(sf_dir: str):
     """SimHash signatures per document (near-dup by hamming distance)."""
     from don_crawler_ray.functions.dedup import simhash64
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # single-row-group input -> repartition so the per-doc hash kernel
+    # parallelizes (see q_minhash_pairs)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
 
     def sh(batch: pa.Table) -> pa.Table:
         # hex-string signatures: stable across pandas/arrow boundaries
