@@ -208,33 +208,3 @@ def is_dot_github_repo(name: str) -> bool:
     (``scanner/github.go:367-371``) — case-insensitive ``.github``
     after stripping a ``.git`` suffix."""
     return strip_git_suffix(name).lower() == ".github"
-
-
-# ---------------------------------------------------------------------------
-# Batch kernels (operate on python lists; called from map_batches)
-# ---------------------------------------------------------------------------
-
-def canonicalize_batch(urls) -> tuple[list[str], list[str], list[int]]:
-    """Canonicalize a batch of URLs.
-
-    Returns (canonical_urls, reversed_host_keys, url_hashes). One pass,
-    amortized; the per-string work is unavoidable string parsing, kept
-    allocation-light. Called from the canonicalize map_batches stage.
-    """
-    canon: list[str] = []
-    hosts: list[str] = []
-    hashes: list[int] = []
-    _canon = canonicalize_url
-    _rev = reverse_host
-    _hash = url_hash64
-    _split = urlsplit
-    for u in urls:
-        c = _canon(u)
-        canon.append(c)
-        try:
-            h = (_split(c).hostname or "").lower()
-        except ValueError:
-            h = ""
-        hosts.append(_rev(h))
-        hashes.append(_hash(c))
-    return canon, hosts, hashes

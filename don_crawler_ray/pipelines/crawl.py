@@ -143,18 +143,53 @@ def load_round_table(schedule_dir: str, rnd: int) -> pa.Table:
     """One round's scheduled rows (slim), pushdown-filtered at the read."""
     dataset = pads.dataset(schedule_dir)
     return dataset.to_table(
-        columns=["canonical_url", "host", "url_hash", "warc_ts", "rank"],
+        columns=["canonical_url", "host", "url_hash", "raw_hash", "warc_ts", "rank"],
         filter=(pads.field("status") == "scheduled") & (pads.field("round") == rnd),
     )
 
 
 def load_rounds_table(schedule_dir: str, rounds: list[int]) -> pa.Table:
-    """All pending rounds' scheduled rows in one pushdown-filtered read."""
+    """The given rounds' scheduled rows in one pushdown-filtered read."""
     dataset = pads.dataset(schedule_dir)
     return dataset.to_table(
-        columns=["url_hash", "warc_ts", "round"],
+        columns=["url_hash", "raw_hash", "warc_ts", "round"],
         filter=(pads.field("status") == "scheduled") & (pads.field("round").isin(rounds)),
     )
+
+
+_MEMBERSHIP_BYTES_PER_KEY = 12  # uint64 combined key + int32 round
+
+
+def plan_round_chunks(
+    schedule_dir: str, pending: list[int], membership_byte_budget: int
+) -> list[list[int]]:
+    """Group pending rounds into chunks whose broadcast key arrays stay
+    under ``membership_byte_budget`` — the driver and each fetch actor
+    hold one chunk's keys at a time, never the whole pending set (the
+    round-membership scale fix, VERDICT r01 item 3). Rounds are budget-
+    bounded by construction, so chunk count ~= total_keys x 12B /
+    budget; each chunk costs one page-store scan — the budget trades
+    scans against broadcast size explicitly."""
+    counts: dict[int, int] = {}
+    t = pads.dataset(schedule_dir).to_table(
+        columns=["round"],
+        filter=(pads.field("status") == "scheduled") & (pads.field("round").isin(pending)),
+    )
+    for row in pc.value_counts(t.column("round")).to_pylist():
+        counts[row["values"]] = row["counts"]
+    chunks: list[list[int]] = []
+    cur: list[int] = []
+    cur_bytes = 0
+    for rnd in pending:
+        b = counts.get(rnd, 0) * _MEMBERSHIP_BYTES_PER_KEY
+        if cur and cur_bytes + b > membership_byte_budget:
+            chunks.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(rnd)
+        cur_bytes += b
+    if cur:
+        chunks.append(cur)
+    return chunks
 
 
 def run_fetch_rounds(
@@ -195,6 +230,28 @@ def _round_dir_rows(out_dir: str, rnd: int) -> int:
             if name.endswith(".parquet"):
                 n += pq.ParquetFile(os.path.join(round_dir, name)).metadata.num_rows
     return n
+
+
+def _round_dir_hashes(out_dir: str, rnd: int) -> np.ndarray:
+    """url_hashes actually WRITTEN for a round (column-pruned read of
+    the round's output). The seen set commits these — not the scheduled
+    set — matching the reference's cache-only-after-successful-clone
+    semantics (git/clone_repository.go:37-58; ADVICE r01 item 3): a URL
+    scheduled but absent from the page store stays unseen and is
+    retried on the next incremental crawl."""
+    round_dir = os.path.join(out_dir, f"round={rnd}")
+    parts = []
+    if os.path.isdir(round_dir):
+        for name in sorted(os.listdir(round_dir)):
+            if name.endswith(".parquet"):
+                parts.append(
+                    pq.read_table(os.path.join(round_dir, name), columns=["url_hash"])
+                    .column("url_hash")
+                    .to_numpy(zero_copy_only=False)
+                )
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.concatenate(parts).astype(np.uint64)
 
 
 def run_fetch_round(
@@ -238,6 +295,7 @@ def run_crawl(
     batch_size: int = 2048,
     resume: bool = False,
     seen_restore_dir: str | None = None,
+    membership_byte_budget: int = 1 << 30,
 ) -> dict:
     """Full checkpointed crawl. Returns the run's counter dict
     (including per-phase wall times under ``phase_*`` keys)."""
@@ -280,6 +338,18 @@ def run_crawl(
     restore_from = seen_dir if resume else seen_restore_dir
     use_seen_filter = False
     if restore_from and os.path.isdir(restore_from):
+        n_snapshot_files = sum(
+            1
+            for f in os.listdir(restore_from)
+            if f.startswith("seen_shard_") and f.endswith(".npz")
+        )
+        if n_snapshot_files and n_snapshot_files != n_seen_shards:
+            # shard routing is hash % n: loading a different shard count
+            # would silently make revisit skipping partial (ADVICE r01)
+            raise ValueError(
+                f"seen snapshots in {restore_from} were written with "
+                f"{n_snapshot_files} shards; this run uses {n_seen_shards}"
+            )
         restored = ray.get([s.restore.remote(restore_from) for s in shards])
         use_seen_filter = any(restored)
 
@@ -330,46 +400,49 @@ def run_crawl(
     fetched_total = counters.get("fetched", 0)
     pending = [r for r in range(n_rounds) if r not in manifest["completed_rounds"]]
     if pending:
-        t_round = _t()
-        rounds_table = load_rounds_table(schedule_dir, pending)
-        # wipe any uncommitted round output from a killed run, then fetch
-        # every pending round in ONE page-store scan.
+        # wipe any uncommitted round output from a killed run
         import shutil
 
         for rnd in pending:
             round_dir = os.path.join(out_dir, f"round={rnd}")
             if os.path.isdir(round_dir):
                 shutil.rmtree(round_dir)
-        if rounds_table.num_rows:
-            run_fetch_rounds(
-                frontier_path,
-                rounds_table,
-                out_dir,
-                extract_concurrency=extract_concurrency,
-                batch_size=batch_size,
-            )
-        phases["fetch"] = phases.get("fetch", 0.0) + round(_t() - t_round, 2)
 
-        # commit rounds IN ORDER: seen set += round hashes, snapshot,
-        # manifest last (per-round checkpoint granularity is preserved).
-        t_commit = _t()
-        rt_rounds = rounds_table.column("round").to_numpy(zero_copy_only=False)
-        rt_hashes = rounds_table.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        for rnd in pending:
-            hashes = rt_hashes[rt_rounds == rnd]
-            fetched_total += _round_dir_rows(out_dir, rnd)
-            futures = []
-            for s in range(n_seen_shards):
-                sel = hashes % np.uint64(n_seen_shards) == s
-                if sel.any():
-                    futures.append(shards[s].add_many.remote(hashes[sel]))
-            ray.get(futures)  # all shards ingest in parallel
-            ray.get([s.snapshot.remote(seen_dir) for s in shards])
-            manifest["completed_rounds"].append(rnd)
-            counters["fetched"] = fetched_total
-            manifest["counters"] = counters
-            _write_manifest(manifest_path, manifest)
-        phases["commit"] = phases.get("commit", 0.0) + round(_t() - t_commit, 2)
+        # Fetch pending rounds in membership-bounded CHUNKS: each chunk
+        # broadcasts only its own key array (<= membership_byte_budget)
+        # and costs one page-store scan; commits land per chunk so a
+        # kill mid-run loses at most one chunk of fetch work.
+        for chunk in plan_round_chunks(schedule_dir, pending, membership_byte_budget):
+            t_round = _t()
+            rounds_table = load_rounds_table(schedule_dir, chunk)
+            if rounds_table.num_rows:
+                run_fetch_rounds(
+                    frontier_path,
+                    rounds_table,
+                    out_dir,
+                    extract_concurrency=extract_concurrency,
+                    batch_size=batch_size,
+                )
+            phases["fetch"] = phases.get("fetch", 0.0) + round(_t() - t_round, 2)
+
+            # commit the chunk's rounds IN ORDER: seen set += the round's
+            # WRITTEN hashes, snapshot, manifest last.
+            t_commit = _t()
+            for rnd in chunk:
+                hashes = _round_dir_hashes(out_dir, rnd)
+                fetched_total += len(hashes)
+                futures = []
+                for s in range(n_seen_shards):
+                    sel = hashes % np.uint64(n_seen_shards) == s
+                    if sel.any():
+                        futures.append(shards[s].add_many.remote(hashes[sel]))
+                ray.get(futures)  # all shards ingest in parallel
+                ray.get([s.snapshot.remote(seen_dir) for s in shards])
+                manifest["completed_rounds"].append(rnd)
+                counters["fetched"] = fetched_total
+                manifest["counters"] = counters
+                _write_manifest(manifest_path, manifest)
+            phases["commit"] = phases.get("commit", 0.0) + round(_t() - t_commit, 2)
 
     counters["fetched"] = fetched_total
     for k, v in phases.items():

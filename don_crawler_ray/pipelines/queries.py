@@ -883,7 +883,7 @@ def q_crawl_schedule(sf_dir: str):
     ds, _ = build_schedule(e._frontier_path("tiny"), politeness, n_salts=4)
 
     def project(batch: pa.Table) -> pa.Table:
-        return batch.drop_columns(["url_hash"])
+        return batch.drop_columns(["url_hash", "raw_hash"])
 
     return ds.map_batches(project, batch_format="pyarrow")
 

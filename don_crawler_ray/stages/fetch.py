@@ -24,37 +24,72 @@ from don_crawler_ray.functions.extract import description_from_readme, extract_t
 _TS_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
-def combine_key(url_hash: np.ndarray, warc_ts_us: np.ndarray) -> np.ndarray:
-    """uint64 key combining (url_hash, warc_ts) for membership checks.
+def combine_key(
+    url_hash: np.ndarray, warc_ts_us: np.ndarray, raw_hash: np.ndarray | None = None
+) -> np.ndarray:
+    """uint64 key combining (url_hash, warc_ts[, raw_hash]) for
+    membership checks.
 
-    The schedule's first-wins dedup picks one (url, warc_ts) per
-    canonical URL; matching on the combined key re-identifies exactly
-    that row in the page store without a shuffle join.
+    The schedule's first-wins dedup picks one (url, warc_ts, raw url)
+    per canonical URL; matching on the combined key re-identifies
+    exactly that row in the page store without a shuffle join. The raw
+    hash distinguishes distinct raw URLs sharing (canonical, warc_ts)
+    — without it both would pass the semi-join and duplicate output.
     """
     with np.errstate(over="ignore"):
         z = url_hash.astype(np.uint64) + _TS_MIX * warc_ts_us.astype(np.uint64)
+        if raw_hash is not None:
+            z += np.uint64(0x94D049BB133111EB) * raw_hash.astype(np.uint64)
         z ^= z >> np.uint64(29)
         z *= np.uint64(0xBF58476D1CE4E5B9)
         z ^= z >> np.uint64(32)
     return z
 
 
+def _schedule_keys(schedule_table: pa.Table) -> np.ndarray:
+    h = schedule_table.column("url_hash").to_numpy(zero_copy_only=False)
+    ts = (
+        schedule_table.column("warc_ts")
+        .to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]")
+        .astype(np.int64)
+    )
+    raw = (
+        schedule_table.column("raw_hash").to_numpy(zero_copy_only=False)
+        if "raw_hash" in schedule_table.column_names
+        else None
+    )
+    return combine_key(h, ts, raw)
+
+
+def _batch_keys(batch: pa.Table) -> np.ndarray:
+    h = batch.column("url_hash").to_numpy(zero_copy_only=False)
+    ts = (
+        batch.column("warc_ts")
+        .to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]")
+        .astype(np.int64)
+    )
+    raw = (
+        batch.column("raw_hash").to_numpy(zero_copy_only=False)
+        if "raw_hash" in batch.column_names
+        else None
+    )
+    return combine_key(h, ts, raw)
+
+
 def make_round_membership(schedule_round: pa.Table) -> np.ndarray:
     """Sorted combined-key array for one round's scheduled rows (the
     broadcast small side)."""
-    h = schedule_round.column("url_hash").to_numpy(zero_copy_only=False)
-    ts = schedule_round.column("warc_ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
-    return np.sort(combine_key(h, ts))
+    return np.sort(_schedule_keys(schedule_round))
 
 
 def make_rounds_membership(schedule_rounds: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     """Multi-round broadcast side: sorted combined keys + the round each
     key belongs to (aligned). One page-store scan then serves EVERY
     pending round — the output is partitioned by the looked-up round."""
-    h = schedule_rounds.column("url_hash").to_numpy(zero_copy_only=False)
-    ts = schedule_rounds.column("warc_ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
     rounds = schedule_rounds.column("round").to_numpy(zero_copy_only=False).astype(np.int32)
-    keys = combine_key(h, ts)
+    keys = _schedule_keys(schedule_rounds)
     order = np.argsort(keys, kind="stable")
     return keys[order], rounds[order]
 
@@ -68,14 +103,7 @@ def make_membership_filter(member_keys: np.ndarray):
     """
 
     def _filter(batch: pa.Table) -> pa.Table:
-        h = batch.column("url_hash").to_numpy(zero_copy_only=False)
-        ts = (
-            batch.column("warc_ts")
-            .to_numpy(zero_copy_only=False)
-            .astype("datetime64[us]")
-            .astype(np.int64)
-        )
-        keys = combine_key(h, ts)
+        keys = _batch_keys(batch)
         idx = np.searchsorted(member_keys, keys)
         idx = np.clip(idx, 0, len(member_keys) - 1)
         mask = member_keys[idx] == keys if len(member_keys) else np.zeros(len(keys), bool)
@@ -141,14 +169,7 @@ class FetchExtractActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         members = self.members
-        h = batch.column("url_hash").to_numpy(zero_copy_only=False)
-        ts = (
-            batch.column("warc_ts")
-            .to_numpy(zero_copy_only=False)
-            .astype("datetime64[us]")
-            .astype(np.int64)
-        )
-        keys = combine_key(h, ts)
+        keys = _batch_keys(batch)
         if len(members):
             idx = np.clip(np.searchsorted(members, keys), 0, len(members) - 1)
             mask = members[idx] == keys

@@ -40,6 +40,7 @@ SCHEDULE_SCHEMA = pa.schema(
         ("host", pa.string()),
         ("host_key", pa.string()),
         ("url_hash", pa.uint64()),
+        ("raw_hash", pa.uint64()),
         ("warc_ts", pa.timestamp("us")),
         ("status", pa.string()),
         ("round", pa.int32()),
@@ -127,10 +128,17 @@ def make_schedule_group_fn(config: PolitenessConfig, n_salts: int, hot_hosts: fr
         is_hot = host in hot_hosts and n_salts > 1
         stride = n_salts if is_hot else 1
 
-        # Deterministic order: (warc_ts, canonical_url).
+        # Deterministic order: (warc_ts, canonical_url); raw_hash breaks
+        # the tie between distinct raw URLs that canonicalize to the same
+        # (canonical, warc_ts), so the dedup winner is a single
+        # identifiable page-store row (ADVICE r01 item 4).
         order = pc.sort_indices(
             group,
-            sort_keys=[("warc_ts", "ascending"), ("canonical_url", "ascending")],
+            sort_keys=[
+                ("warc_ts", "ascending"),
+                ("canonical_url", "ascending"),
+                ("raw_hash", "ascending"),
+            ],
         )
         g = group.take(order)
         n = g.num_rows
@@ -204,6 +212,7 @@ def make_schedule_group_fn(config: PolitenessConfig, n_salts: int, hot_hosts: fr
                 "host": host_col,
                 "host_key": g.column("host_key"),
                 "url_hash": g.column("url_hash"),
+                "raw_hash": g.column("raw_hash"),
                 "warc_ts": g.column("warc_ts"),
                 "status": status_pa,
                 "round": pa.array(rnd, pa.int32()),

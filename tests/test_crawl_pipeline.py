@@ -211,6 +211,96 @@ class TestIncrementalCrawl:
         assert c2["revisit_skipped"] + c2["robots_denied"] + c2["dedup_hit"] == c2["frontier_rows"]
 
 
+class TestMembershipChunks:
+    """Round membership is broadcast in byte-bounded chunks (the
+    round-membership scale fix): an artificially tiny budget forces one
+    chunk per round and must reproduce byte-identical output."""
+
+    def test_tiny_budget_byte_identical(self, ray_session, frontier_tiny, politeness_cfg, tmp_path):
+        base = str(tmp_path / "base")
+        chunked = str(tmp_path / "chunked")
+        run_crawl(frontier_tiny, base, politeness_cfg, n_seen_shards=2, n_salts=4)
+        c = run_crawl(
+            frontier_tiny, chunked, politeness_cfg, n_seen_shards=2, n_salts=4,
+            membership_byte_budget=64,  # a few keys per chunk
+        )
+        t_base = crawl_output_table(base)
+        t_chunked = crawl_output_table(chunked)
+        assert t_base.column("canonical_url").equals(t_chunked.column("canonical_url"))
+        assert t_base.column("text").equals(t_chunked.column("text"))
+        assert np.array_equal(seen_set_hashes(base), seen_set_hashes(chunked))
+        assert c["fetched"] == t_base.num_rows
+
+    def test_plan_round_chunks_budget(self, ray_session, frontier_tiny, politeness_cfg, tmp_path):
+        from don_crawler_ray.pipelines.crawl import plan_round_chunks
+
+        out_dir = str(tmp_path / "sched")
+        run_crawl(frontier_tiny, out_dir, politeness_cfg, n_seen_shards=2, n_salts=4)
+        schedule_dir = os.path.join(out_dir, "schedule")
+        import pyarrow.dataset as pads
+
+        rounds = sorted(
+            set(
+                pads.dataset(schedule_dir)
+                .to_table(columns=["round"], filter=pads.field("status") == "scheduled")
+                .column("round")
+                .to_pylist()
+            )
+        )
+        one = plan_round_chunks(schedule_dir, rounds, 1 << 30)
+        assert one == [rounds]  # everything fits one chunk
+        tiny = plan_round_chunks(schedule_dir, rounds, 1)
+        assert [r for chunk in tiny for r in chunk] == rounds  # order kept
+        assert all(len(chunk) == 1 for chunk in tiny)
+
+
+class TestFetchTieBreak:
+    """Two distinct raw URLs canonicalizing to the same canonical URL
+    with an identical warc_ts must yield ONE output row (the raw-hash
+    membership tie-break; ADVICE r01 item 4)."""
+
+    def test_single_winner(self, ray_session, tmp_path):
+        import pyarrow as pa
+
+        ts = pa.array([1_000_000, 1_000_000, 2_000_000], pa.timestamp("us"))
+        frontier = pa.table(
+            {
+                # first two canonicalize to http://h0.example/a
+                "url": pa.array(
+                    [
+                        "http://h0.example/a",
+                        "HTTP://H0.example:80/x/../a",
+                        "http://h0.example/b",
+                    ]
+                ),
+                "warc_ts": ts,
+                "html": pa.array([b"<p>A</p>", b"<p>B</p>", b"<p>C</p>"], pa.binary()),
+                "text": pa.array(["A", "B", "C"]),
+                "lang": pa.array(["en", "en", "en"]),
+            }
+        )
+        path = str(tmp_path / "tie.parquet")
+        pq.write_table(frontier, path)
+        out_dir = str(tmp_path / "out")
+        counters = run_crawl(path, out_dir, PolitenessConfig(), n_seen_shards=2, n_salts=1)
+        table = crawl_output_table(out_dir)
+        urls = table.column("canonical_url").to_pylist()
+        assert counters["fetched"] == 2
+        assert sorted(urls) == ["http://h0.example/a", "http://h0.example/b"]
+        assert len(urls) == len(set(urls))  # no duplicate despite the ts tie
+
+
+def test_restore_shard_count_mismatch(ray_session, frontier_tiny, politeness_cfg, tmp_path):
+    first = str(tmp_path / "first")
+    run_crawl(frontier_tiny, first, politeness_cfg, n_seen_shards=2, n_salts=4)
+    with pytest.raises(ValueError, match="shards"):
+        run_crawl(
+            frontier_tiny, str(tmp_path / "second"), politeness_cfg,
+            n_seen_shards=4, n_salts=4,
+            seen_restore_dir=os.path.join(first, "seen"),
+        )
+
+
 def test_suggest_salts():
     from don_crawler_ray.stages.schedule import suggest_salts
 

@@ -8,7 +8,6 @@ vectors for the canonicalizer the reference lacks.
 import pytest
 
 from don_crawler_ray.functions.urlnorm import (
-    canonicalize_batch,
     canonicalize_url,
     is_dot_github_repo,
     reverse_host,
@@ -127,9 +126,24 @@ def test_git_suffix_and_dot_github():
     assert not is_dot_github_repo("x.github")
 
 
-def test_canonicalize_batch():
+def test_canonicalize_stage_kernel():
+    import pyarrow as pa
+
+    from don_crawler_ray.stages.canonicalize import canonicalize_slim_stage
+
     urls = ["HTTP://A.example.COM:80/x/../y", "https://b.example.nl/"]
-    canon, hosts, hashes = canonicalize_batch(urls)
-    assert canon == ["http://a.example.com/y", "https://b.example.nl/"]
-    assert hosts == ["com.example.a", "nl.example.b"]
-    assert hashes == [url_hash64(c) for c in canon]
+    batch = pa.table(
+        {"url": pa.array(urls), "warc_ts": pa.array([0, 1], pa.timestamp("us"))}
+    )
+    out = canonicalize_slim_stage(batch)
+    assert out.column("canonical_url").to_pylist() == [
+        "http://a.example.com/y",
+        "https://b.example.nl/",
+    ]
+    assert out.column("host_key").to_pylist() == ["com.example.a", "nl.example.b"]
+    assert out.column("url_hash").to_pylist() == [
+        url_hash64(c) for c in out.column("canonical_url").to_pylist()
+    ]
+    # raw_hash differs from url_hash exactly when canonicalization
+    # changed the url (the fetch tie-break key)
+    assert out.column("raw_hash").to_pylist() == [url_hash64(u) for u in urls]
