@@ -170,17 +170,23 @@ _README_PRIORITY = ("readme.md", "readme.rst", "readme.txt", "readme")
 
 
 def pick_readme_name(names: list[str]) -> str | None:
-    """Port of ``pickReadmeName`` (``git/readme.go:49-82``): prefer
-    README.md/.rst/.txt/README case-insensitively in that order, else
-    the first name starting with ``readme`` (case-insensitive)."""
-    lowered = [(n, n.lower()) for n in names]
+    """Port of ``pickReadmeName`` (``git/readme.go:49-82``): a
+    lowercase -> trimmed-name map built in input order (LATER duplicates
+    overwrite, matching Go's map fill), scanned in README.md/.rst/.txt/
+    README priority; else the first trimmed name starting with
+    ``readme`` (case-insensitive)."""
+    by_lower: dict[str, str] = {}
+    for n in names:
+        trimmed = n.strip()
+        if trimmed:
+            by_lower[trimmed.lower()] = trimmed
     for want in _README_PRIORITY:
-        for orig, low in lowered:
-            if low == want:
-                return orig
-    for orig, low in lowered:
-        if low.startswith("readme"):
-            return orig
+        if want in by_lower:
+            return by_lower[want]
+    for n in names:
+        trimmed = n.strip()
+        if trimmed and trimmed.lower().startswith("readme"):
+            return trimmed
     return None
 
 

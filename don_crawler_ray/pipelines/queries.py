@@ -121,26 +121,30 @@ def q_top_orders(sf_dir: str):
     cust = _read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
     nat = _read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
     nation_by_key = dict(zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist()))
-    cust_by_key = {
-        k: (nm, nation_by_key.get(nk))
-        for k, nm, nk in zip(
-            cust.column("c_custkey").to_pylist(),
-            cust.column("c_name").to_pylist(),
-            cust.column("c_nationkey").to_pylist(),
-        )
-    }
+    # broadcast small side as sorted parallel arrays: the per-batch probe
+    # is one np.searchsorted, not a Python dict lookup per row
+    ckeys = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    order_keys = np.argsort(ckeys, kind="stable")
+    ckeys_sorted = ckeys[order_keys]
+    cnames_sorted = cust.column("c_name").take(pa.array(order_keys))
+    nnames_sorted = pa.array(
+        [nation_by_key.get(k) for k in cust.column("c_nationkey").to_numpy(zero_copy_only=False)[order_keys]],
+        pa.string(),
+    )
 
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
 
     def join(batch: pa.Table) -> pa.Table:
-        names, nations = [], []
-        for ck in batch.column("o_custkey").to_pylist():
-            nm, nn = cust_by_key.get(ck, (None, None))
-            names.append(nm)
-            nations.append(nn)
-        return batch.append_column("c_name", pa.array(names, pa.string())).append_column(
-            "n_name", pa.array(nations, pa.string())
-        )
+        ok = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(ckeys_sorted, ok), 0, len(ckeys_sorted) - 1)
+        hit = ckeys_sorted[idx] == ok
+        names = cnames_sorted.take(pa.array(idx))
+        nations = nnames_sorted.take(pa.array(idx))
+        if not hit.all():
+            miss = pa.array(~hit)
+            names = pc.if_else(miss, pa.scalar(None, pa.string()), names)
+            nations = pc.if_else(miss, pa.scalar(None, pa.string()), nations)
+        return batch.append_column("c_name", names).append_column("n_name", nations)
 
     out = (
         ds.map_batches(join, batch_format="pyarrow")

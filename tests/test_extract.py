@@ -114,6 +114,11 @@ def test_pick_readme_name():
     assert pick_readme_name(["README"]) == "README"
     assert pick_readme_name(["ReadMe.adoc"]) == "ReadMe.adoc"
     assert pick_readme_name(["other.md"]) is None
+    # Go map semantics: the LAST duplicate-lowercased name wins
+    assert pick_readme_name(["readme.md", "README.md"]) == "README.md"
+    # names are trimmed before matching
+    assert pick_readme_name(["  README.md  "]) == "README.md"
+    assert pick_readme_name(["   ", "\treadme.adoc "]) == "readme.adoc"
 
 
 def test_title_and_description_fallbacks():
