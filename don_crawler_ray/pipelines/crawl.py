@@ -45,6 +45,7 @@ from don_crawler_ray.stages.fetch import (
     ExtractActor,
     FetchExtractActor,
     SeenFilterActor,
+    make_hash_skip_filter,
     make_membership_filter,
     make_round_membership,
     make_rounds_membership,
@@ -104,13 +105,22 @@ def build_schedule(
     hot_hosts: frozenset[str] | None = None,
     hot_threshold: float = 0.05,
     seen_shards=None,
+    skip_hashes=None,
 ):
-    """Schedule pass -> slim decisions Dataset (lazy)."""
+    """Schedule pass -> slim decisions Dataset (lazy).
+
+    ``skip_hashes``: optional sorted uint64 canonical-hash skip set (the
+    repo-metadata pre-filter — forks / private / archived repos,
+    M9/M6); flagged rows are dropped before the shuffle and counted in
+    ``revisit_skipped`` together with seen-set revisits.
+    """
     politeness = politeness or PolitenessConfig()
     ds = _read_frontier(frontier_path, SLIM_COLUMNS)
     ds = ds.map_batches(canonicalize_slim_stage, batch_format="pyarrow")
     if hot_hosts is None:
         hot_hosts = detect_hot_hosts(ds, hot_threshold)
+    if skip_hashes is not None and len(skip_hashes):
+        ds = ds.map_batches(make_hash_skip_filter(skip_hashes), batch_format="pyarrow")
     if seen_shards:
         ds = ds.map_batches(
             SeenFilterActor,
@@ -296,6 +306,7 @@ def run_crawl(
     resume: bool = False,
     seen_restore_dir: str | None = None,
     membership_byte_budget: int = 1 << 30,
+    skip_hashes=None,
 ) -> dict:
     """Full checkpointed crawl. Returns the run's counter dict
     (including per-phase wall times under ``phase_*`` keys)."""
@@ -361,6 +372,7 @@ def run_crawl(
             n_salts=n_salts,
             hot_hosts=hot_hosts,
             seen_shards=shards if use_seen_filter else None,
+            skip_hashes=skip_hashes,
         )
         if os.path.isdir(schedule_dir):
             import shutil

@@ -1538,6 +1538,104 @@ LEFT JOIN lon ON lon.repo = r.repo
 
 SQL_VITALITY_EVENTS = _build_vitality_sql()
 
+def q_repo_filter(sf_dir: str):
+    """M9 fork detector + M6 private/archived filter as first-class
+    columns: repo metadata flags are derived deterministically per repo
+    (doc_id residues model the scanner's API metadata), and rows whose
+    repo is a fork OR private OR archived are dropped — the reference
+    skips exactly these during discovery (``scanner/github.go:198-200``
+    private/archived, ``scanner/github.go:373-375`` forks,
+    ``scanner/bitbucket.go:57-61`` private)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def flag_filter(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        is_fork = (d % 11) == 3
+        is_private = (d % 13) == 5
+        is_archived = (d % 17) == 7
+        keep = ~(is_fork | is_private | is_archived)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+            }
+        ).filter(pa.array(keep))
+
+    return ds.map_batches(flag_filter, batch_format="pyarrow")
+
+
+SQL_REPO_FILTER = """
+SELECT doc_id, source FROM documents
+WHERE NOT (doc_id % 11 = 3 OR doc_id % 13 = 5 OR doc_id % 17 = 7)
+"""
+
+
+def q_last_activity(sf_dir: str):
+    """M19 last-activity coalesce cascade (``crawler/crawler.go:566-592``):
+    git-HEAD date ?? API activity date ?? UpdatedAt, with provenance.
+    Modeled on events: per user, head = max click ts, api = max purchase
+    ts, updated = max any ts; ``last_activity`` is the first non-null in
+    that order and ``activity_source`` records which level supplied it."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        ts = batch.column("ts")
+        null_ts = pa.scalar(None, pa.timestamp("us"))
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "head_ts": pc.if_else(pc.equal(et, "click"), ts, null_ts),
+                "api_ts": pc.if_else(pc.equal(et, "purchase"), ts, null_ts),
+                "ts": ts,
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Max("head_ts", alias_name="head_max", ignore_nulls=True),
+            Max("api_ts", alias_name="api_max", ignore_nulls=True),
+            Max("ts", alias_name="any_max"),
+        )
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    head = pc.cast(t.column("head_max"), pa.timestamp("us"))
+    api = pc.cast(t.column("api_max"), pa.timestamp("us"))
+    anyts = pc.cast(t.column("any_max"), pa.timestamp("us"))
+    last = pc.coalesce(head, api, anyts)
+    source = pc.if_else(
+        pc.is_valid(head),
+        pa.scalar("git_head"),
+        pc.if_else(pc.is_valid(api), pa.scalar("api"), pa.scalar("updated_at")),
+    )
+    return pa.table(
+        {
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "last_activity": last,
+            "activity_source": source,
+        }
+    )
+
+
+SQL_LAST_ACTIVITY = """
+SELECT user_id,
+       coalesce(max(CASE WHEN event_type = 'click' THEN ts END),
+                max(CASE WHEN event_type = 'purchase' THEN ts END),
+                max(ts)) AS last_activity,
+       CASE WHEN max(CASE WHEN event_type = 'click' THEN ts END) IS NOT NULL THEN 'git_head'
+            WHEN max(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL THEN 'api'
+            ELSE 'updated_at' END AS activity_source
+FROM events GROUP BY user_id
+"""
+
+QUERIES.update({"repo_filter": q_repo_filter, "last_activity": q_last_activity})
+ORACLE_SQL.update({"repo_filter": SQL_REPO_FILTER, "last_activity": SQL_LAST_ACTIVITY})
+
+
 # SimHash, bit-for-bit in SQL: FNV-1a over each token's characters via
 # list_reduce in HUGEINT (mod 2^64), then the 64-bit majority vote.
 # Matches functions/dedup.py:simhash64 exactly (ASCII corpus; the

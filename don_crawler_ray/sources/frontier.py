@@ -378,6 +378,56 @@ def generate_seeds(seed: int = 42, n_hosts: int = 20) -> pa.Table:
     )
 
 
+def generate_repo_meta(frontier_path: str) -> pa.Table:
+    """Repo metadata table (F7): per canonical URL, the scanner-style
+    flags the reference filters on during discovery — ``is_fork``
+    (``scanner/github.go:373-375``), ``is_private`` / ``is_archived``
+    (``scanner/github.go:198-200``, ``scanner/bitbucket.go:57-61``).
+    Flags are a deterministic function of the canonical hash (residue
+    classes), so any two generations agree byte-for-byte."""
+    import pyarrow.dataset as pads
+
+    from don_crawler_ray.functions.urlnorm import canonicalize_url, url_hash64
+
+    urls = pads.dataset(frontier_path).to_table(columns=["url"]).column("url").to_pylist()
+    seen: set[int] = set()
+    canon_out, hash_out, fork, priv, arch = [], [], [], [], []
+    for u in urls:
+        c = canonicalize_url(u)
+        h = url_hash64(c)
+        if h in seen:
+            continue
+        seen.add(h)
+        canon_out.append(c)
+        hash_out.append(h)
+        fork.append(h % 11 == 3)
+        priv.append(h % 13 == 5)
+        arch.append(h % 17 == 7)
+    return pa.table(
+        {
+            "canonical_url": pa.array(canon_out, pa.string()),
+            "url_hash": pa.array(hash_out, pa.uint64()),
+            "is_fork": pa.array(fork, pa.bool_()),
+            "is_private": pa.array(priv, pa.bool_()),
+            "is_archived": pa.array(arch, pa.bool_()),
+        }
+    )
+
+
+def repo_meta_skip_hashes(meta: pa.Table) -> np.ndarray:
+    """The sorted canonical-hash skip set: repos flagged fork OR private
+    OR archived (the reference's discovery-time skip predicate)."""
+    import pyarrow.compute as pc
+
+    flagged = pc.or_(
+        pc.or_(meta.column("is_fork"), meta.column("is_private")),
+        meta.column("is_archived"),
+    )
+    return np.sort(
+        meta.filter(flagged).column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+    )
+
+
 def generate_politeness(seed: int = 42, n_hosts: int = 20) -> pa.Table:
     """Politeness config (F3): per-host budgets and robots.txt.
 

@@ -206,6 +206,26 @@ def _empty_extract_table(batch: pa.Table) -> pa.Table:
     )
 
 
+def make_hash_skip_filter(skip_hashes: np.ndarray):
+    """map_batches kernel dropping rows whose canonical ``url_hash`` is
+    in the broadcast skip set (sorted uint64). The repo-metadata
+    pre-filter: the reference skips forks and private/archived repos at
+    discovery time (``scanner/github.go:198-200`` private/archived,
+    ``:373-375`` forks, ``scanner/bitbucket.go:57-61``) — here the skip
+    set is the metadata table's flagged repos, broadcast once, applied
+    before the schedule shuffle so flagged rows never shuffle."""
+    skip = np.sort(np.asarray(skip_hashes, dtype=np.uint64))
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        if not len(skip):
+            return batch
+        h = batch.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        idx = np.clip(np.searchsorted(skip, h), 0, len(skip) - 1)
+        return batch.filter(pa.array(skip[idx] != h))
+
+    return _filter
+
+
 class SeenFilterActor:
     """Cross-run revisit filter: drops rows whose canonical hash is in
     the committed seen set (read-only ``contains`` against the seen

@@ -290,6 +290,38 @@ class TestFetchTieBreak:
         assert len(urls) == len(set(urls))  # no duplicate despite the ts tie
 
 
+class TestRepoMetaFilter:
+    """M9 fork detector + M6 private/archived filter wired into the
+    schedule pass (scanner/github.go:198-200, 373-375): flagged repos
+    never reach the shuffle, the rest crawl unchanged."""
+
+    def test_flagged_repos_skipped(self, ray_session, frontier_tiny, politeness_cfg, tmp_path):
+        from don_crawler_ray.sources.frontier import generate_repo_meta, repo_meta_skip_hashes
+
+        meta = generate_repo_meta(frontier_tiny)
+        skip = repo_meta_skip_hashes(meta)
+        assert len(skip) > 0  # fixture flags a real subset
+
+        base = str(tmp_path / "base")
+        run_crawl(frontier_tiny, base, politeness_cfg, n_seen_shards=2, n_salts=4)
+        filtered = str(tmp_path / "filtered")
+        c = run_crawl(
+            frontier_tiny, filtered, politeness_cfg, n_seen_shards=2, n_salts=4,
+            skip_hashes=skip,
+        )
+        t_base = crawl_output_table(base)
+        t_filt = crawl_output_table(filtered)
+        skip_set = set(skip.tolist())
+        base_hashes = t_base.column("url_hash").to_numpy(zero_copy_only=False)
+        filt_hashes = set(t_filt.column("url_hash").to_numpy(zero_copy_only=False).tolist())
+        # no flagged repo in the filtered output
+        assert not (filt_hashes & skip_set)
+        # every unflagged base row survives untouched
+        expected = {int(h) for h in base_hashes if int(h) not in skip_set}
+        assert filt_hashes == expected
+        assert c["fetched"] == len(expected)
+
+
 def test_restore_shard_count_mismatch(ray_session, frontier_tiny, politeness_cfg, tmp_path):
     first = str(tmp_path / "first")
     run_crawl(frontier_tiny, first, politeness_cfg, n_seen_shards=2, n_salts=4)
