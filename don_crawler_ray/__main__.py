@@ -29,9 +29,16 @@ def _ensure_ray(num_cpus: int | None) -> None:
 
 
 def cmd_crawl(args) -> int:
+    from don_crawler_ray.config import load_config
     from don_crawler_ray.pipelines.crawl import run_crawl
     from don_crawler_ray.stages.schedule import PolitenessConfig
 
+    if not args.out:
+        # Viper-style default (main.go:23-38): DATADIR from env /
+        # config file / built-in default
+        import os
+
+        args.out = os.path.join(str(load_config()["DATADIR"]), "crawl")
     _ensure_ray(args.num_cpus)
     politeness = None
     if args.politeness:
@@ -103,7 +110,7 @@ def main(argv=None) -> int:
 
     c = sub.add_parser("crawl", help="checkpointed frontier crawl")
     c.add_argument("--frontier", required=True)
-    c.add_argument("--out", required=True)
+    c.add_argument("--out", default=None, help="output dir (default: $DATADIR/crawl)")
     c.add_argument("--politeness", help="politeness parquet (host budgets + robots)")
     c.add_argument("--salts", type=int, default=8)
     c.add_argument("--seen-shards", type=int, default=8)

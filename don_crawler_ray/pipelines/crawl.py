@@ -208,6 +208,7 @@ def run_fetch_rounds(
     out_dir: str,
     extract_concurrency: int | tuple | None = None,
     batch_size: int = 2048,
+    scanner: str = "html",
 ) -> None:
     """Fetch+extract EVERY pending round in ONE page-store scan; output
     lands hive-partitioned as ``out_dir/round=<N>/``. The per-round
@@ -223,7 +224,11 @@ def run_fetch_rounds(
     ds = ds.map_batches(canonicalize_stage, batch_format="pyarrow")
     ds = ds.map_batches(
         FetchExtractActor,
-        fn_constructor_kwargs={"members_ref": members_ref, "rounds_ref": rounds_ref},
+        fn_constructor_kwargs={
+            "members_ref": members_ref,
+            "rounds_ref": rounds_ref,
+            "scanner": scanner,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=extract_concurrency or default_extract_concurrency(),
@@ -307,6 +312,7 @@ def run_crawl(
     seen_restore_dir: str | None = None,
     membership_byte_budget: int = 1 << 30,
     skip_hashes=None,
+    scanner: str = "html",
 ) -> dict:
     """Full checkpointed crawl. Returns the run's counter dict
     (including per-phase wall times under ``phase_*`` keys)."""
@@ -434,6 +440,7 @@ def run_crawl(
                     out_dir,
                     extract_concurrency=extract_concurrency,
                     batch_size=batch_size,
+                    scanner=scanner,
                 )
             phases["fetch"] = phases.get("fetch", 0.0) + round(_t() - t_round, 2)
 
@@ -539,6 +546,7 @@ def crawl_dataset(
     n_salts: int = 4,
     extract_concurrency=None,
     batch_size: int = 512,
+    scanner: str = "html",
 ):
     """One-shot streaming crawl (no checkpointing): schedule in memory,
     fetch+extract round 0, return the lazy extracted Dataset."""
@@ -560,6 +568,7 @@ def crawl_dataset(
     ds = ds.map_batches(make_membership_filter(members), batch_format="pyarrow")
     ds = ds.map_batches(
         ExtractActor,
+        fn_constructor_kwargs={"scanner": scanner},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=extract_concurrency or default_extract_concurrency(),

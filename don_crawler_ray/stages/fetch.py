@@ -19,8 +19,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from don_crawler_ray.functions.extract import description_from_readme, extract_text
-
 _TS_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
@@ -115,36 +113,26 @@ def make_membership_filter(member_keys: np.ndarray):
 class ExtractActor:
     """Stateful extract stage for ``map_batches(ExtractActor, concurrency=N)``.
 
-    Setup (nothing heavy today, but the seam where a real deployment
-    compiles boilerplate models / loads tokenizers) happens once per
-    actor in ``__init__`` — per-batch work is only the vectorizable
-    per-row kernel (M12/M20 analog). Drops ``html`` from the output
-    immediately: page bytes never travel past extraction (SURVEY §7
-    hard part e).
+    The extract strategy is resolved from the scanner REGISTRY by name
+    in ``__init__`` (once per actor — the ST8 held-client seam and the
+    ``scanner.Scanner`` plug-in surface, ``scanner/scanner.go:13-17``);
+    per-batch work delegates to the scanner's vectorizable kernel
+    (M12/M20 analog). Drops ``html`` from the output immediately: page
+    bytes never travel past extraction (SURVEY §7 hard part e).
     """
 
-    def __init__(self, keep_html: bool = False):
+    def __init__(self, keep_html: bool = False, scanner: str = "html"):
+        from don_crawler_ray.registry import get_scanner
+
         self.keep_html = keep_html
+        self.scanner = get_scanner(scanner)
         self.pages = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        htmls = batch.column("html").to_pylist()
-        texts = []
-        descs = []
-        _x, _d = extract_text, description_from_readme
-        for h in htmls:
-            t = _x(h)
-            texts.append(t)
-            descs.append(_d(t))
-        self.pages += len(htmls)
-        out = batch
-        if not self.keep_html:
-            out = out.drop_columns(["html"])
-        out = out.append_column("text", pa.array(texts, pa.string()))
-        out = out.append_column("description", pa.array(descs, pa.string()))
-        out = out.append_column(
-            "text_len", pa.array([len(t) for t in texts], pa.int64())
-        )
+        self.pages += batch.num_rows
+        out = self.scanner.extract(batch)
+        if self.keep_html:
+            out = out.append_column("html", batch.column("html"))
         return out
 
 
@@ -154,7 +142,7 @@ class FetchExtractActor:
     closure-captured array would be re-serialized into every task —
     gigabytes at 10^10-URL rounds). Output drops ``html``."""
 
-    def __init__(self, members_ref, rounds_ref=None):
+    def __init__(self, members_ref, rounds_ref=None, scanner: str = "html"):
         import ray
 
         self.members = (
@@ -165,7 +153,7 @@ class FetchExtractActor:
             self.rounds = (
                 ray.get(rounds_ref) if not isinstance(rounds_ref, np.ndarray) else rounds_ref
             )
-        self.extract = ExtractActor()
+        self.extract = ExtractActor(scanner=scanner)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         members = self.members
