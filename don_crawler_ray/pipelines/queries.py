@@ -7,11 +7,11 @@ part orders lineitem events documents embeddings``). Column names match
 exactly on both sides (the driver's compare requires it).
 
 Only the crawl-pipeline queries (which read the synthetic frontier the
-driver cannot see) and minhash_pairs appear without an ``ORACLE_SQL``
-entry — the driver records rows-only checks for those — and each has a
-dedicated pytest oracle in ``tests/``. Everything else, including
-simhash (FNV-1a in SQL), vitality, and the embedding ops, is
-DuckDB-checked.
+driver cannot see) appear without an ``ORACLE_SQL`` entry — the driver
+records rows-only checks for those — and each has a dedicated pytest
+oracle in ``tests/``. Everything else, including simhash and the full
+MinHash+LSH pipeline (FNV-1a / splitmix / Mersenne-61 permutations
+re-derived in SQL), vitality, and the embedding ops, is DuckDB-checked.
 
 Float discipline: per-row expressions are written with the identical
 operation order in Ray (numpy/pyarrow doubles) and SQL (doubles) so
@@ -1667,6 +1667,124 @@ SELECT doc_id,
 FROM bits GROUP BY doc_id
 """
 
+def _build_minhash_sql() -> str:
+    """MinHash+LSH, bit-for-bit in SQL. Mirrors functions/dedup.py:
+
+    - shingle hash: FNV-1a of ``"tok1 tok2 tok3 "`` (the per-token
+      0x20 mix step IS a space byte) via list_reduce in HUGEINT;
+    - 64 permutations ``(a_j * x + b_j) mod 2^61-1`` with the a/b
+      constants computed by the same ``_perm_params`` and inlined
+      (config constants, not data);
+    - band keys: the 4-step splitmix fold as chained CTEs, with
+      64-bit multiplies done by 32-bit limb split (a full 64x64
+      product overflows signed INT128);
+    - per-bucket 256 cap by doc_id, cross-band DISTINCT pairs, exact
+      Jaccard via a shingle-set self-join (int/int division -> the
+      identical double in both engines).
+    """
+    from don_crawler_ray.functions.dedup import _MERSENNE61, _perm_params
+
+    a, b = _perm_params(64)
+    perm_values = ", ".join(f"({j + 1}, {int(a[j])}, {int(b[j])})" for j in range(64))
+    m61 = _MERSENNE61
+    m64 = 1 << 64
+    fnv_prime, fnv_offset = 1099511628211, 1469598103934665603
+    c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(z, c):
+        zh = f"(CAST({z} AS HUGEINT) >> 32)"
+        zl = f"(CAST({z} AS HUGEINT) & 4294967295)"
+        return (
+            f"CAST(((({zh} * {c}) % 4294967296) * 4294967296 + {zl} * {c}) % {m64} AS UBIGINT)"
+        )
+
+    def mix_ctes(tag, src, in_expr, carry, out):
+        cols = ", ".join(carry)
+        return f"""
+{tag}a AS (SELECT {cols}, CAST((CAST({in_expr} AS HUGEINT) + {c1}) % {m64} AS UBIGINT) AS z FROM {src}),
+{tag}b AS (SELECT {cols}, {mulmod('xor(z, z >> 30)', c2)} AS z FROM {tag}a),
+{tag}m AS (SELECT {cols}, {mulmod('xor(z, z >> 27)', c3)} AS z FROM {tag}b),
+{tag}c AS (SELECT {cols}, xor(z, z >> 31) AS {out} FROM {tag}m)"""
+
+    chain = ",".join(
+        [
+            mix_ctes("f1", "b0", "s0", ["doc_id", "band", "s1", "s2", "s3"], "acc"),
+            mix_ctes("f2", "f1c", "xor(acc, s1)", ["doc_id", "band", "s2", "s3"], "acc"),
+            mix_ctes("f3", "f2c", "xor(acc, s2)", ["doc_id", "band", "s3"], "acc"),
+            mix_ctes("f4", "f3c", "xor(acc, s3)", ["doc_id", "band"], "acc"),
+            mix_ctes("f5", "f4c", "xor(acc, band << 56)", ["doc_id", "band"], "band_key"),
+        ]
+    )
+
+    return f"""
+WITH perms(j, a, b) AS (VALUES {perm_values}),
+t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
+tp AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN toks
+              ELSE toks || (SELECT list(x) FROM (SELECT '' AS x, unnest(generate_series(1, 3 - len(toks))))) END AS toks
+  FROM t
+),
+pos AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(1, len(toks) - 2))) AS i FROM tp),
+shstr AS (
+  SELECT doc_id,
+         coalesce(toks[i], '') || ' ' || coalesce(toks[i+1], '') || ' ' || coalesce(toks[i+2], '') || ' ' AS s
+  FROM pos
+),
+shh AS (
+  SELECT DISTINCT doc_id,
+    list_reduce(
+      list_prepend(CAST({fnv_offset} AS UBIGINT),
+        list_transform(regexp_extract_all(s, '.'), c -> CAST(ascii(c) AS UBIGINT))),
+      (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * {fnv_prime}) % {m64} AS UBIGINT)
+    ) AS sh
+  FROM shstr
+),
+sig AS (
+  SELECT shh.doc_id, p.j,
+         CAST(min((CAST(p.a AS HUGEINT) * CAST(shh.sh % {m61} AS HUGEINT) + p.b) % {m61}) AS UBIGINT) AS sv
+  FROM shh CROSS JOIN perms p
+  GROUP BY 1, 2
+),
+piv AS (SELECT doc_id, CAST((j - 1) // 4 AS UBIGINT) AS band, (j - 1) % 4 AS r, sv FROM sig),
+b0 AS (
+  SELECT doc_id, band,
+         max(CASE WHEN r = 0 THEN sv END) AS s0,
+         max(CASE WHEN r = 1 THEN sv END) AS s1,
+         max(CASE WHEN r = 2 THEN sv END) AS s2,
+         max(CASE WHEN r = 3 THEN sv END) AS s3
+  FROM piv GROUP BY 1, 2
+),
+{chain},
+bucket AS (
+  SELECT band_key, doc_id,
+         row_number() OVER (PARTITION BY band_key ORDER BY doc_id) AS rn
+  FROM f5c
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bucket x JOIN bucket y
+    ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+  WHERE x.rn <= 256 AND y.rn <= 256
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1),
+inter AS (
+  SELECT c.a, c.b, count(sb.sh) AS ni
+  FROM cand c
+  JOIN shh sa ON sa.doc_id = c.a
+  LEFT JOIN shh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT i.a, i.b, i.ni / CAST(za.n + zb.n - i.ni AS DOUBLE) AS jaccard
+  FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b
+)
+SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.5
+"""
+
+
+SQL_MINHASH_PAIRS = _build_minhash_sql()
+
 ORACLE_SQL.update(
     {
         "text_stats": SQL_TEXT_STATS,
@@ -1675,5 +1793,6 @@ ORACLE_SQL.update(
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "vitality_events": SQL_VITALITY_EVENTS,
         "simhash_docs": SQL_SIMHASH,
+        "minhash_pairs": SQL_MINHASH_PAIRS,
     }
 )
