@@ -50,22 +50,41 @@ SCHEDULE_SCHEMA = pa.schema(
 )
 
 
-def add_salt_stage(n_salts: int, hot_hosts: frozenset[str]):
-    """map_batches kernel adding the shuffle salt column (works on the
-    slim schema: hot hosts are matched on the reversed host_key)."""
-    from don_crawler_ray.functions.urlnorm import reverse_host
+DEFAULT_N_BUCKETS = 256
+
+
+def add_salt_stage(n_salts: int, hot_hosts: frozenset[str], n_buckets: int = DEFAULT_N_BUCKETS):
+    """map_batches kernel adding the shuffle ``salt`` and ``bucket``
+    columns. The schedule shuffle exchanges on ``bucket`` — a FIXED
+    number of int32 hash partitions — instead of the raw
+    ``(host_key, salt)`` string key: sorting a few hundred int keys is
+    far cheaper than sorting millions of strings into one group per
+    host, and every (host, salt) pair still lands wholly inside one
+    bucket, so downstream semantics are unchanged. ``n_buckets`` is job
+    config (size it ~4x cluster cores at scale), not cluster-derived:
+    output content is identical for any value."""
+    from don_crawler_ray.functions.urlnorm import reverse_host, url_hash64
 
     hot_keys = frozenset(reverse_host(h) for h in hot_hosts)
 
     def _salt(batch: pa.Table) -> pa.Table:
-        keys = batch.column("host_key").to_pylist()
+        enc = pc.dictionary_encode(batch.column("host_key").combine_chunks())
+        host_dict = enc.dictionary.to_pylist()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        # per-DISTINCT-host work only: hash + hot membership
+        hh = np.fromiter((url_hash64(k) for k in host_dict), np.uint64, len(host_dict))
         if n_salts <= 1 or not hot_keys:
             salt = np.zeros(batch.num_rows, dtype=np.int32)
         else:
+            hot = np.fromiter((k in hot_keys for k in host_dict), bool, len(host_dict))
             hashes = batch.column("url_hash").to_numpy(zero_copy_only=False)
-            hot = np.array([k in hot_keys for k in keys])
-            salt = np.where(hot, (hashes % np.uint64(n_salts)).astype(np.int32), 0)
-        return batch.append_column("salt", pa.array(salt, pa.int32()))
+            salt = np.where(hot[codes], (hashes % np.uint64(n_salts)).astype(np.int32), 0)
+        with np.errstate(over="ignore"):
+            mixed = hh[codes] + salt.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        bucket = (mixed % np.uint64(n_buckets)).astype(np.int32)
+        return batch.append_column("salt", pa.array(salt, pa.int32())).append_column(
+            "bucket", pa.array(bucket, pa.int32())
+        )
 
     return _salt
 
@@ -116,8 +135,159 @@ class PolitenessConfig:
         return self.budget_by_host.get(host, self.default_budget)
 
 
+def make_schedule_bucket_fn(config: PolitenessConfig, n_salts: int, hot_hosts: frozenset[str]):
+    """Build the map_groups callable for ``groupby(bucket)``.
+
+    One call processes EVERY (host, salt) group hashed into the bucket,
+    fully vectorized: a single Arrow sort puts each group's rows
+    contiguous in the deterministic (warc_ts, canonical_url, raw_hash)
+    order, segment boundaries come from run-length detection, and
+    dedup / robots / rank / round / virtual-time are computed with
+    numpy gathers over per-segment parameters. Per-host Python work is
+    proportional to the number of DISTINCT hosts in the bucket, never
+    to rows."""
+    from don_crawler_ray.functions.urlnorm import reverse_host
+
+    def schedule_bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return pa.Table.from_pylist([], schema=SCHEDULE_SCHEMA)
+        order = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("host_key", "ascending"),
+                ("salt", "ascending"),
+                ("warc_ts", "ascending"),
+                ("canonical_url", "ascending"),
+                ("raw_hash", "ascending"),
+            ],
+        )
+        g = group.take(order)
+        urls = g.column("canonical_url")
+
+        enc = pc.dictionary_encode(g.column("host_key").combine_chunks())
+        host_dict = enc.dictionary.to_pylist()
+        hk_codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        salt_np = g.column("salt").to_numpy(zero_copy_only=False).astype(np.int64)
+
+        # (host, salt) segments are contiguous after the sort
+        change = np.ones(n, dtype=bool)
+        change[1:] = (hk_codes[1:] != hk_codes[:-1]) | (salt_np[1:] != salt_np[:-1])
+        seg_starts = np.flatnonzero(change)
+        seg_id = np.cumsum(change) - 1
+        seg_len = np.diff(np.append(seg_starts, n))
+
+        # per-distinct-host params (python work O(distinct hosts))
+        hosts = [reverse_host(k) for k in host_dict]
+        budgets = [config.budget(h) for h in hosts]
+        host_is_hot = np.fromiter(
+            ((h in hot_hosts) and n_salts > 1 for h in hosts), bool, len(hosts)
+        )
+        h_delay = np.fromiter((b[0] for b in budgets), np.int64, len(hosts))
+        h_conc = np.fromiter((max(1, b[1]) for b in budgets), np.int64, len(hosts))
+        h_budget = np.fromiter((b[2] for b in budgets), np.int64, len(hosts))
+
+        # 1. first-wins dedup within (segment, canonical_url)
+        url_codes = (
+            pc.dictionary_encode(urls.combine_chunks())
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        combined = (seg_id << np.int64(32)) | url_codes
+        _, first_idx = np.unique(combined, return_index=True)
+        dup_mask = np.ones(n, dtype=bool)
+        dup_mask[first_idx] = False
+
+        # 2. robots: hosts are contiguous, so each rule-bearing host is
+        # one slice — prefix checks run on the slice only (lazy paths).
+        allowed = np.ones(n, dtype=bool)
+        paths = None
+        for code, host in enumerate(hosts):
+            rules = config.rules(host)
+            if not rules.deny_all and not rules.disallow:
+                continue
+            lo = int(np.searchsorted(hk_codes, code, side="left"))
+            hi = int(np.searchsorted(hk_codes, code, side="right"))
+            if rules.deny_all:
+                allowed[lo:hi] = False
+                continue
+            if paths is None:
+                paths = pc.replace_substring_regex(
+                    urls, pattern=r"^[a-z][a-z0-9+.\-]*://[^/]*", replacement=""
+                )
+                paths = pc.replace_substring_regex(paths, pattern=r"\?.*$", replacement="")
+                paths = pc.if_else(pc.equal(paths, ""), pa.scalar("/"), paths).combine_chunks()
+            sub = paths.slice(lo, hi - lo)
+            denied = pc.starts_with(sub, pattern=rules.disallow[0])
+            for p in rules.disallow[1:]:
+                denied = pc.or_(denied, pc.starts_with(sub, pattern=p))
+            allowed[lo:hi] = ~denied.to_numpy(zero_copy_only=False)
+
+        sched_mask = ~dup_mask & allowed
+        status_pa = pc.if_else(
+            pa.array(dup_mask),
+            pa.scalar(STATUS_DUP),
+            pc.if_else(
+                pa.array(allowed), pa.scalar(STATUS_SCHEDULED), pa.scalar(STATUS_ROBOTS_DENIED)
+            ),
+        )
+
+        # 3. local rank within segment over scheduled rows
+        csum = np.cumsum(sched_mask.astype(np.int64))
+        seg_base = np.repeat(csum[seg_starts] - sched_mask[seg_starts], seg_len)
+        local = csum - seg_base - 1  # valid where sched_mask
+
+        # per-row parameters via code gathers
+        row_hot = host_is_hot[hk_codes]
+        row_stride = np.where(row_hot, np.int64(n_salts), np.int64(1))
+        row_budget = h_budget[hk_codes]
+        row_salt_budget = np.where(
+            row_budget < (1 << 59), np.maximum(1, row_budget // row_stride), row_budget
+        )
+        row_delay = h_delay[hk_codes]
+        row_delta = np.where(row_delay > 0, row_delay, 1)
+        row_conc = h_conc[hk_codes]
+
+        rank = np.full(n, -1, dtype=np.int64)
+        rank[sched_mask] = np.where(
+            row_hot, local * row_stride + salt_np, local
+        )[sched_mask]
+        rnd = np.full(n, -1, dtype=np.int32)
+        rnd[sched_mask] = (local // row_salt_budget)[sched_mask].astype(np.int32)
+        vms = np.full(n, -1, dtype=np.int64)
+        vms[sched_mask] = ((local // row_conc) * row_delta)[sched_mask]
+
+        host_col = pc.cast(
+            pa.DictionaryArray.from_arrays(
+                pa.array(hk_codes.astype(np.int32)), pa.array(hosts, pa.string())
+            ),
+            pa.string(),
+        )
+
+        return pa.table(
+            {
+                "canonical_url": urls,
+                "host": host_col,
+                "host_key": g.column("host_key"),
+                "url_hash": g.column("url_hash"),
+                "raw_hash": g.column("raw_hash"),
+                "warc_ts": g.column("warc_ts"),
+                "status": status_pa,
+                "round": pa.array(rnd, pa.int32()),
+                "rank": pa.array(rank, pa.int64()),
+                "virtual_ms": pa.array(vms, pa.int64()),
+            }
+        )
+
+    return schedule_bucket
+
+
 def make_schedule_group_fn(config: PolitenessConfig, n_salts: int, hot_hosts: frozenset[str]):
-    """Build the map_groups callable for groupby(host_key, salt)."""
+    """Build the map_groups callable for groupby(host_key, salt).
+
+    Single-host variant kept as the semantic reference for
+    ``make_schedule_bucket_fn`` (pytest asserts both produce identical
+    schedules); the pipeline runs the bucketed version."""
 
     def schedule_group(group: pa.Table) -> pa.Table:
         from don_crawler_ray.functions.urlnorm import reverse_host

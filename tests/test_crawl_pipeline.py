@@ -211,6 +211,64 @@ class TestIncrementalCrawl:
         assert c2["revisit_skipped"] + c2["robots_denied"] + c2["dedup_hit"] == c2["frontier_rows"]
 
 
+class TestBucketKernelEquivalence:
+    """The vectorized multi-host bucket kernel must reproduce the
+    single-host reference kernel's schedule exactly, for any bucket
+    count (bucketing only changes co-location, never content)."""
+
+    @pytest.mark.parametrize("n_buckets", [1, 7, 64])
+    def test_matches_single_host_kernel(self, ray_session, frontier_tiny, politeness_cfg, n_buckets):
+        import pyarrow as pa
+        import pyarrow.parquet as pq2
+
+        from don_crawler_ray.stages.canonicalize import canonicalize_slim_stage
+        from don_crawler_ray.stages.schedule import (
+            add_salt_stage,
+            make_schedule_bucket_fn,
+            make_schedule_group_fn,
+        )
+
+        n_salts = 4
+        hot = frozenset({"host0.example.nl"})
+        raw = pq2.read_table(frontier_tiny, columns=["url", "warc_ts"])
+        slim = canonicalize_slim_stage(raw)
+        salted = add_salt_stage(n_salts, hot, n_buckets=n_buckets)(slim)
+
+        bucket_fn = make_schedule_bucket_fn(politeness_cfg, n_salts, hot)
+        group_fn = make_schedule_group_fn(politeness_cfg, n_salts, hot)
+
+        parts = []
+        for b in sorted(set(salted.column("bucket").to_pylist())):
+            parts.append(bucket_fn(salted.filter(pc.equal(salted.column("bucket"), b))))
+        got = pa.concat_tables(parts)
+
+        want_parts = []
+        keys = sorted(
+            set(
+                zip(
+                    salted.column("host_key").to_pylist(),
+                    salted.column("salt").to_pylist(),
+                )
+            )
+        )
+        for hk, s in keys:
+            sel = pc.and_(
+                pc.equal(salted.column("host_key"), hk),
+                pc.equal(salted.column("salt"), s),
+            )
+            want_parts.append(group_fn(salted.filter(sel)))
+        want = pa.concat_tables(want_parts)
+
+        sort_keys = [("host_key", "ascending"), ("canonical_url", "ascending"), ("warc_ts", "ascending"), ("raw_hash", "ascending")]
+        got = got.take(pc.sort_indices(got, sort_keys=sort_keys))
+        want = want.take(pc.sort_indices(want, sort_keys=sort_keys))
+        assert got.num_rows == want.num_rows
+        for col in want.column_names:
+            assert got.column(col).combine_chunks().equals(
+                want.column(col).combine_chunks()
+            ), col
+
+
 class TestMembershipChunks:
     """Round membership is broadcast in byte-bounded chunks (the
     round-membership scale fix): an artificially tiny budget forces one
