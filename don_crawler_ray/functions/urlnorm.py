@@ -208,3 +208,37 @@ def is_dot_github_repo(name: str) -> bool:
     (``scanner/github.go:367-371``) — case-insensitive ``.github``
     after stripping a ``.git`` suffix."""
     return strip_git_suffix(name).lower() == ".github"
+
+
+# --- raw-file URL generators (M10) -----------------------------------------
+
+def gitlab_raw_url(base_url: str, default_branch: str, filename: str = "publiccode.yml") -> str:
+    """Port of ``generateGitlabRawURL`` (``scanner/gitlab.go:313-324``):
+    join ``raw/<branch>/<filename>`` onto the project URL's path with
+    Go ``path.Join`` cleaning semantics."""
+    import posixpath
+
+    parts = urlsplit(base_url)
+    joined = posixpath.normpath(
+        posixpath.join(parts.path or "/", "raw", default_branch, filename)
+    )
+    netloc = parts.netloc
+    return f"{parts.scheme}://{netloc}{joined}" if parts.scheme else f"{netloc}{joined}"
+
+
+def bitbucket_raw_url(owner: str, slug: str, main_branch: str, filename: str = "publiccode.yml") -> str:
+    """Port of the Bitbucket raw-URL format string
+    (``scanner/bitbucket.go:87, 148``)."""
+    return f"https://bitbucket.org/{owner}/{slug}/raw/{main_branch}/{filename}"
+
+
+def raw_file_url(repo_url: str, default_branch: str = "main", filename: str = "publiccode.yml") -> str:
+    """Platform-dispatched raw-file URL (the ``FileRawURL`` column,
+    ``common/repository.go:16``): bitbucket.org uses the format string,
+    everything else the GitLab-style path join (the engine's generic
+    fetch-URL builder)."""
+    host = url_host(repo_url)
+    if host == "bitbucket.org":
+        owner, slug = split_full_name(urlsplit(repo_url).path.strip("/"))
+        return bitbucket_raw_url(owner, slug, default_branch, filename)
+    return gitlab_raw_url(repo_url, default_branch, filename)

@@ -126,6 +126,39 @@ def test_git_suffix_and_dot_github():
     assert not is_dot_github_repo("x.github")
 
 
+def test_raw_file_urls():
+    from don_crawler_ray.functions.urlnorm import (
+        bitbucket_raw_url,
+        gitlab_raw_url,
+        raw_file_url,
+    )
+
+    # generateGitlabRawURL (scanner/gitlab.go:313-324)
+    assert (
+        gitlab_raw_url("https://gitlab.com/group/project", "main")
+        == "https://gitlab.com/group/project/raw/main/publiccode.yml"
+    )
+    # trailing slash cleaned like Go path.Join
+    assert (
+        gitlab_raw_url("https://gitlab.example.nl/g/sub/p/", "develop")
+        == "https://gitlab.example.nl/g/sub/p/raw/develop/publiccode.yml"
+    )
+    # bitbucket format string (scanner/bitbucket.go:87, 148)
+    assert (
+        bitbucket_raw_url("owner", "slug", "master")
+        == "https://bitbucket.org/owner/slug/raw/master/publiccode.yml"
+    )
+    # dispatch (FileRawURL, common/repository.go:16)
+    assert (
+        raw_file_url("https://bitbucket.org/team/repo", "master")
+        == "https://bitbucket.org/team/repo/raw/master/publiccode.yml"
+    )
+    assert (
+        raw_file_url("https://gitlab.com/a/b", "main")
+        == "https://gitlab.com/a/b/raw/main/publiccode.yml"
+    )
+
+
 def test_canonicalize_stage_kernel():
     import pyarrow as pa
 
