@@ -1667,6 +1667,81 @@ SELECT doc_id,
 FROM bits GROUP BY doc_id
 """
 
+def q_multimodal_decode(sf_dir: str):
+    """Multimodal decode + frame-sample as a driver-checked pipeline:
+    the deterministic fake media table flows through the REAL actor-pool
+    stages (``MediaDecodeActor`` with small batches, ``FrameSampleActor``
+    stride-10), and the output joins decoded metadata with per-media
+    sampled-frame counts. The fixture is a closed-form function of
+    (seed, media_id), so the DuckDB oracle recomputes it from
+    ``generate_series`` with the same bit arithmetic — no table needed."""
+    import ray
+
+    from don_crawler_ray.stages.multimodal import (
+        FrameSampleActor,
+        MediaDecodeActor,
+        generate_media_table,
+    )
+
+    media = generate_media_table(500, seed=42)
+    ds = ray.data.from_arrow(media).repartition(8)
+    decoded = ds.map_batches(
+        MediaDecodeActor, batch_format="pyarrow", batch_size=32, concurrency=2
+    )
+    dec_tbl = pa.Table.from_pylist(decoded.take_all())
+
+    from ray.data.aggregate import Count
+
+    frames = (
+        ray.data.from_arrow(dec_tbl.select(["media_id", "kind", "n_frames"]))
+        .map_batches(FrameSampleActor, batch_format="pyarrow", batch_size=64, concurrency=2)
+        .groupby("media_id")
+        .aggregate(Count(alias_name="n_sampled"))
+    )
+    fr_tbl = pa.Table.from_pylist(frames.take_all())
+    joined = dec_tbl.select(
+        ["media_id", "kind", "width", "height", "n_frames", "n_bytes"]
+    ).join(fr_tbl, keys=["media_id"])
+    return pa.table(
+        {
+            "media_id": pc.cast(joined.column("media_id"), pa.int64()),
+            "kind": pc.cast(joined.column("kind"), pa.int64()),
+            "width": pc.cast(joined.column("width"), pa.int64()),
+            "height": pc.cast(joined.column("height"), pa.int64()),
+            "n_frames": pc.cast(joined.column("n_frames"), pa.int64()),
+            "n_bytes": pc.cast(joined.column("n_bytes"), pa.int64()),
+            "n_sampled": pc.cast(joined.column("n_sampled"), pa.int64()),
+        }
+    )
+
+
+# generate_media_table's bit arithmetic re-derived over generate_series
+# (stages/multimodal.py:160-178): payload = 4B magic + 13B header + 64B
+# body = 81 bytes; frame sampling = every 10th frame.
+SQL_MULTIMODAL = """
+WITH m AS (
+  SELECT i AS media_id,
+         (i * 2654435761 + 42) % 4294967296 AS h
+  FROM (SELECT unnest(generate_series(0, 499)) AS i)
+),
+d AS (
+  SELECT media_id,
+         CAST(h % 3 AS BIGINT) AS kind,
+         CAST(16 + (h // 16) % 512 AS BIGINT) AS width,
+         CAST(16 + (h // 8192) % 512 AS BIGINT) AS height,
+         CAST(CASE WHEN h % 3 = 0 THEN 1 ELSE 1 + (h // 2097152) % 100 END AS BIGINT) AS n_frames
+  FROM m
+)
+SELECT media_id, kind, width, height, n_frames,
+       CAST(81 AS BIGINT) AS n_bytes,
+       CAST((n_frames - 1) // 10 + 1 AS BIGINT) AS n_sampled
+FROM d
+"""
+
+QUERIES["multimodal_decode"] = q_multimodal_decode
+ORACLE_SQL["multimodal_decode"] = SQL_MULTIMODAL
+
+
 def _build_minhash_sql() -> str:
     """MinHash+LSH, bit-for-bit in SQL. Mirrors functions/dedup.py:
 
