@@ -1667,6 +1667,115 @@ SELECT doc_id,
 FROM bits GROUP BY doc_id
 """
 
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF-probed ANN search — the scale path for similarity search:
+    instead of scoring every vector (q_ann_topk), each query probes its
+    ``nprobe=2`` nearest centroids and scores ONLY vectors assigned to
+    those buckets (broadcast codebook + probe sets; per-batch partial
+    top-k; driver merge of k x queries rows). Approximation bounded by
+    quantization error, same as q_embedding_neardup. Scores quantized
+    to 1e-6 for the cross-engine contract."""
+    emb = _read_table(sf_dir, "embeddings", columns=["embedding", "label", "vec_id"])
+    mat = np.stack([np.asarray(v, np.float64) for v in emb.column("embedding").to_pylist()])
+    labels = np.asarray(emb.column("label").to_pylist())
+    cents = np.stack([mat[labels == l].mean(axis=0) for l in sorted(set(labels.tolist()))])
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    all_ids = np.asarray(emb.column("vec_id").to_pylist(), dtype=np.int64)
+    mn_all = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    q_sel = all_ids < 5
+    q_ids = all_ids[q_sel]
+    qn = mn_all[q_sel]
+    # nprobe=2 nearest centroids per query (desc score, asc centroid id)
+    qc = qn @ cn.T
+    probes = {}
+    for qi, qid in enumerate(q_ids):
+        order = np.lexsort((np.arange(cn.shape[0]), -qc[qi]))[:2]
+        probes[int(qid)] = set(order.tolist())
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = np.stack([np.asarray(v, np.float64) for v in batch.column("embedding").to_pylist()])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        buckets = np.argmax(mn @ cn.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(q_ids):
+            cand = np.isin(buckets, list(probes[int(qid)]))
+            if not cand.any():
+                continue
+            s = mn[cand] @ qn[qi]
+            cids = ids[cand]
+            order = np.lexsort((cids, -s))[:10]
+            out_q.extend([int(qid)] * len(order))
+            out_v.extend(cids[order].tolist())
+            out_s.extend(s[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
+    t = pa.Table.from_pylist(partials)
+    out_rows = []
+    for qid in q_ids:
+        sub = t.filter(pc.equal(t.column("query_id"), int(qid)))
+        s = sub.column("score").to_numpy(zero_copy_only=False)
+        v = sub.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -s))[:10]
+        for rank, j in enumerate(order):
+            out_rows.append(
+                {
+                    "query_id": int(qid),
+                    "rank": rank,
+                    "vec_id": int(v[j]),
+                    "score_e6": int(np.rint(s[j] * 1e6)),
+                }
+            )
+    return pa.Table.from_pylist(out_rows)
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH {_SQL_EMB_DIMS}, {_SQL_EMB_CENTROIDS},
+nd AS (SELECT d.vec_id, d.dim, d.v / vn.vn AS nv
+       FROM d JOIN vnorm vn ON vn.vec_id = d.vec_id),
+assign AS (
+  SELECT nd.vec_id, c.cid,
+         row_number() OVER (
+           PARTITION BY nd.vec_id
+           ORDER BY sum(nd.nv * c.cv / cn.cn) DESC, c.cid ASC
+         ) AS rn
+  FROM nd JOIN cent c ON nd.dim = c.dim JOIN cnorm cn ON cn.cid = c.cid
+  GROUP BY nd.vec_id, c.cid
+),
+bucket AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+qprobe AS (SELECT vec_id AS query_id, cid FROM assign WHERE vec_id < 5 AND rn <= 2),
+scores AS (
+  SELECT qp.query_id, b.vec_id, sum(nv_v.nv * nv_q.nv) AS score
+  FROM qprobe qp
+  JOIN bucket b ON b.cid = qp.cid
+  JOIN nd nv_v ON nv_v.vec_id = b.vec_id
+  JOIN nd nv_q ON nv_q.vec_id = qp.query_id AND nv_q.dim = nv_v.dim
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) - 1 AS rank
+  FROM scores
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+       CAST(round(score * 1000000) AS BIGINT) AS score_e6
+FROM ranked WHERE rank < 10
+"""
+
+QUERIES["ann_ivf_topk"] = q_ann_ivf_topk
+ORACLE_SQL["ann_ivf_topk"] = SQL_ANN_IVF_TOPK
+
+
 def q_multimodal_decode(sf_dir: str):
     """Multimodal decode + frame-sample as a driver-checked pipeline:
     the deterministic fake media table flows through the REAL actor-pool
