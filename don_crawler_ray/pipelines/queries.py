@@ -1776,6 +1776,168 @@ QUERIES["ann_ivf_topk"] = q_ann_ivf_topk
 ORACLE_SQL["ann_ivf_topk"] = SQL_ANN_IVF_TOPK
 
 
+def q_anti_join_customers(sf_dir: str):
+    """Broadcast ANTI-join as a driver-checked query (the seen-set /
+    revisit-skip pattern, SURVEY §2.4): customers with no order above
+    300k. The qualifying-custkey set is broadcast (sorted array,
+    searchsorted probe); no shuffle."""
+    otbl = _read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    big = pc.greater(otbl.column("o_totalprice"), 300000.0)
+    okeys = np.unique(
+        otbl.filter(big).column("o_custkey").to_numpy(zero_copy_only=False)
+    )
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(okeys, ck), 0, len(okeys) - 1)
+        return batch.filter(pa.array(okeys[idx] != ck))
+
+    return ds.map_batches(anti, batch_format="pyarrow")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+"""
+
+
+def q_median_order_value(sf_dir: str):
+    """Quantile aggregate per group (median order price per nation):
+    broadcast custkey->nationkey map, then per-group exact order
+    statistic (odd n -> middle element; even n -> mean of the two
+    middles, the same single IEEE division both engines perform)."""
+    from ray.data.aggregate import Count
+
+    cust = _read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    nk = cust.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ck, kind="stable")
+    ck_sorted, nk_sorted = ck[order], nk[order]
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(ck_sorted, ok), 0, len(ck_sorted) - 1)
+        return pa.table(
+            {
+                "c_nationkey": pa.array(nk_sorted[idx]),
+                "o_totalprice": batch.column("o_totalprice"),
+            }
+        )
+
+    def median_group(group: pa.Table) -> pa.Table:
+        v = np.sort(group.column("o_totalprice").to_numpy(zero_copy_only=False))
+        n = len(v)
+        med = v[n // 2] if n % 2 else (v[n // 2 - 1] + v[n // 2]) / 2.0
+        return pa.table(
+            {
+                "c_nationkey": pa.array([group.column("c_nationkey")[0].as_py()], pa.int64()),
+                "median_price": pa.array([float(med)], pa.float64()),
+                "n_orders": pa.array([n], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .map_groups(median_group, batch_format="pyarrow")
+    )
+
+
+SQL_MEDIAN = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       median(o_totalprice) AS median_price,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+def q_sliding_events(sf_dir: str):
+    """SLIDING window (overlapping, vs sessionize's gap windows and
+    hourly_events' tumbling ones): per user, the trailing-3-event sum
+    of value in (ts, event_id) order. Integer cents keep the window
+    sum exact regardless of either engine's summation order."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+
+    def trail(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
+        g = group.take(idx)
+        cents = np.rint(g.column("value").to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        csum = np.cumsum(cents)
+        trail3 = csum - np.concatenate([[0, 0, 0], csum[:-3]])
+        return pa.table(
+            {
+                "user_id": pc.cast(g.column("user_id"), pa.int64()),
+                "event_id": pc.cast(g.column("event_id"), pa.int64()),
+                "trail3_cents": pa.array(trail3, pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(trail, batch_format="pyarrow")
+
+
+SQL_SLIDING = """
+SELECT user_id, event_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail3_cents
+FROM events
+"""
+
+
+def q_event_paths(sf_dir: str):
+    """Ordered string aggregation per group: each user's first five
+    event types in (ts, event_id) order joined by '>' — the
+    path-analysis op layered on sessionization."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def path(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
+        g = group.take(idx[:5])
+        return pa.table(
+            {
+                "user_id": pa.array([group.column("user_id")[0].as_py()], pa.int64()),
+                "path": pa.array([">".join(g.column("event_type").to_pylist())], pa.string()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(path, batch_format="pyarrow")
+
+
+SQL_EVENT_PATHS = """
+SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+FROM (
+  SELECT user_id, ts, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn <= 5
+GROUP BY user_id
+"""
+
+QUERIES.update(
+    {
+        "anti_join_customers": q_anti_join_customers,
+        "median_order_value": q_median_order_value,
+        "sliding_events": q_sliding_events,
+        "event_paths": q_event_paths,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "anti_join_customers": SQL_ANTI_JOIN,
+        "median_order_value": SQL_MEDIAN,
+        "sliding_events": SQL_SLIDING,
+        "event_paths": SQL_EVENT_PATHS,
+    }
+)
+
+
 def q_multimodal_decode(sf_dir: str):
     """Multimodal decode + frame-sample as a driver-checked pipeline:
     the deterministic fake media table flows through the REAL actor-pool
