@@ -113,6 +113,52 @@ class CuckooFilter:
                     return True
         return False
 
+    def insert_many(self, keys_sorted: np.ndarray) -> np.ndarray:
+        """Vectorized bulk insert of unique uint64 keys (caller sorts —
+        a deterministic order makes the table bytes reproducible).
+
+        Rows are left-packed invariantly (sequential inserts fill the
+        first empty slot; evictions overwrite in place), so a bucket's
+        free slots are exactly ``occ[b]..3`` and placement is a pure
+        scatter: group keys by candidate bucket, give the first
+        ``4 - occ`` of each group slots ``occ + rank``. Two passes
+        (i1 then i2) place everything that needs no eviction; the
+        returned mask marks leftovers for the per-key eviction path
+        (rare below ~50% load — the shard grows at 90%)."""
+        h = keys_sorted.astype(np.uint64)
+        n = len(h)
+        unplaced = np.ones(n, dtype=bool)
+        if n == 0:
+            return unplaced
+        fp = (h >> np.uint64(48)).astype(np.uint16)
+        fp = np.where(fp == 0, np.uint16(1), fp)
+        i1 = (h & self._mask).astype(np.int64)
+        i2 = self._alt_index(i1.astype(np.uint64), fp).astype(np.int64)
+        for cand in (i1, i2):
+            idx = np.flatnonzero(unplaced)
+            if not len(idx):
+                break
+            b = cand[idx]
+            order = np.argsort(b, kind="stable")
+            bs = b[order]
+            # occupancy read per candidate bucket AFTER the previous
+            # pass's scatter (rows are left-packed, so occupancy is the
+            # first free slot); constant within a group since groups
+            # scatter only below
+            occ_b = (self.table[bs] != _EMPTY).sum(axis=1)
+            starts = np.flatnonzero(np.concatenate([[True], bs[1:] != bs[:-1]]))
+            seg_len = np.diff(np.append(starts, len(bs)))
+            seg = np.repeat(np.arange(len(starts)), seg_len)
+            cumcount = np.arange(len(bs)) - starts[seg]
+            place = cumcount < (4 - occ_b)
+            rows = bs[place]
+            slots = occ_b[place] + cumcount[place]
+            placed_keys = idx[order[place]]
+            self.table[rows, slots] = fp[placed_keys]
+            self.count += int(place.sum())
+            unplaced[placed_keys] = False
+        return unplaced
+
     def state(self) -> dict:
         return {"table": self.table, "count": self.count, "cursor": self._evict_cursor}
 
@@ -150,7 +196,10 @@ class SeenShard:
         need = len(self.exact) + incoming
         while need > int(self.filter.n_buckets * 4 * 0.90):
             bigger = CuckooFilter(max(need * 2, self.filter.n_buckets * 8))
-            for hv in self.exact:
+            arr = np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact))
+            arr.sort()
+            failed = bigger.insert_many(arr)
+            for hv in arr[failed].tolist():
                 bigger.insert(hv)
             self.filter = bigger
 
@@ -179,9 +228,11 @@ class SeenShard:
         new = incoming - self.exact
         self._maybe_grow(len(new))
         self.exact |= new
-        insert = self.filter.insert
-        for hv in new:
-            insert(hv)
+        new_sorted = np.fromiter(new, dtype=np.uint64, count=len(new))
+        new_sorted.sort()
+        failed = self.filter.insert_many(new_sorted)
+        for hv in new_sorted[failed].tolist():  # eviction path, rare
+            self.filter.insert(hv)
         self.dedup_hits += len(incoming) - len(new)
         return len(new)
 

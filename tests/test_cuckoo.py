@@ -38,6 +38,38 @@ class TestCuckooFilter:
         assert np.array_equal(a.table, b.table)
         assert a._evict_cursor == b._evict_cursor
 
+    def test_insert_many_membership_and_count(self):
+        f = CuckooFilter(capacity=40_000)
+        keys = np.unique(_keys(15_000, seed=7))
+        keys.sort()
+        failed = f.insert_many(keys)
+        for k in keys[failed].tolist():
+            assert f.insert(k)
+        assert f.contains_many(keys).all()
+        assert f.count == len(keys)
+        # low load -> the vectorized path places essentially everything
+        assert failed.mean() < 0.02
+
+    def test_insert_many_deterministic(self):
+        a, b = CuckooFilter(16_384), CuckooFilter(16_384)
+        keys = np.unique(_keys(9_000, seed=8))
+        keys.sort()
+        fa, fb = a.insert_many(keys), b.insert_many(keys)
+        assert np.array_equal(fa, fb)
+        assert np.array_equal(a.table, b.table)
+
+    def test_add_many_order_insensitive_snapshot(self, tmp_path):
+        keys = np.unique(_keys(20_000, seed=9))
+        rng = np.random.RandomState(10)
+        perm = rng.permutation(len(keys))
+        s1, s2 = SeenShard(shard_id=0, capacity=1 << 12), SeenShard(shard_id=0, capacity=1 << 12)
+        s1.add_many(keys[: len(keys) // 2])
+        s1.add_many(keys[len(keys) // 2 :])
+        s2.add_many(keys[perm][: len(keys) // 3])
+        s2.add_many(keys[perm][len(keys) // 3 :])
+        assert s1.contains(keys).all() and s2.contains(keys).all()
+        assert np.array_equal(s1.sorted_hashes(), s2.sorted_hashes())
+
     def test_state_roundtrip(self):
         f = CuckooFilter(1024)
         keys = _keys(500, seed=5)
