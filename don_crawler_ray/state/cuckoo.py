@@ -188,6 +188,9 @@ class SeenShard:
         self.filter = CuckooFilter(capacity)
         self.exact: set[int] = set()
         self.dedup_hits = 0
+        # sorted-exact cache for vectorized contains(); `exact` only
+        # grows, so a length check detects staleness
+        self._sorted_cache: np.ndarray | None = None
 
     def _maybe_grow(self, incoming: int) -> None:
         """Rebuild the filter at 2x when load would exceed ~90% — an
@@ -237,11 +240,17 @@ class SeenShard:
         return len(new)
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized membership: cuckoo pre-pass, then false-positive
+        verification of the maybe-hits by searchsorted against the
+        cached sorted exact array (rebuilt lazily after mutations)."""
         h = np.asarray(hashes, dtype=np.uint64)
         maybe = self.filter.contains_many(h)
         out = np.zeros(len(h), dtype=bool)
-        for j, (hv, m) in enumerate(zip(h.tolist(), maybe.tolist())):
-            out[j] = m and hv in self.exact
+        if maybe.any() and self.exact:
+            se = self.sorted_hashes()
+            cand = h[maybe]
+            idx = np.clip(np.searchsorted(se, cand), 0, len(se) - 1)
+            out[maybe] = se[idx] == cand
         return out
 
     def stats(self) -> dict:
@@ -253,7 +262,11 @@ class SeenShard:
         }
 
     def sorted_hashes(self) -> np.ndarray:
-        return np.sort(np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact)))
+        if self._sorted_cache is None or len(self._sorted_cache) != len(self.exact):
+            arr = np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact))
+            arr.sort()
+            self._sorted_cache = arr
+        return self._sorted_cache
 
     # --- checkpointing (ST6 analog) ---------------------------------------
 
@@ -284,4 +297,5 @@ class SeenShard:
         )
         self.exact = set(data["exact"].tolist())
         self.dedup_hits = int(data["dedup_hits"])
+        self._sorted_cache = None
         return True
