@@ -256,16 +256,6 @@ def run_fetch_rounds(
     ds.write_parquet(out_dir, partition_cols=["round"])
 
 
-def _round_dir_rows(out_dir: str, rnd: int) -> int:
-    round_dir = os.path.join(out_dir, f"round={rnd}")
-    n = 0
-    if os.path.isdir(round_dir):
-        for name in os.listdir(round_dir):
-            if name.endswith(".parquet"):
-                n += pq.ParquetFile(os.path.join(round_dir, name)).metadata.num_rows
-    return n
-
-
 def _round_dir_hashes(out_dir: str, rnd: int) -> np.ndarray:
     """url_hashes actually WRITTEN for a round (column-pruned read of
     the round's output). The seen set commits these — not the scheduled
@@ -286,35 +276,6 @@ def _round_dir_hashes(out_dir: str, rnd: int) -> np.ndarray:
     if not parts:
         return np.empty(0, dtype=np.uint64)
     return np.concatenate(parts).astype(np.uint64)
-
-
-def run_fetch_round(
-    frontier_path: str,
-    round_table: pa.Table,
-    out_dir: str,
-    extract_concurrency: int | tuple | None = None,
-    batch_size: int = 2048,
-):
-    """Fetch+extract one round, write partitioned parquet. Returns rows written."""
-    import ray
-
-    members_ref = ray.put(make_round_membership(round_table))
-    ds = _read_frontier(frontier_path, FETCH_COLUMNS)
-    ds = ds.map_batches(canonicalize_stage, batch_format="pyarrow")
-    ds = ds.map_batches(
-        FetchExtractActor,
-        fn_constructor_kwargs={"members_ref": members_ref},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=extract_concurrency or default_extract_concurrency(),
-    )
-    os.makedirs(out_dir, exist_ok=True)
-    ds.write_parquet(out_dir)  # streaming sink — never materializes the round
-    n = 0
-    for name in os.listdir(out_dir):
-        if name.endswith(".parquet"):
-            n += pq.ParquetFile(os.path.join(out_dir, name)).metadata.num_rows
-    return n
 
 
 def run_crawl(
