@@ -520,6 +520,8 @@ def _write_manifest(path: str, manifest: dict) -> None:
 
 # --- flagship single-shot variant (entry()/tests) --------------------------
 
+CRAWL_DATASET_MAX_ROWS = 2_000_000
+
 def crawl_dataset(
     frontier_path: str,
     politeness: PolitenessConfig | None = None,
@@ -529,9 +531,21 @@ def crawl_dataset(
     scanner: str = "html",
 ):
     """One-shot streaming crawl (no checkpointing): schedule in memory,
-    fetch+extract round 0, return the lazy extracted Dataset."""
+    fetch+extract round 0, return the lazy extracted Dataset.
+
+    The schedule is materialized on the DRIVER here — acceptable only
+    for small inputs (the flagship ``entry()`` / tests); large
+    frontiers must use ``run_crawl``, whose schedule stays on disk and
+    whose membership broadcasts are byte-budgeted. Gated explicitly so
+    the driver cannot be OOMed by accident."""
     import ray
 
+    n_rows = _frontier_row_count(frontier_path)
+    if n_rows > CRAWL_DATASET_MAX_ROWS:
+        raise ValueError(
+            f"crawl_dataset materializes the schedule driver-side; the frontier has "
+            f"{n_rows} rows (> {CRAWL_DATASET_MAX_ROWS}). Use run_crawl() instead."
+        )
     sched_ds, _hot = build_schedule(frontier_path, politeness, n_salts=n_salts)
     sched_tbl = pa.concat_tables(
         ray.get(sched_ds.to_arrow_refs()), promote_options="default"

@@ -380,6 +380,16 @@ class TestRepoMetaFilter:
         assert c["fetched"] == len(expected)
 
 
+def test_crawl_dataset_size_gate(ray_session, frontier_tiny, politeness_cfg, monkeypatch):
+    """crawl_dataset materializes the schedule on the driver; a frontier
+    above the gate must be rejected with a pointer to run_crawl."""
+    from don_crawler_ray.pipelines import crawl as crawl_mod
+
+    monkeypatch.setattr(crawl_mod, "CRAWL_DATASET_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="run_crawl"):
+        crawl_dataset(frontier_tiny, politeness_cfg)
+
+
 def test_restore_shard_count_mismatch(ray_session, frontier_tiny, politeness_cfg, tmp_path):
     first = str(tmp_path / "first")
     run_crawl(frontier_tiny, first, politeness_cfg, n_seen_shards=2, n_salts=4)
