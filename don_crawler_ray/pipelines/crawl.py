@@ -145,11 +145,17 @@ def build_schedule(
     # THE shuffle: exchange on a fixed int32 hash-bucket key (cheap int
     # sort, few groups) rather than per-host string keys; the bucket
     # kernel handles every (host, salt) group in its bucket vectorized.
+    # The politeness config is ray.put ONCE and resolved per worker
+    # process — closure capture would re-ship the per-host map inside
+    # every serialized task.
+    import ray
+
+    config_ref = ray.put(politeness) if ray.is_initialized() else politeness
     ds = ds.map_batches(
         add_salt_stage(n_salts, hot_hosts, n_buckets=n_buckets), batch_format="pyarrow"
     )
     grouped = ds.groupby("bucket").map_groups(
-        make_schedule_bucket_fn(politeness, n_salts, hot_hosts),
+        make_schedule_bucket_fn(config_ref, n_salts, hot_hosts),
         batch_format="pyarrow",
     )
     return grouped, hot_hosts

@@ -135,8 +135,34 @@ class PolitenessConfig:
         return self.budget_by_host.get(host, self.default_budget)
 
 
-def make_schedule_bucket_fn(config: PolitenessConfig, n_salts: int, hot_hosts: frozenset[str]):
+# Per-process cache for broadcast PolitenessConfig objects: each worker
+# process deserializes the config ONCE per run, not once per task
+# (closure capture of the raw config would re-ship it inside every
+# serialized task at 10^9-host scale).
+_CONFIG_CACHE: dict = {}
+
+
+def resolve_config(config_or_ref) -> PolitenessConfig:
+    if isinstance(config_or_ref, PolitenessConfig):
+        return config_or_ref
+    key = config_or_ref.hex() if hasattr(config_or_ref, "hex") else id(config_or_ref)
+    cached = _CONFIG_CACHE.get(key)
+    if cached is None:
+        import ray
+
+        cached = ray.get(config_or_ref)
+        _CONFIG_CACHE.clear()  # one live config per worker is plenty
+        _CONFIG_CACHE[key] = cached
+    return cached
+
+
+def make_schedule_bucket_fn(config_or_ref, n_salts: int, hot_hosts: frozenset[str]):
     """Build the map_groups callable for ``groupby(bucket)``.
+
+    ``config_or_ref``: a ``PolitenessConfig`` or a ``ray.ObjectRef`` to
+    one — pass the ref from pipelines so the (potentially huge) per-host
+    config ships through the object store once and is cached per worker
+    process, instead of riding inside every task closure.
 
     One call processes EVERY (host, salt) group hashed into the bucket,
     fully vectorized: a single Arrow sort puts each group's rows
@@ -149,6 +175,7 @@ def make_schedule_bucket_fn(config: PolitenessConfig, n_salts: int, hot_hosts: f
     from don_crawler_ray.functions.urlnorm import reverse_host
 
     def schedule_bucket(group: pa.Table) -> pa.Table:
+        config = resolve_config(config_or_ref)
         n = group.num_rows
         if n == 0:
             return pa.Table.from_pylist([], schema=SCHEDULE_SCHEMA)
