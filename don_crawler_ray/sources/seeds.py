@@ -98,15 +98,25 @@ def seed_filter_stage(host_to_pub: dict[str, str]):
     never a shuffle)."""
 
     def _filter(batch: pa.Table) -> pa.Table:
-        hosts = batch.column("host").to_pylist()
-        keep = []
-        pubs = []
-        for h in hosts:
-            pid = host_to_pub.get(h)
-            keep.append(pid is not None)
-            pubs.append(pid)
-        out = batch.filter(pa.array(keep, pa.bool_()))
-        kept_pubs = [p for p, k in zip(pubs, keep) if k]
-        return out.append_column("publisher_id", pa.array(kept_pubs, pa.string()))
+        import numpy as np
+        import pyarrow.compute as pc
+
+        # per-DISTINCT-host lookup only (hosts repeat heavily)
+        enc = pc.dictionary_encode(batch.column("host").combine_chunks())
+        host_dict = enc.dictionary.to_pylist()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        pubs = [host_to_pub.get(h) for h in host_dict]
+        keep_by_code = np.fromiter((p is not None for p in pubs), bool, len(pubs))
+        keep = keep_by_code[codes] if len(codes) else np.zeros(0, bool)
+        out = batch.filter(pa.array(keep))
+        kept_codes = codes[keep]
+        pub_col = pc.cast(
+            pa.DictionaryArray.from_arrays(
+                pa.array(kept_codes.astype(np.int32)),
+                pa.array([p or "" for p in pubs], pa.string()),
+            ),
+            pa.string(),
+        )
+        return out.append_column("publisher_id", pub_col)
 
     return _filter

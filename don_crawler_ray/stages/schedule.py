@@ -123,11 +123,16 @@ class PolitenessConfig:
             )
         return cls(robots, budgets, default_budget)
 
+    _RULES_CACHE_MAX = 100_000
+
     def rules(self, host: str) -> RobotsRules:
         r = self._rules_cache.get(host)
         if r is None:
             # hosts absent from the table -> allow-all (no robots known)
             r = RobotsRules(self.robots_raw.get(host))
+            if len(self._rules_cache) >= self._RULES_CACHE_MAX:
+                # bound per-worker memory at web scale; parses are cheap
+                self._rules_cache.clear()
             self._rules_cache[host] = r
         return r
 
