@@ -242,10 +242,19 @@ def run_fetch_rounds(
     broadcast key array."""
     import ray
 
+    from don_crawler_ray.stages.fetch import make_raw_prefilter, make_raw_prefilter_keys
+
     keys, rounds = make_rounds_membership(rounds_table)
     members_ref = ray.put(keys)
     rounds_ref = ray.put(rounds)
     ds = _read_frontier(frontier_path, FETCH_COLUMNS)
+    # When the scheduled set covers a minority of the page store
+    # (budgeted rounds / incremental crawls), drop non-members with one
+    # raw-url FNV per row BEFORE the RFC 3986 canonicalize; above the
+    # threshold the extra hash pass costs more than it saves.
+    if rounds_table.num_rows < 0.5 * _frontier_row_count(frontier_path):
+        raw_ref = ray.put(make_raw_prefilter_keys(rounds_table))
+        ds = ds.map_batches(make_raw_prefilter(raw_ref), batch_format="pyarrow")
     ds = ds.map_batches(canonicalize_stage, batch_format="pyarrow")
     ds = ds.map_batches(
         FetchExtractActor,

@@ -82,6 +82,68 @@ def make_round_membership(schedule_round: pa.Table) -> np.ndarray:
     return np.sort(_schedule_keys(schedule_round))
 
 
+def make_raw_prefilter_keys(schedule_table: pa.Table) -> np.ndarray:
+    """Sorted (raw_hash, warc_ts) combined keys — the cheap PRE-filter
+    side. A page-store row can be tested against these with one FNV of
+    its raw url (no RFC 3986 parse), so when the scheduled set is a
+    small fraction of the store (budgeted rounds, incremental crawls)
+    most rows are dropped before the expensive canonicalize. False
+    positives pass through and are removed by the exact three-part
+    membership key afterwards — output is identical either way."""
+    rh = schedule_table.column("raw_hash").to_numpy(zero_copy_only=False)
+    ts = (
+        schedule_table.column("warc_ts")
+        .to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]")
+        .astype(np.int64)
+    )
+    return np.sort(combine_key(rh, ts))
+
+
+_ARRAY_CACHE: dict = {}
+
+
+def _resolve_array(ref_or_arr) -> np.ndarray:
+    """Per-process cache for ray.put numpy arrays referenced from
+    stateless fused kernels (closure-captured raw arrays would re-ship
+    with every task)."""
+    if isinstance(ref_or_arr, np.ndarray):
+        return ref_or_arr
+    key = ref_or_arr.hex() if hasattr(ref_or_arr, "hex") else id(ref_or_arr)
+    arr = _ARRAY_CACHE.get(key)
+    if arr is None:
+        import ray
+
+        arr = ray.get(ref_or_arr)
+        _ARRAY_CACHE.clear()
+        _ARRAY_CACHE[key] = arr
+    return arr
+
+
+def make_raw_prefilter(raw_keys_ref):
+    """map_batches kernel: FNV the raw url (no parse), drop rows whose
+    (raw_hash, warc_ts) is not scheduled. Fuses ahead of canonicalize."""
+    from don_crawler_ray.functions.urlnorm import url_hash64
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        raw_keys = _resolve_array(raw_keys_ref)
+        urls = batch.column("url").to_pylist()
+        rh = np.fromiter((url_hash64(u) for u in urls), np.uint64, len(urls))
+        ts = (
+            batch.column("warc_ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        keys = combine_key(rh, ts)
+        if not len(raw_keys):
+            return batch.filter(pa.array(np.zeros(len(keys), bool)))
+        idx = np.clip(np.searchsorted(raw_keys, keys), 0, len(raw_keys) - 1)
+        return batch.filter(pa.array(raw_keys[idx] == keys))
+
+    return _pre
+
+
 def make_rounds_membership(schedule_rounds: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     """Multi-round broadcast side: sorted combined keys + the round each
     key belongs to (aligned). One page-store scan then serves EVERY
