@@ -52,6 +52,10 @@ SCHEDULE_SCHEMA = pa.schema(
 
 DEFAULT_N_BUCKETS = 256
 
+# One map_groups call materializes one bucket; a single (host, salt)
+# segment beyond this means salting is misconfigured for the input.
+MAX_SEGMENT_ROWS = 20_000_000
+
 
 def add_salt_stage(n_salts: int, hot_hosts: frozenset[str], n_buckets: int = DEFAULT_N_BUCKETS):
     """map_batches kernel adding the shuffle ``salt`` and ``bucket``
@@ -208,6 +212,17 @@ def make_schedule_bucket_fn(config_or_ref, n_salts: int, hot_hosts: frozenset[st
         seg_starts = np.flatnonzero(change)
         seg_id = np.cumsum(change) - 1
         seg_len = np.diff(np.append(seg_starts, n))
+
+        # Skew guard: a segment this size means a hot host escaped
+        # detection/salting — fail loudly (deterministically) instead of
+        # letting one group swallow a worker's heap at scale.
+        if seg_len.max(initial=0) > MAX_SEGMENT_ROWS:
+            worst = host_dict[int(hk_codes[seg_starts[int(np.argmax(seg_len))]])]
+            raise ValueError(
+                f"(host, salt) group for {worst!r} has {int(seg_len.max())} rows "
+                f"(> {MAX_SEGMENT_ROWS}); add the host to hot_hosts or raise "
+                f"n_salts (see suggest_salts)"
+            )
 
         # per-distinct-host params (python work O(distinct hosts))
         hosts = [reverse_host(k) for k in host_dict]
