@@ -74,6 +74,41 @@ def test_projection_m18():
     assert t.column("organisation_url").to_pylist() == ["", "https://reg/b"]
 
 
+def test_paginated_seeds_drive_frontier_expansion(ray_session, tmp_path):
+    """Integration: publishers from the paginated Datasource feed the
+    seed classifier and select frontier rows (the full S2 -> M1 ->
+    ScanGroupOfRepos chain over local fixtures)."""
+    import __ray_entry__ as entrymod
+
+    import ray
+
+    from don_crawler_ray.sources.seeds import classify_seeds, seed_filter_stage
+    from don_crawler_ray.stages.canonicalize import canonicalize_stage
+
+    d = str(tmp_path / "pages")
+    # orgs pointing at the tiny frontier's hosts
+    import json as _json
+    import os as _os
+
+    from don_crawler_ray.sources.frontier import host_name
+
+    _os.makedirs(d)
+    items = [{"id": f"org-{i}", "url": f"https://{host_name(i)}/"} for i in range(4)]
+    with open(_os.path.join(d, "page_1.json"), "w") as f:
+        _json.dump({"headers": {}, "items": items}, f)
+
+    pubs = read_paginated_seeds(d).take_all()
+    host_map, errors = classify_seeds(pubs)
+    assert not errors and len(host_map) == 4
+
+    ds = ray.data.read_parquet(entrymod._frontier_path("tiny"), columns=["url", "warc_ts"])
+    ds = ds.map_batches(canonicalize_stage, batch_format="pyarrow")
+    ds = ds.map_batches(seed_filter_stage(host_map), batch_format="pyarrow")
+    rows = ds.take_all()
+    assert len(rows) > 0
+    assert {r["publisher_id"] for r in rows} <= {f"org-{i}" for i in range(4)}
+
+
 def test_read_datasource_end_to_end(ray_session, tmp_path):
     d = str(tmp_path / "pages")
     generate_paginated_fixture(d, n_orgs=23, per_page=5)

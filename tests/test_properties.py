@@ -112,3 +112,19 @@ def test_cuckoo_no_false_negatives(keys):
     inserted = [k for k in keys if f.insert(k)]
     arr = np.array(inserted, dtype=np.uint64)
     assert f.contains_many(arr).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=1, max_size=800, unique=True))
+def test_insert_many_no_false_negatives(keys):
+    """The vectorized bulk path + eviction fallback must leave every key
+    findable, matching the sequential-insert membership contract."""
+    f = CuckooFilter(capacity=4 * len(keys) + 64)
+    arr = np.array(sorted(keys), dtype=np.uint64)
+    failed = f.insert_many(arr)
+    placed = [k for k, fl in zip(arr.tolist(), failed.tolist()) if not fl]
+    for k in arr[failed].tolist():
+        if f.insert(k):
+            placed.append(k)
+    assert f.contains_many(np.array(placed, dtype=np.uint64)).all()
+    assert f.count == len(placed)
