@@ -128,3 +128,22 @@ def test_insert_many_no_false_negatives(keys):
             placed.append(k)
     assert f.contains_many(np.array(placed, dtype=np.uint64)).all()
     assert f.count == len(placed)
+
+
+@settings(max_examples=500, deadline=None)
+@given(urls())
+def test_fast_canonicalizer_matches_reference(u):
+    """The hand-rolled hot path must be byte-equal to the urllib-based
+    reference over the URL fuzz space."""
+    from don_crawler_ray.functions.urlnorm import _canonicalize_parts_reference
+
+    assert canonicalize_parts(u) == _canonicalize_parts_reference(u)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=120))
+def test_fast_canonicalizer_matches_reference_on_junk(text):
+    from don_crawler_ray.functions.urlnorm import _canonicalize_parts_reference
+
+    # arbitrary junk (often schemeless / unparsable) must agree too
+    assert canonicalize_parts(text) == _canonicalize_parts_reference(text)
