@@ -1776,6 +1776,149 @@ QUERIES["ann_ivf_topk"] = q_ann_ivf_topk
 ORACLE_SQL["ann_ivf_topk"] = SQL_ANN_IVF_TOPK
 
 
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-duplicate PAIRS by hamming distance — the pairing
+    pipeline on top of q_simhash_docs' signatures: each 64-bit
+    signature splits into four 16-bit bands; docs sharing any
+    (band_index, band_value) are candidates (hamming <= 3 guarantees at
+    least one identical band by pigeonhole), verified by XOR popcount
+    on the signatures alone — text never rides the shuffle. Per-bucket
+    256-doc cap as in minhash (deterministic)."""
+    from don_crawler_ray.functions.dedup import simhash64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
+
+    def bands(batch: pa.Table) -> pa.Table:
+        ids, band_idx, band_val, sigs = [], [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            sig = simhash64(t)
+            for k in range(4):
+                ids.append(d)
+                band_idx.append(k)
+                band_val.append((sig >> (16 * k)) & 0xFFFF)
+                sigs.append(sig)
+        return pa.table(
+            {
+                "band_idx": pa.array(band_idx, pa.int32()),
+                "band_val": pa.array(band_val, pa.int32()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "sig": pa.array(sigs, pa.uint64()),
+            }
+        )
+
+    MAX_BUCKET = 256
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        if n < 2:
+            return empty
+        order = np.argsort(group.column("doc_id").to_numpy(zero_copy_only=False), kind="stable")[
+            :MAX_BUCKET
+        ]
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)[order]
+        sigs = group.column("sig").to_numpy(zero_copy_only=False)[order]
+        iu, ju = np.triu_indices(len(ids), k=1)
+        x = sigs[iu] ^ sigs[ju]
+        ham = np.zeros(len(x), dtype=np.int64)
+        v = x.copy()
+        for _ in range(64):
+            ham += (v & np.uint64(1)).astype(np.int64)
+            v >>= np.uint64(1)
+        sel = (ham <= 3) & (ids[iu] != ids[ju])
+        return pa.table(
+            {
+                "a": pa.array(ids[iu[sel]], pa.int64()),
+                "b": pa.array(ids[ju[sel]], pa.int64()),
+                "hamming": pa.array(ham[sel], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    cand = ds.map_batches(bands, batch_format="pyarrow").groupby(
+        ["band_idx", "band_val"]
+    ).map_groups(bucket_pairs, batch_format="pyarrow")
+    agg = cand.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+    t = pa.Table.from_pylist(agg.take_all())
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "a": pc.cast(t.column("a"), pa.int64()),
+            "b": pc.cast(t.column("b"), pa.int64()),
+            "hamming": pc.cast(t.column("hamming"), pa.int64()),
+        }
+    )
+
+
+def _build_simhash_pairs_sql() -> str:
+    # the simhash-value CTE chain is shared with SQL_SIMHASH up to the
+    # bit votes; here the value is assembled as a UBIGINT for banding
+    # and XOR popcount
+    return r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+h AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(CAST(1469598103934665603 AS UBIGINT),
+        list_transform(regexp_extract_all(tok, '.'), c -> CAST(ascii(c) AS UBIGINT))),
+      (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)
+    ) AS th
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, g.b,
+         sum(CASE WHEN (th >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) g
+  GROUP BY 1, 2
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN b >= 32 AND s > 0 THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS UBIGINT)
+           * 4294967296
+         + CAST(sum(CASE WHEN b < 32 AND s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS UBIGINT) AS sig
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, sig, k.band_idx,
+         CAST((sig >> (16 * k.band_idx)) & 65535 AS INTEGER) AS band_val
+  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_idx) k
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY band_idx, band_val ORDER BY doc_id) AS rn
+  FROM bands
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         bit_count(xor(x.sig, y.sig)) AS hamming
+  FROM ranked x JOIN ranked y
+    ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+  WHERE x.rn <= 256 AND y.rn <= 256
+)
+SELECT a, b, CAST(hamming AS BIGINT) AS hamming FROM pairs WHERE hamming <= 3
+"""
+
+
+QUERIES["simhash_pairs"] = q_simhash_pairs
+ORACLE_SQL["simhash_pairs"] = _build_simhash_pairs_sql()
+
+
 def q_anti_join_customers(sf_dir: str):
     """Broadcast ANTI-join as a driver-checked query (the seen-set /
     revisit-skip pattern, SURVEY §2.4): customers with no order above
