@@ -49,7 +49,7 @@ def _read_table(sf_dir: str, table: str, columns=None) -> pa.Table:
 def q_pricing_summary(sf_dir: str):
     """A1/A5 analog aggregates: multi-key groupby with partial
     pre-aggregation (SURVEY §2.5). TPC-H-Q1-shaped over lineitem."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     ds = _read(
         sf_dir,
@@ -58,19 +58,20 @@ def q_pricing_summary(sf_dir: str):
     )
     cutoff = np.datetime64("1998-09-02T00:00:00", "us")
 
-    def prep(batch: pa.Table) -> pa.Table:
+    def prep_partial(batch: pa.Table) -> pa.Table:
+        """Per-batch COMBINER: the AllToAll receives <= 6 partial rows
+        per batch instead of every line item — the partial-aggregation
+        pattern that keeps the wide step tiny at any scale. Integer-
+        exact money math (cents / 1e-4 units) keeps the sums exact
+        regardless of summation order; l_quantity is integral-valued so
+        its double partial sums are exact too."""
         mask = pc.less_equal(batch.column("l_shipdate"), pa.scalar(cutoff, pa.timestamp("us")))
         b = batch.filter(mask)
-        # Integer-exact money math: per-row doubles are bit-identical in
-        # both engines; summing after scaling to cents / 1e-4 units keeps
-        # the aggregate exact regardless of summation order (a raw
-        # double sum differs in ulps between engines and can straddle a
-        # rounding boundary).
         ext = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = b.column("l_discount").to_numpy(zero_copy_only=False)
         base_cents = np.rint(ext * 100.0).astype(np.int64)
         disc_e4 = np.rint(ext * (1.0 - disc) * 10000.0).astype(np.int64)
-        return pa.table(
+        slim = pa.table(
             {
                 "l_returnflag": b.column("l_returnflag"),
                 "l_linestatus": b.column("l_linestatus"),
@@ -79,15 +80,26 @@ def q_pricing_summary(sf_dir: str):
                 "disc_e4": pa.array(disc_e4),
             }
         )
+        part = slim.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("l_quantity", "sum"),
+                ("base_cents", "sum"),
+                ("disc_e4", "sum"),
+                ("l_quantity", "count"),
+            ]
+        )
+        return part.rename_columns(
+            ["l_returnflag", "l_linestatus", "p_qty", "p_base", "p_disc", "p_n"]
+        )
 
     agg = (
-        ds.map_batches(prep, batch_format="pyarrow")
+        ds.map_batches(prep_partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("base_cents", alias_name="sum_base_cents"),
-            Sum("disc_e4", alias_name="sum_disc_e4"),
-            Count(alias_name="count_order"),
+            Sum("p_qty", alias_name="sum_qty"),
+            Sum("p_base", alias_name="sum_base_cents"),
+            Sum("p_disc", alias_name="sum_disc_e4"),
+            Sum("p_n", alias_name="count_order"),
         )
     )
     t = pa.Table.from_pylist(agg.take_all())
