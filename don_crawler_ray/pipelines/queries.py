@@ -179,23 +179,29 @@ LIMIT 10
 def q_daily_events(sf_dir: str):
     """A1 analog: per-calendar-day counts with doubled weight for
     'purchase' (merge-commits-count-double, git/repo_activity.go:190-195)."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", columns=["ts", "event_type"])
 
-    def prep(batch: pa.Table) -> pa.Table:
+    def prep_partial(batch: pa.Table) -> pa.Table:
+        # per-batch combiner: <= days x types partial rows through the
+        # exchange instead of every event
         day = pc.floor_temporal(batch.column("ts"), unit="day")
         w = pc.if_else(
             pc.equal(batch.column("event_type"), "purchase"),
             pa.scalar(2, pa.int64()),
             pa.scalar(1, pa.int64()),
         )
-        return pa.table({"day": day, "event_type": batch.column("event_type"), "weight": w})
+        slim = pa.table({"day": day, "event_type": batch.column("event_type"), "weight": w})
+        part = slim.group_by(["day", "event_type"]).aggregate(
+            [("weight", "count"), ("weight", "sum")]
+        )
+        return part.rename_columns(["day", "event_type", "p_n", "p_w"])
 
     agg = (
-        ds.map_batches(prep, batch_format="pyarrow")
+        ds.map_batches(prep_partial, batch_format="pyarrow")
         .groupby(["day", "event_type"])
-        .aggregate(Count(alias_name="n"), Sum("weight", alias_name="weighted"))
+        .aggregate(Sum("p_n", alias_name="n"), Sum("p_w", alias_name="weighted"))
     )
     t = pa.Table.from_pylist(agg.take_all())
     return pa.table(
@@ -423,20 +429,22 @@ GROUP BY 2
 
 def q_token_counts(sf_dir: str):
     """Token counting (text analysis op): whitespace tokens per lang."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from don_crawler_ray.functions.textstats import whitespace_token_count
 
     ds = _read(sf_dir, "documents", columns=["lang", "text"])
 
-    def toks(batch: pa.Table) -> pa.Table:
+    def toks_partial(batch: pa.Table) -> pa.Table:
         n = [whitespace_token_count(t) for t in batch.column("text").to_pylist()]
-        return pa.table({"lang": batch.column("lang"), "ws_tokens": pa.array(n, pa.int64())})
+        slim = pa.table({"lang": batch.column("lang"), "ws_tokens": pa.array(n, pa.int64())})
+        part = slim.group_by(["lang"]).aggregate([("ws_tokens", "count"), ("ws_tokens", "sum")])
+        return part.rename_columns(["lang", "p_n", "p_t"])
 
     agg = (
-        ds.map_batches(toks, batch_format="pyarrow")
+        ds.map_batches(toks_partial, batch_format="pyarrow")
         .groupby("lang")
-        .aggregate(Count(alias_name="n_docs"), Sum("ws_tokens", alias_name="total_tokens"))
+        .aggregate(Sum("p_n", alias_name="n_docs"), Sum("p_t", alias_name="total_tokens"))
     )
     t = pa.Table.from_pylist(agg.take_all())
     return pa.table(
@@ -486,12 +494,17 @@ FROM documents
 
 
 def q_lang_stats(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        part = batch.group_by(["lang"]).aggregate([("n_chars", "count"), ("n_chars", "sum")])
+        return part.rename_columns(["lang", "p_n", "p_c"])
 
     agg = (
         _read(sf_dir, "documents", columns=["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
         .groupby("lang")
-        .aggregate(Count(alias_name="n"), Sum("n_chars", alias_name="sum_chars"))
+        .aggregate(Sum("p_n", alias_name="n"), Sum("p_c", alias_name="sum_chars"))
     )
     t = pa.Table.from_pylist(agg.take_all())
     return pa.table(
@@ -511,23 +524,28 @@ SQL_LANG_STATS = (
 def q_hourly_events(sf_dir: str):
     """Tumbling-window aggregate (streaming-window analog, SURVEY §2.9):
     per-hour per-type counts and value extrema."""
-    from ray.data.aggregate import Count, Max, Min
+    from ray.data.aggregate import Max, Min, Sum
 
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
 
-    def prep(batch: pa.Table) -> pa.Table:
+    def prep_partial(batch: pa.Table) -> pa.Table:
+        # count/min/max all combine associatively -> per-batch partials
         hour = pc.floor_temporal(batch.column("ts"), unit="hour")
-        return pa.table(
+        slim = pa.table(
             {"hour": hour, "event_type": batch.column("event_type"), "value": batch.column("value")}
         )
+        part = slim.group_by(["hour", "event_type"]).aggregate(
+            [("value", "count"), ("value", "min"), ("value", "max")]
+        )
+        return part.rename_columns(["hour", "event_type", "p_n", "p_min", "p_max"])
 
     agg = (
-        ds.map_batches(prep, batch_format="pyarrow")
+        ds.map_batches(prep_partial, batch_format="pyarrow")
         .groupby(["hour", "event_type"])
         .aggregate(
-            Count(alias_name="n"),
-            Min("value", alias_name="min_value"),
-            Max("value", alias_name="max_value"),
+            Sum("p_n", alias_name="n"),
+            Min("p_min", alias_name="min_value"),
+            Max("p_max", alias_name="max_value"),
         )
     )
     t = pa.Table.from_pylist(agg.take_all())
