@@ -1978,6 +1978,38 @@ WHERE NOT EXISTS (
 """
 
 
+def q_semi_join_customers(sf_dir: str):
+    """Broadcast SEMI-join (the fetch membership pattern as a
+    driver-checked query): customers WITH at least one order above
+    300k — the complement of q_anti_join_customers, same broadcast
+    probe with the mask inverted."""
+    otbl = _read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    big = pc.greater(otbl.column("o_totalprice"), 300000.0)
+    okeys = np.unique(
+        otbl.filter(big).column("o_custkey").to_numpy(zero_copy_only=False)
+    )
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def semi(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(okeys, ck), 0, len(okeys) - 1)
+        return batch.filter(pa.array(okeys[idx] == ck))
+
+    return ds.map_batches(semi, batch_format="pyarrow")
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+"""
+
+QUERIES["semi_join_customers"] = q_semi_join_customers
+ORACLE_SQL["semi_join_customers"] = SQL_SEMI_JOIN
+
+
 def q_median_order_value(sf_dir: str):
     """Quantile aggregate per group (median order price per nation):
     broadcast custkey->nationkey map, then per-group exact order
