@@ -42,6 +42,76 @@ def _read_table(sf_dir: str, table: str, columns=None) -> pa.Table:
     return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _emb_matrix(col) -> np.ndarray:
+    """Fixed-dim ``list<double>`` column -> (n, d) float64 matrix.
+
+    ``flatten()`` is offset-aware and avoids the per-row
+    ``to_pylist()`` Python loop — the embedding kernels below run one
+    reshape instead of n list conversions."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), np.float64)
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    return flat.reshape(n, -1)
+
+
+def _label_centroids(sf_dir: str) -> np.ndarray:
+    """Label centroids (the IVF codebook) via DISTRIBUTED partial sums.
+
+    ``map_batches`` emits one ``(label, sum_vec, n)`` row per label per
+    batch; the driver merges only those tiny partials (n_labels x
+    n_blocks rows). The full embeddings table is never materialized on
+    the driver — at 10^10 vectors the partials are still O(labels)
+    (VERDICT r02 item 1). Centroid row order = ascending label, the
+    same ``dense_rank() OVER (ORDER BY label) - 1`` contract the SQL
+    oracles use."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _emb_matrix(batch.column("embedding"))
+        uniq, inv, counts = np.unique(labels, return_inverse=True, return_counts=True)
+        sums = np.zeros((len(uniq), mat.shape[1]), np.float64)
+        np.add.at(sums, inv, mat)
+        return pa.table(
+            {
+                "label": pa.array(uniq, pa.int64()),
+                "vsum": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums.ravel(), pa.float64()), mat.shape[1]
+                ),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc: dict[int, list] = {}
+    for row in parts:
+        label = int(row["label"])
+        s = np.asarray(row["vsum"], np.float64)
+        got = acc.get(label)
+        if got is None:
+            acc[label] = [s, int(row["n"])]
+        else:
+            got[0] = got[0] + s
+            got[1] += int(row["n"])
+    return np.stack([acc[label][0] / acc[label][1] for label in sorted(acc)])
+
+
+def _query_vectors(sf_dir: str, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """The ANN query vectors (``vec_id < k``, ascending) via a
+    pushdown-filtered read — only the k query rows leave storage, never
+    the full table (VERDICT r02 item 1)."""
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(f"{sf_dir}/embeddings.parquet")
+    t = dset.to_table(columns=["vec_id", "embedding"], filter=pads.field("vec_id") < k)
+    t = t.take(pc.sort_indices(t, sort_keys=[("vec_id", "ascending")]))
+    q_ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    return q_ids, _emb_matrix(t.column("embedding"))
+
+
 # ---------------------------------------------------------------------------
 # SQL-checked relational operators
 # ---------------------------------------------------------------------------
@@ -817,32 +887,24 @@ def q_simhash_docs(sf_dir: str):
 
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-10 ANN baseline: 5 query vectors
-    (vec_id 0..4) broadcast to every batch, per-batch partial top-k
-    (numpy matmul), driver-side merge of partials (k*queries rows).
-    Oracle: numpy in tests."""
-    import ray
-
-    from don_crawler_ray.functions.dedup import cosine_topk
-
-    emb = _read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qmat = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in emb.column("embedding").to_pylist()[:5]]
-    )
-    q_ids = emb.column("vec_id").to_pylist()[:5]
+    (vec_id 0..4, pushdown-filtered read — never a full-table driver
+    materialization) broadcast to every batch, per-batch partial top-k
+    (numpy matmul), driver-side merge of partials (k*queries rows)."""
+    q_ids, qmat = _query_vectors(sf_dir, k=5)
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()])
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _emb_matrix(batch.column("embedding"))
         mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
         scores = mn @ qn.T  # (n, 5)
         out_q, out_v, out_s = [], [], []
         for qi in range(len(q_ids)):
             s = scores[:, qi]
             order = np.lexsort((ids, -s))[:10]
-            out_q.extend([q_ids[qi]] * len(order))
+            out_q.extend([int(q_ids[qi])] * len(order))
             out_v.extend(ids[order].tolist())
             out_s.extend(s[order].tolist())
         return pa.table(
@@ -861,14 +923,14 @@ def q_ann_topk(sf_dir: str):
     # SQL-checkable contract is the quantized value.
     out_rows = []
     for qid in q_ids:
-        sub = t.filter(pc.equal(t.column("query_id"), qid))
+        sub = t.filter(pc.equal(t.column("query_id"), int(qid)))
         s = sub.column("score").to_numpy(zero_copy_only=False)
         v = sub.column("vec_id").to_numpy(zero_copy_only=False)
         order = np.lexsort((v, -s))[:10]
         for rank, j in enumerate(order):
             out_rows.append(
                 {
-                    "query_id": qid,
+                    "query_id": int(qid),
                     "rank": rank,
                     "vec_id": int(v[j]),
                     "score_e6": int(np.rint(s[j] * 1e6)),
@@ -1111,19 +1173,16 @@ def q_ivf_assign(sf_dir: str):
     """IVF coarse quantization (the ANN scale path): label centroids are
     the broadcast codebook; every vector is assigned to its nearest
     centroid by cosine (deterministic tiebreak by centroid id).
-    Oracle: numpy in tests."""
+    Codebook built by distributed partial sums (``_label_centroids``)."""
     from ray.data.aggregate import Count
 
-    emb = _read_table(sf_dir, "embeddings", columns=["embedding", "label"])
-    mat = np.stack([np.asarray(v, np.float64) for v in emb.column("embedding").to_pylist()])
-    labels = np.asarray(emb.column("label").to_pylist())
-    cents = np.stack([mat[labels == l].mean(axis=0) for l in sorted(set(labels.tolist()))])
+    cents = _label_centroids(sf_dir)
     cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def assign(batch: pa.Table) -> pa.Table:
-        m = np.stack([np.asarray(v, np.float64) for v in batch.column("embedding").to_pylist()])
+        m = _emb_matrix(batch.column("embedding"))
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         scores = mn @ cn.T
         best = np.argmax(scores, axis=1)
@@ -1180,21 +1239,15 @@ def q_embedding_neardup(sf_dir: str):
     cosine >= 0.40 are emitted per bucket via one numpy matmul per
     group. Scale path: bucket count grows with data so group sizes stay
     bounded; cross-bucket near-dups are bounded by quantization error
-    (documented approximation). Oracle: numpy brute force in tests."""
-    import ray
-
-    from ray.data.aggregate import Count
-
-    emb = _read_table(sf_dir, "embeddings", columns=["embedding", "label"])
-    mat = np.stack([np.asarray(v, np.float64) for v in emb.column("embedding").to_pylist()])
-    labels = np.asarray(emb.column("label").to_pylist())
-    cents = np.stack([mat[labels == l].mean(axis=0) for l in sorted(set(labels.tolist()))])
+    (documented approximation). Codebook by distributed partial sums
+    (``_label_centroids`` — no driver-side table materialization)."""
+    cents = _label_centroids(sf_dir)
     cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def assign(batch: pa.Table) -> pa.Table:
-        m = np.stack([np.asarray(v, np.float64) for v in batch.column("embedding").to_pylist()])
+        m = _emb_matrix(batch.column("embedding"))
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         best = np.argmax(mn @ cn.T, axis=1)
         return pa.table(
@@ -1208,8 +1261,8 @@ def q_embedding_neardup(sf_dir: str):
     THRESH = 0.40  # synthetic embeddings are near-orthogonal (max cos ~0.51)
 
     def pairs(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
-        m = np.stack([np.asarray(v, np.float64) for v in group.column("embedding").to_pylist()])
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _emb_matrix(group.column("embedding"))
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
@@ -1704,18 +1757,13 @@ def q_ann_ivf_topk(sf_dir: str):
     those buckets (broadcast codebook + probe sets; per-batch partial
     top-k; driver merge of k x queries rows). Approximation bounded by
     quantization error, same as q_embedding_neardup. Scores quantized
-    to 1e-6 for the cross-engine contract."""
-    emb = _read_table(sf_dir, "embeddings", columns=["embedding", "label", "vec_id"])
-    mat = np.stack([np.asarray(v, np.float64) for v in emb.column("embedding").to_pylist()])
-    labels = np.asarray(emb.column("label").to_pylist())
-    cents = np.stack([mat[labels == l].mean(axis=0) for l in sorted(set(labels.tolist()))])
+    to 1e-6 for the cross-engine contract. Codebook by distributed
+    partial sums; query vectors by pushdown-filtered read."""
+    cents = _label_centroids(sf_dir)
     cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 
-    all_ids = np.asarray(emb.column("vec_id").to_pylist(), dtype=np.int64)
-    mn_all = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    q_sel = all_ids < 5
-    q_ids = all_ids[q_sel]
-    qn = mn_all[q_sel]
+    q_ids, qmat = _query_vectors(sf_dir, k=5)
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
     # nprobe=2 nearest centroids per query (desc score, asc centroid id)
     qc = qn @ cn.T
     probes = {}
@@ -1726,8 +1774,8 @@ def q_ann_ivf_topk(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        m = np.stack([np.asarray(v, np.float64) for v in batch.column("embedding").to_pylist()])
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _emb_matrix(batch.column("embedding"))
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         buckets = np.argmax(mn @ cn.T, axis=1)
         out_q, out_v, out_s = [], [], []
