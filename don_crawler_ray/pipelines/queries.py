@@ -99,6 +99,36 @@ def _label_centroids(sf_dir: str) -> np.ndarray:
     return np.stack([acc[label][0] / acc[label][1] for label in sorted(acc)])
 
 
+def _int_bucket_stage(col: str, n_buckets: int = 64):
+    """map_batches kernel adding ``_bucket = key % n_buckets`` (int32).
+
+    The per-key query family shuffles on a FIXED small int key space
+    instead of one group per raw key: each ``map_groups`` call then
+    handles EVERY key hashed into its bucket with one sort +
+    run-length segment detection + numpy — Python work per bucket,
+    never per key (the ``make_schedule_bucket_fn`` pattern,
+    stages/schedule.py:168; VERDICT r02 item 2)."""
+
+    def _b(batch: pa.Table) -> pa.Table:
+        k = batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "_bucket", pa.array((k % n_buckets).astype(np.int32))
+        )
+
+    return _b
+
+
+def _segments(codes: np.ndarray):
+    """Run-length segments over a sorted key column: returns
+    (change_mask, seg_starts, seg_len)."""
+    n = len(codes)
+    change = np.ones(n, dtype=bool)
+    change[1:] = codes[1:] != codes[:-1]
+    seg_starts = np.flatnonzero(change)
+    seg_len = np.diff(np.append(seg_starts, n))
+    return change, seg_starts, seg_len
+
+
 def _query_vectors(sf_dir: str, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
     """The ANN query vectors (``vec_id < k``, ascending) via a
     pushdown-filtered read — only the k query rows leave storage, never
@@ -317,17 +347,33 @@ SQL_FIRST_SEEN = "SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_
 
 def q_last_event_per_user(sf_dir: str):
     """Top-1-per-group by time (last-commit pattern, SURVEY §2.6) with
-    deterministic tiebreak (ts desc, event_id desc)."""
+    deterministic tiebreak (ts desc, event_id desc). Segment-vectorized:
+    groupby a fixed int bucket, one sort per bucket, winners = segment
+    starts — Python work O(buckets), not O(users)."""
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
 
     def pick_last(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            group, sort_keys=[("ts", "descending"), ("event_id", "descending")]
+        g = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[
+                    ("user_id", "ascending"),
+                    ("ts", "descending"),
+                    ("event_id", "descending"),
+                ],
+            )
         )
-        return group.take(idx[:1])
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        _, seg_starts, _ = _segments(uid)
+        return g.select(["user_id", "ts", "event_id", "event_type"]).take(
+            pa.array(seg_starts)
+        )
 
-    out = ds.groupby("user_id").map_groups(pick_last, batch_format="pyarrow")
-    return out.select_columns(["user_id", "ts", "event_id", "event_type"])
+    return (
+        ds.map_batches(_int_bucket_stage("user_id"), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(pick_last, batch_format="pyarrow")
+    )
 
 
 SQL_LAST_EVENT = """
@@ -438,21 +484,34 @@ def q_upsert_customers(sf_dir: str):
     )
 
     def pick(group: pa.Table) -> pa.Table:
-        # updates (src=1) win; acctbal gets +1000 marker when updated
-        idx = pc.sort_indices(group, sort_keys=[("_src", "descending")])
-        g = group.take(idx[:1])
-        src = g.column("_src")[0].as_py()
-        bal = g.column("c_acctbal")[0].as_py()
+        # updates (src=1) win; acctbal gets +1000 marker when updated.
+        # One sort per bucket: winner = each key segment's first row.
+        g = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[("c_custkey", "ascending"), ("_src", "descending")],
+            )
+        )
+        ck = g.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        _, seg_starts, _ = _segments(ck)
+        w = g.take(pa.array(seg_starts))
+        src = w.column("_src").to_numpy(zero_copy_only=False)
+        bal = w.column("c_acctbal").to_numpy(zero_copy_only=False)
+        updated = src == 1
         return pa.table(
             {
-                "c_custkey": g.column("c_custkey"),
-                "c_name": g.column("c_name"),
-                "acctbal_final": pa.array([bal + 1000.0 if src == 1 else bal], pa.float64()),
-                "was_updated": pa.array([src == 1], pa.bool_()),
+                "c_custkey": w.column("c_custkey"),
+                "c_name": w.column("c_name"),
+                "acctbal_final": pa.array(np.where(updated, bal + 1000.0, bal), pa.float64()),
+                "was_updated": pa.array(updated),
             }
         )
 
-    return unioned.groupby("c_custkey").map_groups(pick, batch_format="pyarrow")
+    return (
+        unioned.map_batches(_int_bucket_stage("c_custkey"), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(pick, batch_format="pyarrow")
+    )
 
 
 SQL_UPSERT = """
@@ -1114,37 +1173,48 @@ def q_sessionize(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
 
     def sessions(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
-        g = group.take(idx)
-        ts = g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
-        gaps = np.diff(ts, prepend=ts[0] - SESSION_GAP_US - 1)
-        brk = (gaps > SESSION_GAP_US).astype(np.int64)
-        session_num = np.cumsum(brk)
-        uid = g.column("user_id")[0].as_py()
-        out = []
-        for s in np.unique(session_num):
-            sel = session_num == s
-            out.append(
-                {
-                    "user_id": uid,
-                    "session_num": int(s),
-                    "n_events": int(sel.sum()),
-                    "session_start": ts[sel].min(),
-                    "session_end": ts[sel].max(),
-                }
+        # one sort handles every user in the bucket; sessions are
+        # contiguous runs delimited by user changes and >30min gaps
+        g = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[
+                    ("user_id", "ascending"),
+                    ("ts", "ascending"),
+                    ("event_id", "ascending"),
+                ],
             )
-        t = pa.Table.from_pylist(out)
+        )
+        n = g.num_rows
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        new_user, _, _ = _segments(uid)
+        gaps = np.diff(ts, prepend=ts[0] if n else 0)
+        brk = new_user | (gaps > SESSION_GAP_US)
+        bounds = np.flatnonzero(brk)  # one per session, in row order
+        # per-user session numbering: global session index minus the
+        # user's first global session index
+        gs = np.arange(len(bounds), dtype=np.int64)
+        user_starts = new_user[bounds]  # True where a session opens a new user
+        first_gs = gs[user_starts]
+        session_num = gs - first_gs[np.cumsum(user_starts) - 1] + 1  # 1-based
+        n_events = np.diff(np.append(bounds, n))
+        sess_end = ts[np.append(bounds[1:], n) - 1]
         return pa.table(
             {
-                "user_id": pc.cast(t.column("user_id"), pa.int64()),
-                "session_num": pc.cast(t.column("session_num"), pa.int64()),
-                "n_events": pc.cast(t.column("n_events"), pa.int64()),
-                "session_start": pc.cast(t.column("session_start"), pa.timestamp("us")),
-                "session_end": pc.cast(t.column("session_end"), pa.timestamp("us")),
+                "user_id": pa.array(uid[bounds], pa.int64()),
+                "session_num": pa.array(session_num, pa.int64()),
+                "n_events": pa.array(n_events.astype(np.int64), pa.int64()),
+                "session_start": pa.array(ts[bounds].astype("datetime64[us]")),
+                "session_end": pa.array(sess_end.astype("datetime64[us]")),
             }
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    return (
+        ds.map_batches(_int_bucket_stage("user_id"), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(sessions, batch_format="pyarrow")
+    )
 
 
 SQL_SESSIONIZE = """
@@ -2084,20 +2154,32 @@ def q_median_order_value(sf_dir: str):
         )
 
     def median_group(group: pa.Table) -> pa.Table:
-        v = np.sort(group.column("o_totalprice").to_numpy(zero_copy_only=False))
-        n = len(v)
-        med = v[n // 2] if n % 2 else (v[n // 2 - 1] + v[n // 2]) / 2.0
+        # all nations hashed into this bucket, one sort: values within
+        # each nation segment are already ordered -> medians by gather
+        g = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[("c_nationkey", "ascending"), ("o_totalprice", "ascending")],
+            )
+        )
+        nk = g.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g.column("o_totalprice").to_numpy(zero_copy_only=False)
+        _, seg_starts, seg_len = _segments(nk)
+        mid = seg_starts + seg_len // 2
+        odd = (seg_len % 2).astype(bool)
+        med = np.where(odd, v[mid], (v[np.maximum(mid - 1, 0)] + v[mid]) / 2.0)
         return pa.table(
             {
-                "c_nationkey": pa.array([group.column("c_nationkey")[0].as_py()], pa.int64()),
-                "median_price": pa.array([float(med)], pa.float64()),
-                "n_orders": pa.array([n], pa.int64()),
+                "c_nationkey": pa.array(nk[seg_starts], pa.int64()),
+                "median_price": pa.array(med, pa.float64()),
+                "n_orders": pa.array(seg_len.astype(np.int64), pa.int64()),
             }
         )
 
     return (
         ds.map_batches(tag, batch_format="pyarrow")
-        .groupby("c_nationkey")
+        .map_batches(_int_bucket_stage("c_nationkey", n_buckets=8), batch_format="pyarrow")
+        .groupby("_bucket")
         .map_groups(median_group, batch_format="pyarrow")
     )
 
@@ -2119,20 +2201,39 @@ def q_sliding_events(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
 
     def trail(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
-        g = group.take(idx)
+        g = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[
+                    ("user_id", "ascending"),
+                    ("ts", "ascending"),
+                    ("event_id", "ascending"),
+                ],
+            )
+        )
+        n = g.num_rows
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        _, seg_starts, seg_len = _segments(uid)
         cents = np.rint(g.column("value").to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
-        csum = np.cumsum(cents)
-        trail3 = csum - np.concatenate([[0, 0, 0], csum[:-3]])
+        csum_ext = np.concatenate([[0], np.cumsum(cents)])
+        i = np.arange(n, dtype=np.int64)
+        # window start clamps at the user's segment start
+        row_seg_start = np.repeat(seg_starts, seg_len)
+        prev = np.maximum(i - 3, row_seg_start - 1)
+        trail3 = csum_ext[i + 1] - csum_ext[prev + 1]
         return pa.table(
             {
-                "user_id": pc.cast(g.column("user_id"), pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
                 "event_id": pc.cast(g.column("event_id"), pa.int64()),
                 "trail3_cents": pa.array(trail3, pa.int64()),
             }
         )
 
-    return ds.groupby("user_id").map_groups(trail, batch_format="pyarrow")
+    return (
+        ds.map_batches(_int_bucket_stage("user_id"), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(trail, batch_format="pyarrow")
+    )
 
 
 SQL_SLIDING = """
@@ -2151,16 +2252,38 @@ def q_event_paths(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
 
     def path(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
-        g = group.take(idx[:5])
+        g = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[
+                    ("user_id", "ascending"),
+                    ("ts", "ascending"),
+                    ("event_id", "ascending"),
+                ],
+            )
+        )
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        _, seg_starts, seg_len = _segments(uid)
+        pos = np.arange(len(uid), dtype=np.int64) - np.repeat(seg_starts, seg_len)
+        kept = g.filter(pa.array(pos < 5))
+        # list-of-first-5 per user -> one vectorized binary_join
+        kept_len = np.minimum(seg_len, 5)
+        offsets = np.concatenate([[0], np.cumsum(kept_len)]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets), kept.column("event_type").combine_chunks()
+        )
         return pa.table(
             {
-                "user_id": pa.array([group.column("user_id")[0].as_py()], pa.int64()),
-                "path": pa.array([">".join(g.column("event_type").to_pylist())], pa.string()),
+                "user_id": pa.array(uid[seg_starts], pa.int64()),
+                "path": pc.binary_join(lists, ">"),
             }
         )
 
-    return ds.groupby("user_id").map_groups(path, batch_format="pyarrow")
+    return (
+        ds.map_batches(_int_bucket_stage("user_id"), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(path, batch_format="pyarrow")
+    )
 
 
 SQL_EVENT_PATHS = """
