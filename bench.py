@@ -56,35 +56,9 @@ def ensure_frontier(n_rows: int, n_hosts: int, seed: int = 42) -> str:
 
 
 def crawl_digests(out_dir: str) -> dict:
-    """Determinism artifacts: sorted seen-set hash + an ORDER-INSENSITIVE
-    per-row text digest (wrap-around sum of per-row blake2b(url|text)
-    words). Streaming file-by-file — never concatenates the output (a
-    single-chunk string column overflows arrow's 2 GiB offset limit at
-    multi-million-row rounds)."""
-    import numpy as np
-    import pyarrow.dataset as pads
+    from don_crawler_ray.pipelines.crawl import crawl_digests as _impl
 
-    from don_crawler_ray.pipelines.crawl import seen_set_hashes
-
-    seen = seen_set_hashes(out_dir)
-    h = hashlib.blake2b(digest_size=16)
-    h.update(np.ascontiguousarray(seen).tobytes())
-    seen_digest = h.hexdigest()
-
-    acc = 0
-    rows = 0
-    for name in sorted(os.listdir(out_dir)):
-        if not name.startswith("round="):
-            continue
-        scanner = pads.dataset(os.path.join(out_dir, name)).scanner(
-            columns=["canonical_url", "text"], batch_size=8192
-        )
-        for batch in scanner.to_batches():
-            for u, txt in zip(batch.column("canonical_url").to_pylist(), batch.column("text").to_pylist()):
-                d = hashlib.blake2b((u + "\x00" + txt).encode(), digest_size=16).digest()
-                acc = (acc + int.from_bytes(d, "little")) % (1 << 128)
-                rows += 1
-    return {"seen_digest": seen_digest, "text_digest": f"{acc:032x}", "rows": rows}
+    return _impl(out_dir)
 
 
 def bench_hot_hosts() -> frozenset:

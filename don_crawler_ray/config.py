@@ -29,9 +29,11 @@ def _load_config_file(config_dir: str) -> dict:
     for name in ("config.yaml", "config.yml"):
         path = os.path.join(config_dir, name)
         if os.path.exists(path):
-            try:
-                import yaml
+            # import outside the try: a missing PyYAML surfaces as the
+            # dependency error it is, not as a malformed-file error
+            import yaml
 
+            try:
                 with open(path) as f:
                     loaded = yaml.safe_load(f) or {}
             except Exception as ex:

@@ -302,6 +302,14 @@ def bitbucket_raw_url(owner: str, slug: str, main_branch: str, filename: str = "
     return f"https://bitbucket.org/{owner}/{slug}/raw/{main_branch}/{filename}"
 
 
+def github_raw_url(owner: str, repo: str, default_branch: str, filename: str = "publiccode.yml") -> str:
+    """GitHub content download-URL shape: the reference takes
+    ``file.DownloadURL`` from the contents API (``scanner/github.go:230,
+    233``), which for a regular file is the public
+    ``raw.githubusercontent.com/<owner>/<repo>/<branch>/<path>`` form."""
+    return f"https://raw.githubusercontent.com/{owner}/{repo}/{default_branch}/{filename}"
+
+
 def raw_file_url(repo_url: str, default_branch: str = "main", filename: str = "publiccode.yml") -> str:
     """Platform-dispatched raw-file URL (the ``FileRawURL`` column,
     ``common/repository.go:16``): bitbucket.org uses the format string,
@@ -311,4 +319,7 @@ def raw_file_url(repo_url: str, default_branch: str = "main", filename: str = "p
     if host == "bitbucket.org":
         owner, slug = split_full_name(urlsplit(repo_url).path.strip("/"))
         return bitbucket_raw_url(owner, slug, default_branch, filename)
+    if host in ("github.com", "www.github.com"):
+        owner, repo = split_full_name(urlsplit(repo_url).path.strip("/"))
+        return github_raw_url(owner, strip_git_suffix(repo), default_branch, filename)
     return gitlab_raw_url(repo_url, default_branch, filename)

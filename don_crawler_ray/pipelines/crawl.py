@@ -55,6 +55,7 @@ from don_crawler_ray.stages.schedule import (
     PolitenessConfig,
     add_salt_stage,
     detect_hot_hosts,
+    detect_hot_hosts_stratified,
     make_schedule_bucket_fn,
 )
 
@@ -132,7 +133,10 @@ def build_schedule(
     ds = _read_frontier(frontier_path, SLIM_COLUMNS)
     ds = ds.map_batches(canonicalize_slim_stage, batch_format="pyarrow")
     if hot_hosts is None:
-        hot_hosts = detect_hot_hosts(ds, hot_threshold)
+        # stratified over the whole file set (row groups evenly spaced
+        # from parquet metadata) — a mega-host in the LAST shard is
+        # detected, unlike a row-prefix sample (VERDICT r02 item 5)
+        hot_hosts = detect_hot_hosts_stratified(frontier_path, hot_threshold)
     if skip_hashes is not None and len(skip_hashes):
         ds = ds.map_batches(make_hash_skip_filter(skip_hashes), batch_format="pyarrow")
     if seen_shards:
@@ -174,9 +178,22 @@ def schedule_counters(schedule_dir: str) -> dict:
     return counts
 
 
+def _require_raw_hash(dataset: pads.Dataset, schedule_dir: str) -> None:
+    """A schedule written before the three-part fetch key gained
+    ``raw_hash`` cannot drive a resume — fail with the remedy instead
+    of an opaque pushdown-read crash (ADVICE r02)."""
+    if "raw_hash" not in dataset.schema.names:
+        raise ValueError(
+            f"schedule at {schedule_dir} predates the raw_hash fetch key "
+            "(no raw_hash column); regenerate the schedule with a fresh "
+            "run (resume=False) before resuming"
+        )
+
+
 def load_round_table(schedule_dir: str, rnd: int) -> pa.Table:
     """One round's scheduled rows (slim), pushdown-filtered at the read."""
     dataset = pads.dataset(schedule_dir)
+    _require_raw_hash(dataset, schedule_dir)
     return dataset.to_table(
         columns=["canonical_url", "host", "url_hash", "raw_hash", "warc_ts", "rank"],
         filter=(pads.field("status") == "scheduled") & (pads.field("round") == rnd),
@@ -186,6 +203,7 @@ def load_round_table(schedule_dir: str, rnd: int) -> pa.Table:
 def load_rounds_table(schedule_dir: str, rounds: list[int]) -> pa.Table:
     """The given rounds' scheduled rows in one pushdown-filtered read."""
     dataset = pads.dataset(schedule_dir)
+    _require_raw_hash(dataset, schedule_dir)
     return dataset.to_table(
         columns=["url_hash", "raw_hash", "warc_ts", "round"],
         filter=(pads.field("status") == "scheduled") & (pads.field("round").isin(rounds)),
@@ -233,7 +251,7 @@ def run_fetch_rounds(
     out_dir: str,
     extract_concurrency: int | tuple | None = None,
     batch_size: int = 2048,
-    scanner: str = "html",
+    scanner="auto",
 ) -> None:
     """Fetch+extract EVERY pending round in ONE page-store scan; output
     lands hive-partitioned as ``out_dir/round=<N>/``. The per-round
@@ -307,7 +325,7 @@ def run_crawl(
     seen_restore_dir: str | None = None,
     membership_byte_budget: int = 1 << 30,
     skip_hashes=None,
-    scanner: str = "html",
+    scanner="auto",
 ) -> dict:
     """Full checkpointed crawl. Returns the run's counter dict
     (including per-phase wall times under ``phase_*`` keys)."""
@@ -495,6 +513,40 @@ def seen_set_hashes(out_dir: str) -> np.ndarray:
     return np.sort(np.concatenate(out)) if out else np.empty(0, np.uint64)
 
 
+def crawl_digests(out_dir: str) -> dict:
+    """Determinism artifacts: sorted seen-set hash + an ORDER-INSENSITIVE
+    per-row text digest (wrap-around sum of per-row blake2b(url|text)
+    words). Streaming file-by-file — never concatenates the output (a
+    single-chunk string column overflows arrow's 2 GiB offset limit at
+    multi-million-row rounds). Equal digests at any parallelism are the
+    north-rule evidence of identical crawl output; surfaced per run by
+    ``bench.py`` and the ``crawl_counters`` query."""
+    import hashlib
+
+    seen = seen_set_hashes(out_dir)
+    h = hashlib.blake2b(digest_size=16)
+    h.update(np.ascontiguousarray(seen).tobytes())
+    seen_digest = h.hexdigest()
+
+    acc = 0
+    rows = 0
+    for name in sorted(os.listdir(out_dir)):
+        if not name.startswith("round="):
+            continue
+        scanner = pads.dataset(os.path.join(out_dir, name)).scanner(
+            columns=["canonical_url", "text"], batch_size=8192
+        )
+        for batch in scanner.to_batches():
+            for u, txt in zip(
+                batch.column("canonical_url").to_pylist(),
+                batch.column("text").to_pylist(),
+            ):
+                d = hashlib.blake2b((u + "\x00" + txt).encode(), digest_size=16).digest()
+                acc = (acc + int.from_bytes(d, "little")) % (1 << 128)
+                rows += 1
+    return {"seen_digest": seen_digest, "text_digest": f"{acc:032x}", "rows": rows}
+
+
 def crawl_output_table(out_dir: str, columns=None) -> pa.Table:
     """Read the crawl output (all rounds) sorted deterministically."""
     parts = []
@@ -543,7 +595,7 @@ def crawl_dataset(
     n_salts: int = 4,
     extract_concurrency=None,
     batch_size: int = 512,
-    scanner: str = "html",
+    scanner="auto",
 ):
     """One-shot streaming crawl (no checkpointing): schedule in memory,
     fetch+extract round 0, return the lazy extracted Dataset.

@@ -115,7 +115,10 @@ def _resolve_array(ref_or_arr) -> np.ndarray:
         import ray
 
         arr = ray.get(ref_or_arr)
-        _ARRAY_CACHE.clear()
+        # bounded LRU-ish cache: a worker alternating between a few
+        # broadcast arrays in one run must not re-fetch per batch
+        while len(_ARRAY_CACHE) >= 4:
+            _ARRAY_CACHE.pop(next(iter(_ARRAY_CACHE)))
         _ARRAY_CACHE[key] = arr
     return arr
 
@@ -183,11 +186,15 @@ class ExtractActor:
     bytes never travel past extraction (SURVEY §7 hard part e).
     """
 
-    def __init__(self, keep_html: bool = False, scanner: str = "html"):
-        from don_crawler_ray.registry import get_scanner
+    def __init__(self, keep_html: bool = False, scanner="html"):
+        # resolve_scanner accepts a registry name, a Scanner instance,
+        # or a factory — pass non-builtin plug-ins as factory/instance
+        # through fn_constructor_kwargs, since a worker's freshly
+        # imported registry only holds self-registered builtins
+        from don_crawler_ray.registry import resolve_scanner
 
         self.keep_html = keep_html
-        self.scanner = get_scanner(scanner)
+        self.scanner = resolve_scanner(scanner)
         self.pages = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -204,7 +211,7 @@ class FetchExtractActor:
     closure-captured array would be re-serialized into every task —
     gigabytes at 10^10-URL rounds). Output drops ``html``."""
 
-    def __init__(self, members_ref, rounds_ref=None, scanner: str = "html"):
+    def __init__(self, members_ref, rounds_ref=None, scanner="html"):
         import ray
 
         self.members = (

@@ -409,3 +409,96 @@ def test_suggest_salts():
     assert suggest_salts(10**7, 0.5) == 2
     # power of two
     assert suggest_salts(10**9, 0.5) & (suggest_salts(10**9, 0.5) - 1) == 0
+
+
+class TestStratifiedHotHosts:
+    """VERDICT r02 item 5: a mega-host concentrated in the LAST input
+    shard must be detected (a row-prefix sample misses it and the
+    schedule then aborts on MAX_SEGMENT_ROWS at real scale)."""
+
+    @pytest.fixture()
+    def skewed_frontier_dir(self, tmp_path):
+        import pyarrow as pa
+
+        d = tmp_path / "frontier"
+        d.mkdir()
+        ts = np.datetime64("2024-01-01T00:00:00", "us")
+        # shard 0: 3000 rows over 30 balanced hosts
+        urls0 = [
+            f"https://host{i % 30}.example.nl/page{i}" for i in range(3000)
+        ]
+        # shard 1 (later file): 90% one mega-host
+        urls1 = [
+            (
+                f"https://mega.example.nl/page{i}"
+                if i % 10 != 0
+                else f"https://host{i % 30}.example.nl/late{i}"
+            )
+            for i in range(3000)
+        ]
+        for name, urls in (("part-000.parquet", urls0), ("part-001.parquet", urls1)):
+            t = pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "warc_ts": pa.array([ts] * len(urls), pa.timestamp("us")),
+                    "html": pa.array(
+                        [b"<html><body>x</body></html>"] * len(urls), pa.binary()
+                    ),
+                    "text": pa.array(["x"] * len(urls), pa.string()),
+                    "lang": pa.array(["nl"] * len(urls), pa.string()),
+                }
+            )
+            pq.write_table(t, str(d / name), row_group_size=500)
+        return str(d)
+
+    def test_mega_host_in_last_shard_detected(self, ray_session, skewed_frontier_dir):
+        from don_crawler_ray.stages.schedule import detect_hot_hosts_stratified
+
+        # budget smaller than the first shard: a prefix sample would
+        # never reach the mega-host's file
+        hot = detect_hot_hosts_stratified(
+            skewed_frontier_dir, threshold_fraction=0.05, sample_limit=2000
+        )
+        assert "mega.example.nl" in hot
+        # metadata-only row-group selection -> byte-deterministic
+        assert hot == detect_hot_hosts_stratified(
+            skewed_frontier_dir, threshold_fraction=0.05, sample_limit=2000
+        )
+
+    def test_schedule_salts_and_completes(self, ray_session, skewed_frontier_dir, politeness_cfg):
+        from don_crawler_ray.pipelines.crawl import build_schedule
+
+        grouped, hot = build_schedule(
+            skewed_frontier_dir, politeness=politeness_cfg, n_salts=4
+        )
+        assert "mega.example.nl" in hot
+        tbl = grouped.take_all()
+        assert len(tbl) == 6000
+
+
+def test_resume_pre_raw_hash_schedule_fails_loudly(tmp_path):
+    """ADVICE r02: a schedule written before the raw_hash fetch key must
+    produce an explicit regenerate-the-schedule error, not an opaque
+    pushdown-read crash."""
+    import pyarrow as pa
+
+    from don_crawler_ray.pipelines.crawl import load_round_table, load_rounds_table
+
+    old = pa.table(
+        {
+            "canonical_url": ["https://a.example.nl/x"],
+            "host": ["a.example.nl"],
+            "url_hash": pa.array([1], pa.uint64()),
+            "warc_ts": pa.array([np.datetime64("2024-01-01", "us")], pa.timestamp("us")),
+            "rank": pa.array([0], pa.int64()),
+            "status": ["scheduled"],
+            "round": pa.array([0], pa.int32()),
+        }
+    )
+    sched = tmp_path / "schedule"
+    sched.mkdir()
+    pq.write_table(old, str(sched / "part-0.parquet"))
+    with pytest.raises(ValueError, match="regenerate the schedule"):
+        load_round_table(str(sched), 0)
+    with pytest.raises(ValueError, match="regenerate the schedule"):
+        load_rounds_table(str(sched), [0])
