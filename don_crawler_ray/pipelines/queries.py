@@ -814,6 +814,13 @@ def q_vitality_events(sf_dir: str):
     )
 
 
+# above this many candidate pairs the MinHash verify stops broadcasting
+# texts through the driver and switches to shuffle hash joins (the
+# heavy-duplication scale path); tests force the join path by patching
+# this to 0
+MINHASH_BROADCAST_MAX_PAIRS = 65_536
+
+
 def q_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup pairs, scale-safe shuffle shape:
 
@@ -823,12 +830,13 @@ def q_minhash_pairs(sf_dir: str):
        VERDICT r01 item 5);
     2. ``groupby(band_key)`` emits slim candidate pairs (per-bucket
        O(n^2) bounded by the deterministic 256-doc cap);
-    3. pairs are deduped across bands, then candidate texts arrive by
-       two shuffle hash joins against the slim (doc_id, text) corpus —
-       only LSH-selected docs ride the join, and a heavy-duplication
-       corpus (the dedup worst case) scales with the cluster, never a
-       driver dict (VERDICT r02 item 6); each pair is exact-Jaccard
-       verified >= 0.5 with shingle sets memoized per verify batch.
+    3. pairs are deduped across bands, then exact-Jaccard verified
+       >= 0.5 with shingle sets memoized per verify batch; candidate
+       texts arrive by a bounded broadcast lookup when the pair count
+       is provably small, else by two shuffle hash joins against the
+       slim (doc_id, text) corpus — a heavy-duplication corpus (the
+       dedup worst case) scales with the cluster, never a driver dict
+       (VERDICT r02 item 6).
 
     Output identical to the text-through-shuffle version (same bands,
     same cap, same exact verify). Oracle: brute-force Jaccard in tests.
@@ -886,7 +894,17 @@ def q_minhash_pairs(sf_dir: str):
     # Python map_groups calls would dominate at thousands of pairs)
     from ray.data.aggregate import Count
 
-    pairs_ds = cand.groupby(["a", "b"]).aggregate(Count(alias_name="_nb"))
+    # materialize the SLIM deduped pair list (a, b only — object-store
+    # resident, O(candidate pairs)): the signature+banding pipeline runs
+    # exactly once, instead of once for the empty check and again for
+    # each downstream join consumer (lazy re-execution tripled the
+    # query's cost)
+    pairs_ds = (
+        cand.groupby(["a", "b"])
+        .aggregate(Count(alias_name="_nb"))
+        .drop_columns(["_nb"])
+        .materialize()
+    )
     if pairs_ds.count() == 0:
         return pa.table(
             {
@@ -895,24 +913,22 @@ def q_minhash_pairs(sf_dir: str):
                 "jaccard": pa.array([], pa.float64()),
             }
         )
-    pairs_ds = pairs_ds.drop_columns(["_nb"])
 
-    # exact-Jaccard verify WITHOUT any driver-side text or shingle dict
-    # (VERDICT r02 item 6): candidate texts arrive by two shuffle hash
-    # joins against the corpus — only LSH-selected docs ride the
-    # shuffle, and a heavy-duplication corpus scales with the cluster,
-    # not the driver. Shingles are computed inside the verify batch
-    # with a per-batch memo (a doc appearing in many pairs hashes once
-    # per batch).
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    j1 = pairs_ds.join(
-        docs, join_type="inner", num_partitions=8, on=("a",), right_on=("doc_id",)
-    ).rename_columns({"text": "text_a"})
-    j2 = j1.join(
-        docs, join_type="inner", num_partitions=8, on=("b",), right_on=("doc_id",)
-    ).rename_columns({"text": "text_b"})
-
-    def verify(batch: pa.Table) -> pa.Table:
+    # exact-Jaccard verify WITHOUT any driver-side shingle dict (VERDICT
+    # r02 item 6). Two shapes, chosen by an explicit candidate bound:
+    #
+    # - few pairs (the near-dup-sparse common case): broadcast TEXT
+    #   lookup — candidate ids ride a ray.put array, texts come from one
+    #   membership-filtered corpus scan, and the driver holds at most
+    #   2 x MINHASH_BROADCAST_MAX_PAIRS texts (bounded by construction);
+    # - heavy-duplication corpus: two shuffle hash joins attach each
+    #   pair's texts — nothing driver-resident, scales with the cluster.
+    #   (Each Ray join costs ~2-3 s of aggregator-actor startup, which
+    #   is why the small case doesn't pay for it.)
+    #
+    # Either way, shingle sets are computed INSIDE the verify batch with
+    # a per-batch memo (a doc in many pairs hashes once per batch).
+    def verify_cols(a_l, b_l, ta_l, tb_l) -> pa.Table:
         memo: dict = {}
 
         def sh(doc, text):
@@ -922,12 +938,7 @@ def q_minhash_pairs(sf_dir: str):
             return got
 
         a_out, b_out, j_out = [], [], []
-        for a, b, ta, tb in zip(
-            batch.column("a").to_pylist(),
-            batch.column("b").to_pylist(),
-            batch.column("text_a").to_pylist(),
-            batch.column("text_b").to_pylist(),
-        ):
+        for a, b, ta, tb in zip(a_l, b_l, ta_l, tb_l):
             sa, sb = sh(a, ta), sh(b, tb)
             union = len(sa | sb)
             jac = (len(sa & sb) / union) if union else 1.0
@@ -943,7 +954,59 @@ def q_minhash_pairs(sf_dir: str):
             }
         )
 
-    return j2.map_batches(verify, batch_format="pyarrow")
+    n_pairs = pairs_ds.count()
+    if n_pairs <= MINHASH_BROADCAST_MAX_PAIRS:
+        pairs_tbl = pa.Table.from_pylist(pairs_ds.take_all())
+        cand_ids = np.unique(
+            np.concatenate(
+                [
+                    pairs_tbl.column("a").to_numpy(zero_copy_only=False),
+                    pairs_tbl.column("b").to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+
+        def keep_candidates(batch: pa.Table) -> pa.Table:
+            d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            idx = np.clip(np.searchsorted(cand_ids, d), 0, len(cand_ids) - 1)
+            return batch.filter(pa.array(cand_ids[idx] == d))
+
+        cand_texts = (
+            _read(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(keep_candidates, batch_format="pyarrow")
+            .take_all()
+        )
+        texts_ref = ray.put({row["doc_id"]: row["text"] for row in cand_texts})
+
+        def verify_bcast(batch: pa.Table) -> pa.Table:
+            texts = ray.get(texts_ref)
+            a_l = batch.column("a").to_pylist()
+            b_l = batch.column("b").to_pylist()
+            return verify_cols(
+                a_l, b_l, [texts[a] for a in a_l], [texts[b] for b in b_l]
+            )
+
+        return ray.data.from_arrow(pairs_tbl).map_batches(
+            verify_bcast, batch_format="pyarrow"
+        )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    j1 = pairs_ds.join(
+        docs, join_type="inner", num_partitions=8, on=("a",), right_on=("doc_id",)
+    ).rename_columns({"text": "text_a"})
+    j2 = j1.join(
+        docs, join_type="inner", num_partitions=8, on=("b",), right_on=("doc_id",)
+    ).rename_columns({"text": "text_b"})
+
+    def verify_joined(batch: pa.Table) -> pa.Table:
+        return verify_cols(
+            batch.column("a").to_pylist(),
+            batch.column("b").to_pylist(),
+            batch.column("text_a").to_pylist(),
+            batch.column("text_b").to_pylist(),
+        )
+
+    return j2.map_batches(verify_joined, batch_format="pyarrow")
 
 
 def q_simhash_docs(sf_dir: str):

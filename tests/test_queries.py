@@ -130,14 +130,18 @@ class TestNonSqlOracles:
             recall = len(truth & found) / len(truth)
             assert recall >= 0.8, (recall, len(truth))
 
-    def test_minhash_pairs_high_duplication(self, ray_session, tmp_path):
+    def test_minhash_pairs_high_duplication(self, ray_session, tmp_path, monkeypatch):
         """A 50%-duplicate corpus (the dedup worst case) must still
-        verify without driver blowup: the verify stage now joins
-        candidate texts through the shuffle instead of building a
-        driver-side shingle dict (VERDICT r02 item 6)."""
+        verify without driver blowup: above the broadcast bound the
+        verify stage joins candidate texts through the shuffle instead
+        of building a driver-side dict (VERDICT r02 item 6). Forces the
+        join path by zeroing the bound."""
         import pyarrow.parquet as pq
 
         from don_crawler_ray.functions.dedup import jaccard_exact
+        from don_crawler_ray.pipelines import queries as qmod
+
+        monkeypatch.setattr(qmod, "MINHASH_BROADCAST_MAX_PAIRS", 0)
 
         rng = np.random.default_rng(7)
         words = [f"w{i:03d}" for i in range(400)]
