@@ -2718,3 +2718,247 @@ FROM s
 
 QUERIES.update({"scanner_dispatch": q_scanner_dispatch})
 ORACLE_SQL.update({"scanner_dispatch": SQL_SCANNER_DISPATCH})
+
+
+def q_asof_join_events(sf_dir: str):
+    """As-of join — an operator Ray Data lacks natively (round-brief
+    custom-op case (a): composition of map_batches + bucket groupby +
+    one sort): attribute each ``purchase`` event to the same user's
+    latest ``login`` at-or-before it (lexicographic (ts, event_id)
+    order, so the tie-break is total and parallelism-independent).
+
+    Scale shape: both sides ride ONE exchange keyed on a fixed small
+    int bucket space (``user_id % 64``); each bucket kernel handles all
+    its users with one lexsort + run-length segments + a vectorized
+    forward-fill (``np.maximum.accumulate`` of login positions,
+    invalidated across user-segment boundaries). Python work is
+    O(buckets), never O(users) — the schedule-stage pattern
+    (stages/schedule.py:168). Partitioning assumption: one user's rows
+    land in one bucket group (guaranteed by the groupby key)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def slim(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("event_type"), value_set=pa.array(["login", "purchase"]))
+        return batch.filter(keep)
+
+    bucketed = ds.map_batches(slim, batch_format="pyarrow").map_batches(
+        _int_bucket_stage("user_id", 64), batch_format="pyarrow"
+    )
+
+    def asof_kernel(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            group.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        eid = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        is_login = np.asarray(
+            pc.equal(group.column("event_type"), "login").to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, is_login = uid[order], ts[order], eid[order], is_login[order]
+        _, seg_starts, seg_len = _segments(uid)
+        row_seg_start = np.repeat(seg_starts, seg_len)
+        pos = np.arange(len(uid), dtype=np.int64)
+        login_pos = np.where(is_login, pos, -1)
+        ff = np.maximum.accumulate(login_pos)
+        valid = ff >= row_seg_start  # a fill from a previous user is no login
+        login_id = np.where(valid, eid[np.clip(ff, 0, None)], -1)
+        sel = ~is_login
+        return pa.table(
+            {
+                "user_id": pa.array(uid[sel], pa.int64()),
+                "purchase_id": pa.array(eid[sel], pa.int64()),
+                "purchase_ts": pa.array(
+                    ts[sel].astype("datetime64[us]"), pa.timestamp("us")
+                ),
+                "login_id": pa.array(login_id[sel], pa.int64()),
+            }
+        )
+
+    return bucketed.groupby("_bucket").map_groups(asof_kernel, batch_format="pyarrow")
+
+
+SQL_ASOF_JOIN = """
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'login' THEN event_id END AS login_marker
+  FROM events WHERE event_type IN ('login', 'purchase')
+),
+w AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(login_marker IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS login_id
+  FROM s
+)
+SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+       coalesce(login_id, -1) AS login_id
+FROM w WHERE event_type = 'purchase'
+"""
+
+QUERIES.update({"asof_join_events": q_asof_join_events})
+ORACLE_SQL.update({"asof_join_events": SQL_ASOF_JOIN})
+
+
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed k-means (Lloyd's algorithm, k=8, 2 update rounds) —
+    the iterative-algorithm shape at 100-TB scale: every iteration is
+    ONE streaming pass of per-batch vectorized assignment (argmin over a
+    broadcast codebook) emitting (cid, sum_vec, n) partials; the driver
+    merges only O(k x blocks) partial rows to produce the next codebook
+    (the ``_label_centroids`` pattern — the full table never lands
+    driver-side). Deterministic across parallelism: init = the k
+    vectors with ``vec_id < k`` (pushdown read), distances quantized to
+    1e-6 with ties broken by ascending centroid id, per-cluster inertia
+    summed as exact int64. Empty clusters keep their previous centroid.
+    Output: per-cluster size + quantized inertia under the final
+    codebook."""
+    k, iters = 8, 2
+    _, cents = _query_vectors(sf_dir, k=k)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def make_assign_partials(c: np.ndarray):
+        cc = c.copy()
+
+        def partial(batch: pa.Table) -> pa.Table:
+            mat = _emb_matrix(batch.column("embedding"))
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2, quantized like the
+            # SQL mirror (round(d2 * 1e6), ties -> lowest cid via argmin
+            # first-occurrence)
+            d2 = (
+                (mat * mat).sum(axis=1, keepdims=True)
+                - 2.0 * (mat @ cc.T)
+                + (cc * cc).sum(axis=1)[None, :]
+            )
+            dq = np.rint(d2 * 1e6)
+            best = dq.argmin(axis=1)
+            uniq, inv, counts = np.unique(best, return_inverse=True, return_counts=True)
+            sums = np.zeros((len(uniq), mat.shape[1]), np.float64)
+            np.add.at(sums, inv, mat)
+            inertia = np.zeros(len(uniq), np.int64)
+            np.add.at(inertia, inv, dq[np.arange(len(best)), best].astype(np.int64))
+            return pa.table(
+                {
+                    "cid": pa.array(uniq.astype(np.int64), pa.int64()),
+                    "vsum": pa.FixedSizeListArray.from_arrays(
+                        pa.array(sums.ravel(), pa.float64()), mat.shape[1]
+                    ),
+                    "n": pa.array(counts.astype(np.int64), pa.int64()),
+                    "inertia_q": pa.array(inertia, pa.int64()),
+                }
+            )
+
+        return partial
+
+    def merge_partials(rows):
+        acc: dict[int, list] = {}
+        for row in rows:
+            cid = int(row["cid"])
+            got = acc.get(cid)
+            s = np.asarray(row["vsum"], np.float64)
+            if got is None:
+                acc[cid] = [s, int(row["n"]), int(row["inertia_q"])]
+            else:
+                got[0] = got[0] + s
+                got[1] += int(row["n"])
+                got[2] += int(row["inertia_q"])
+        return acc
+
+    for _ in range(iters):
+        parts = ds.map_batches(
+            make_assign_partials(cents), batch_format="pyarrow"
+        ).take_all()
+        acc = merge_partials(parts)
+        new_cents = cents.copy()  # empty cluster keeps its old centroid
+        for cid, (s, n, _iq) in acc.items():
+            if n:
+                new_cents[cid] = s / n
+        cents = new_cents
+
+    parts = ds.map_batches(make_assign_partials(cents), batch_format="pyarrow").take_all()
+    acc = merge_partials(parts)
+    return pa.table(
+        {
+            "cid": pa.array(list(range(k)), pa.int64()),
+            "n": pa.array([acc[c][1] if c in acc else 0 for c in range(k)], pa.int64()),
+            "inertia_q": pa.array(
+                [acc[c][2] if c in acc else 0 for c in range(k)], pa.int64()
+            ),
+        }
+    )
+
+
+def _build_kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """The same Lloyd chain as a generated CTE pipeline: c0 = the
+    ``vec_id < k`` vectors, each round = quantized-distance argmin
+    assignment + per-dim mean update (empty clusters coalesce to the
+    previous centroid), final stats under the last codebook."""
+    ctes = [
+        """d AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)""",
+        f"c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, dim, v AS cv FROM d WHERE vec_id < {k})",
+    ]
+    for i in range(1, iters + 1):
+        prev, a, nc = f"c{i - 1}", f"a{i}", f"c{i}"
+        ctes.append(
+            f"""{a} AS (
+  SELECT vec_id, cid, dq FROM (
+    SELECT d.vec_id, c.cid,
+           round(sum((d.v - c.cv) * (d.v - c.cv)) * 1000000.0) AS dq,
+           row_number() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY round(sum((d.v - c.cv) * (d.v - c.cv)) * 1000000.0) ASC, c.cid ASC
+           ) AS rn
+    FROM d JOIN {prev} c ON d.dim = c.dim
+    GROUP BY d.vec_id, c.cid
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""{nc} AS (
+  SELECT p.cid, p.dim, coalesce(m.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN (
+    SELECT a.cid, d.dim, avg(d.v) AS cv
+    FROM {a} a JOIN d ON d.vec_id = a.vec_id
+    GROUP BY 1, 2
+  ) m ON m.cid = p.cid AND m.dim = p.dim
+)"""
+        )
+    final_a = f"a{iters + 1}"
+    ctes.append(
+        f"""{final_a} AS (
+  SELECT vec_id, cid, dq FROM (
+    SELECT d.vec_id, c.cid,
+           round(sum((d.v - c.cv) * (d.v - c.cv)) * 1000000.0) AS dq,
+           row_number() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY round(sum((d.v - c.cv) * (d.v - c.cv)) * 1000000.0) ASC, c.cid ASC
+           ) AS rn
+    FROM d JOIN c{iters} c ON d.dim = c.dim
+    GROUP BY d.vec_id, c.cid
+  ) WHERE rn = 1
+)"""
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body},
+ks AS (SELECT unnest(generate_series(0, {k - 1})) AS cid)
+SELECT CAST(ks.cid AS BIGINT) AS cid,
+       CAST(coalesce(count(a.vec_id), 0) AS BIGINT) AS n,
+       CAST(coalesce(sum(CAST(a.dq AS BIGINT)), 0) AS BIGINT) AS inertia_q
+FROM ks LEFT JOIN {final_a} a ON a.cid = ks.cid
+GROUP BY ks.cid
+"""
+
+
+SQL_KMEANS = _build_kmeans_sql()
+
+QUERIES.update({"kmeans_embeddings": q_kmeans_embeddings})
+ORACLE_SQL.update({"kmeans_embeddings": SQL_KMEANS})

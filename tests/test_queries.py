@@ -300,3 +300,46 @@ class TestAdditionalOps:
         assert len(bad) == 1 and "unsupported scheme" in bad.error.iloc[0]
         # mega-host publisher holds ~50%
         assert out.n_urls.max() > 400
+
+
+class TestAsofJoin:
+    def test_edge_cases(self, ray_session, tmp_path):
+        """Purchase before any login -> -1; a login at the same ts with
+        a smaller event_id counts as at-or-before; users never bleed
+        across segments."""
+        import pyarrow.parquet as pq
+
+        ts0 = np.datetime64("2024-01-01T10:00:00", "us")
+        rows = [
+            # user 1: purchase before its login
+            (0, ts0, 1, "purchase"),
+            (1, ts0 + np.timedelta64(60, "s"), 1, "login"),
+            (2, ts0 + np.timedelta64(120, "s"), 1, "purchase"),
+            # user 2: login at the SAME ts as the purchase, smaller id
+            (3, ts0, 2, "login"),
+            (4, ts0, 2, "purchase"),
+            # user 3: only purchases (must not inherit user 2's login)
+            (5, ts0 + np.timedelta64(5, "s"), 3, "purchase"),
+            # noise event types are ignored
+            (6, ts0, 1, "click"),
+        ]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array([""] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "events.parquet"))
+        out = (
+            _to_pandas(entrymod.queries()["asof_join_events"](str(tmp_path)))
+            .set_index("purchase_id")
+            .sort_index()
+        )
+        assert out.loc[0].login_id == -1
+        assert out.loc[2].login_id == 1
+        assert out.loc[4].login_id == 3
+        assert out.loc[5].login_id == -1
