@@ -41,7 +41,7 @@ def ensure_frontier(n_rows: int, n_hosts: int, seed: int = 42) -> str:
     from don_crawler_ray.sources.frontier import generate_frontier_parquet
 
     os.makedirs(FRONTIER_CACHE, exist_ok=True)
-    path = os.path.join(FRONTIER_CACHE, f"bench_{n_rows}_{n_hosts}_s42v2")
+    path = os.path.join(FRONTIER_CACHE, f"bench_{n_rows}_{n_hosts}_s42v3z")
     marker = path + ".done"
     if not os.path.exists(marker):
         # 12.5k rows/file -> >=32 input blocks: read/transform parallelism

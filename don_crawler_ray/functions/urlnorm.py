@@ -273,6 +273,29 @@ def split_full_name(full_name: str) -> tuple[str, str]:
     return "/".join(parts[:-1]), parts[-1]
 
 
+def split_org_path(url_or_path: str) -> str:
+    """M2 — org-URL path splitter: the trimmed path must be exactly ONE
+    segment (the org name), else ``ValueError`` ("doesn't look like a
+    GitHub org", ``scanner/github.go:66-71``; bitbucket workspace form
+    ``scanner/bitbucket.go:39-45``)."""
+    path = urlsplit(url_or_path).path if "//" in url_or_path else url_or_path
+    parts = path.strip("/").split("/")
+    if len(parts) != 1 or not parts[0]:
+        raise ValueError(f"doesn't look like an org path: {path!r}")
+    return parts[0]
+
+
+def split_repo_owner_and_name(url_or_path: str) -> tuple[str, str]:
+    """M3 — repo-URL path splitter: ``(owner, repo)`` with the ``.git``
+    suffix stripped from the repo; fewer than two segments is an error
+    (``splitRepoOwnerAndName``, ``scanner/commit_helpers.go:32-42``)."""
+    path = urlsplit(url_or_path).path if "//" in url_or_path else url_or_path
+    parts = path.strip("/").split("/")
+    if len(parts) < 2 or not parts[0]:
+        raise ValueError(f"repository path {path!r} does not contain owner and name")
+    return parts[0], strip_git_suffix(parts[1])
+
+
 def is_dot_github_repo(name: str) -> bool:
     """Reference parity: ``isDotGitHubRepoName``
     (``scanner/github.go:367-371``) — case-insensitive ``.github``

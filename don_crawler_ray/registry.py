@@ -168,16 +168,13 @@ class GitHubScanner(HtmlScanner):
         return super().extract(batch)
 
     def raw_url(self, repo_url: str, default_branch: str, filename: str = "publiccode.yml") -> str:
-        from urllib.parse import urlsplit
-
         from don_crawler_ray.functions.urlnorm import (
             github_raw_url,
-            split_full_name,
-            strip_git_suffix,
+            split_repo_owner_and_name,
         )
 
-        owner, repo = split_full_name(urlsplit(repo_url).path.strip("/"))
-        return github_raw_url(owner, strip_git_suffix(repo), default_branch, filename)
+        owner, repo = split_repo_owner_and_name(repo_url)
+        return github_raw_url(owner, repo, default_branch, filename)
 
 
 class GitLabScanner(HtmlScanner):

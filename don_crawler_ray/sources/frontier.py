@@ -310,7 +310,7 @@ def generate_frontier_parquet(
     cdf = _host_cdf(n_hosts)
 
     if n_rows <= rows_per_file:
-        pq.write_table(gen_rows(seed, 0, n_rows, n_hosts, cdf), path)
+        pq.write_table(gen_rows(seed, 0, n_rows, n_hosts, cdf), path, compression="zstd")
         return path
 
     os.makedirs(path, exist_ok=True)
@@ -325,7 +325,7 @@ def generate_frontier_parquet(
             out = os.path.join(path, f"part-{k:05d}.parquet")
             if not os.path.exists(out):
                 tmp = out + ".tmp"
-                pq.write_table(gen_rows(seed, lo, hi, n_hosts, cdf), tmp)
+                pq.write_table(gen_rows(seed, lo, hi, n_hosts, cdf), tmp, compression="zstd")
                 os.rename(tmp, out)
             return out
 
@@ -335,7 +335,7 @@ def generate_frontier_parquet(
             out = os.path.join(path, f"part-{k:05d}.parquet")
             if not os.path.exists(out):
                 tmp = out + ".tmp"
-                pq.write_table(gen_rows(seed, lo, hi, n_hosts, cdf), tmp)
+                pq.write_table(gen_rows(seed, lo, hi, n_hosts, cdf), tmp, compression="zstd")
                 os.rename(tmp, out)
     return path
 

@@ -25,6 +25,7 @@ import json
 import os
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def parse_next_page(link_header: str | None) -> int:
@@ -73,6 +74,23 @@ PUBLISHER_SCHEMA = pa.schema(
         ("organisation_url", pa.string()),
     ]
 )
+
+
+def org_uri(organisation_url: str, org_url: str) -> str:
+    """M16 — org-URI coalesce: the publisher's organisation URL when
+    set, else the organization's own URL string (``orgURI``,
+    ``crawler/crawler.go:740-746``)."""
+    return organisation_url if organisation_url else org_url
+
+
+def publisher_org_uris(publishers: pa.Table) -> pa.Table:
+    """Vectorized M16 over a publishers table: appends ``org_uri`` =
+    coalesce(organisation_url, org_url) (empty string counts as
+    missing, matching the Go ``!= ""`` check)."""
+    ou = publishers.column("organisation_url")
+    base = publishers.column("org_url")
+    missing = pc.or_kleene(pc.is_null(ou), pc.equal(ou, ""))
+    return publishers.append_column("org_uri", pc.if_else(missing, base, ou))
 
 
 def orgs_to_publishers(orgs: list[dict]) -> pa.Table:

@@ -180,3 +180,45 @@ def test_canonicalize_stage_kernel():
     # raw_hash differs from url_hash exactly when canonicalization
     # changed the url (the fetch tie-break key)
     assert out.column("raw_hash").to_pylist() == [url_hash64(u) for u in urls]
+
+
+def test_split_org_and_repo_paths():
+    """M2/M3 path splitters (scanner/github.go:66-71, 164-169;
+    scanner/commit_helpers.go:32-42)."""
+    import pytest
+
+    from don_crawler_ray.functions.urlnorm import (
+        split_org_path,
+        split_repo_owner_and_name,
+    )
+
+    assert split_org_path("https://github.com/developer-overheid-nl/") == "developer-overheid-nl"
+    assert split_org_path("/some-org") == "some-org"
+    with pytest.raises(ValueError, match="org path"):
+        split_org_path("https://github.com/org/repo")
+    with pytest.raises(ValueError, match="org path"):
+        split_org_path("https://github.com/")
+
+    assert split_repo_owner_and_name("https://github.com/org/repo.git") == ("org", "repo")
+    # generic helper tolerates extra segments (commit_helpers.go:32-42)
+    assert split_repo_owner_and_name("/owner/name/extra") == ("owner", "name")
+    with pytest.raises(ValueError, match="owner and name"):
+        split_repo_owner_and_name("https://github.com/justorg")
+
+
+def test_org_uri_coalesce():
+    """M16 orgURI coalesce (crawler/crawler.go:740-746)."""
+    import pyarrow as pa
+
+    from don_crawler_ray.sources.paginated import org_uri, publisher_org_uris
+
+    assert org_uri("https://uri.example.nl", "https://org.example.nl") == "https://uri.example.nl"
+    assert org_uri("", "https://org.example.nl") == "https://org.example.nl"
+    t = pa.table(
+        {
+            "organisation_url": pa.array(["https://u1", "", None], pa.string()),
+            "org_url": pa.array(["https://o1", "https://o2", "https://o3"], pa.string()),
+        }
+    )
+    out = publisher_org_uris(t)
+    assert out.column("org_uri").to_pylist() == ["https://u1", "https://o2", "https://o3"]
