@@ -2744,41 +2744,45 @@ def q_asof_join_events(sf_dir: str):
     bucketed = ds.map_batches(slim, batch_format="pyarrow").map_batches(
         _int_bucket_stage("user_id", 64), batch_format="pyarrow"
     )
+    return bucketed.groupby("_bucket").map_groups(
+        _asof_group_kernel, batch_format="pyarrow"
+    )
 
-    def asof_kernel(group: pa.Table) -> pa.Table:
-        uid = group.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        ts = (
-            group.column("ts")
-            .to_numpy(zero_copy_only=False)
-            .astype("datetime64[us]")
-            .astype(np.int64)
-        )
-        eid = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        is_login = np.asarray(
-            pc.equal(group.column("event_type"), "login").to_numpy(zero_copy_only=False)
-        )
-        order = np.lexsort((eid, ts, uid))
-        uid, ts, eid, is_login = uid[order], ts[order], eid[order], is_login[order]
-        _, seg_starts, seg_len = _segments(uid)
-        row_seg_start = np.repeat(seg_starts, seg_len)
-        pos = np.arange(len(uid), dtype=np.int64)
-        login_pos = np.where(is_login, pos, -1)
-        ff = np.maximum.accumulate(login_pos)
-        valid = ff >= row_seg_start  # a fill from a previous user is no login
-        login_id = np.where(valid, eid[np.clip(ff, 0, None)], -1)
-        sel = ~is_login
-        return pa.table(
-            {
-                "user_id": pa.array(uid[sel], pa.int64()),
-                "purchase_id": pa.array(eid[sel], pa.int64()),
-                "purchase_ts": pa.array(
-                    ts[sel].astype("datetime64[us]"), pa.timestamp("us")
-                ),
-                "login_id": pa.array(login_id[sel], pa.int64()),
-            }
-        )
 
-    return bucketed.groupby("_bucket").map_groups(asof_kernel, batch_format="pyarrow")
+def _asof_group_kernel(group: pa.Table) -> pa.Table:
+    """One bucket's as-of pass (module-level so property tests can hit
+    it without a Ray session): lexsort by (user, ts, event_id), then
+    vectorized forward-fill of login positions with cross-user-segment
+    invalidation."""
+    uid = group.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = (
+        group.column("ts")
+        .to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]")
+        .astype(np.int64)
+    )
+    eid = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    is_login = np.asarray(
+        pc.equal(group.column("event_type"), "login").to_numpy(zero_copy_only=False)
+    )
+    order = np.lexsort((eid, ts, uid))
+    uid, ts, eid, is_login = uid[order], ts[order], eid[order], is_login[order]
+    _, seg_starts, seg_len = _segments(uid)
+    row_seg_start = np.repeat(seg_starts, seg_len)
+    pos = np.arange(len(uid), dtype=np.int64)
+    login_pos = np.where(is_login, pos, -1)
+    ff = np.maximum.accumulate(login_pos)
+    valid = ff >= row_seg_start  # a fill from a previous user is no login
+    login_id = np.where(valid, eid[np.clip(ff, 0, None)], -1)
+    sel = ~is_login
+    return pa.table(
+        {
+            "user_id": pa.array(uid[sel], pa.int64()),
+            "purchase_id": pa.array(eid[sel], pa.int64()),
+            "purchase_ts": pa.array(ts[sel].astype("datetime64[us]"), pa.timestamp("us")),
+            "login_id": pa.array(login_id[sel], pa.int64()),
+        }
+    )
 
 
 SQL_ASOF_JOIN = """

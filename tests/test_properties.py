@@ -147,3 +147,58 @@ def test_fast_canonicalizer_matches_reference_on_junk(text):
 
     # arbitrary junk (often schemeless / unparsable) must agree too
     assert canonicalize_parts(text) == _canonicalize_parts_reference(text)
+
+
+# --- as-of join kernel vs brute force ---------------------------------------
+
+_asof_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),      # user_id
+        st.integers(min_value=0, max_value=30),     # ts (us since epoch)
+        st.booleans(),                              # is_login
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(_asof_events)
+@settings(max_examples=200, deadline=None)
+def test_asof_kernel_matches_bruteforce(rows):
+    import pyarrow as pa
+
+    from don_crawler_ray.pipelines.queries import _asof_group_kernel
+
+    table = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                np.array([r[1] for r in rows], dtype="datetime64[us]"), pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array(
+                ["login" if r[2] else "purchase" for r in rows], pa.string()
+            ),
+        }
+    )
+    out = _asof_group_kernel(table)
+    got = {
+        pid: lid
+        for pid, lid in zip(
+            out.column("purchase_id").to_pylist(), out.column("login_id").to_pylist()
+        )
+    }
+    # brute force: for each purchase, the lexicographically greatest
+    # (ts, event_id) login of the same user at-or-before it
+    for pid, (u, t, is_login) in enumerate(rows):
+        if is_login:
+            continue
+        best = -1
+        best_key = None
+        for lid, (lu, lt, l_is_login) in enumerate(rows):
+            if not l_is_login or lu != u:
+                continue
+            if (lt, lid) <= (t, pid) and (best_key is None or (lt, lid) > best_key):
+                best, best_key = lid, (lt, lid)
+        assert got[pid] == best, (pid, rows)
+    assert len(got) == sum(1 for r in rows if not r[2])
