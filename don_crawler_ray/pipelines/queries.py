@@ -2966,3 +2966,169 @@ SQL_KMEANS = _build_kmeans_sql()
 
 QUERIES.update({"kmeans_embeddings": q_kmeans_embeddings})
 ORACLE_SQL.update({"kmeans_embeddings": SQL_KMEANS})
+
+
+def q_train_val_split(sf_dir: str):
+    """Deterministic hash split — the training-data op every corpus
+    pipeline needs: each document lands in train/val purely as a
+    function of its id (md5 of the decimal id string, first 8 hex
+    digits mod 100 < 90 -> train), so the split is stable across runs,
+    machines, parallelism, and re-shards — no RNG, no state, one
+    embarrassingly-parallel map_batches. Output: per-split counts plus
+    a checksum of member ids (exact int64 sum, order-free)."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def split(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        buckets = np.fromiter(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+                for i in ids.tolist()
+            ),
+            np.int64,
+            len(ids),
+        )
+        return pa.table(
+            {
+                "split": pa.array(
+                    np.where(buckets < 90, "train", "val"), pa.string()
+                ),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(split, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(Count(alias_name="n"), Sum(on="doc_id", alias_name="id_sum"))
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    return pa.table(
+        {
+            "split": pc.cast(t.column("split"), pa.string()),
+            "n": pc.cast(t.column("n"), pa.int64()),
+            "id_sum": pc.cast(t.column("id_sum"), pa.int64()),
+        }
+    )
+
+
+SQL_TRAIN_VAL_SPLIT = """
+SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 90
+            THEN 'train' ELSE 'val' END AS split,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_lang_balanced_sample(sf_dir: str):
+    """Language-balanced corpus construction: keep the N=50
+    lexicographically-first (fingerprint, doc_id) docs PER detected
+    language — the deterministic analog of per-domain/per-language
+    mixing weights in a training-data pipeline. Shape: per-batch
+    partial top-N inside map_batches (slim (lang, fingerprint, doc_id)
+    rows), then a per-language merge — the shuffle carries at most
+    N x languages x blocks rows, never the corpus."""
+    from don_crawler_ray.functions.textstats import detect_language, doc_fingerprint_md5
+
+    N = 50
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        langs, fps = [], []
+        for t in batch.column("text").to_pylist():
+            langs.append(detect_language(t))
+            fps.append(doc_fingerprint_md5(t))
+        t_out = pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "fingerprint": pa.array(fps, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+        # per-batch partial top-N per language: bound what rides the
+        # shuffle
+        idx = pc.sort_indices(
+            t_out,
+            sort_keys=[("lang", "ascending"), ("fingerprint", "ascending"), ("doc_id", "ascending")],
+        )
+        t_sorted = t_out.take(idx)
+        lang_np = np.asarray(t_sorted.column("lang").to_pylist(), dtype=object)
+        _, starts, lens = _segments(lang_np)
+        keep = np.zeros(len(lang_np), bool)
+        for s, ln in zip(starts.tolist(), lens.tolist()):
+            keep[s : s + min(ln, N)] = True
+        return t_sorted.filter(pa.array(keep))
+
+    def merge(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("fingerprint", "ascending"), ("doc_id", "ascending")]
+        )
+        return group.take(idx[:N])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+SQL_LANG_BALANCED = None  # assembled below from the text_stats lang CTE
+
+
+def _build_lang_balanced_sql() -> str:
+    from don_crawler_ray.functions.textstats import _LANG_PROFILES
+
+    prof = {lang: _sql_str_list(ws) for lang, ws in _LANG_PROFILES.items()}
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, text,
+         length(list_filter(toks, x -> x IN ({prof["de"]}))) AS c_de,
+         length(list_filter(toks, x -> x IN ({prof["en"]}))) AS c_en,
+         length(list_filter(toks, x -> x IN ({prof["fr"]}))) AS c_fr,
+         length(list_filter(toks, x -> x IN ({prof["nl"]}))) AS c_nl
+  FROM t
+),
+l AS (
+  SELECT doc_id,
+         CASE WHEN greatest(c_de, c_en, c_fr, c_nl) = 0 THEN 'und'
+              WHEN c_de = greatest(c_de, c_en, c_fr, c_nl) THEN 'de'
+              WHEN c_en = greatest(c_de, c_en, c_fr, c_nl) THEN 'en'
+              WHEN c_fr = greatest(c_de, c_en, c_fr, c_nl) THEN 'fr'
+              ELSE 'nl' END AS lang,
+         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+  FROM s
+),
+r AS (
+  SELECT lang, fingerprint, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY fingerprint, doc_id) AS rn
+  FROM l
+)
+SELECT lang, fingerprint, doc_id FROM r WHERE rn <= 50
+"""
+
+
+SQL_LANG_BALANCED = _build_lang_balanced_sql()
+
+QUERIES.update(
+    {
+        "train_val_split": q_train_val_split,
+        "lang_balanced_sample": q_lang_balanced_sample,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "train_val_split": SQL_TRAIN_VAL_SPLIT,
+        "lang_balanced_sample": SQL_LANG_BALANCED,
+    }
+)
