@@ -351,6 +351,12 @@ def run_crawl(
         "completed_rounds": [],
         "counters": {},
         "n_seen_shards": n_seen_shards,
+        # input lineage: the frontier's per-file identity at schedule
+        # time. A resume against a mutated input would silently fetch a
+        # DIFFERENT page set for the remaining rounds while keeping the
+        # old schedule — fail loudly instead (north rule: per-partition
+        # lineage).
+        "input_lineage": _frontier_lineage(frontier_path),
     }
     if resume and os.path.exists(manifest_path):
         with open(manifest_path) as f:
@@ -361,6 +367,18 @@ def run_crawl(
                 f"resume requires the original n_seen_shards={prev} "
                 f"(got {n_seen_shards}): shard routing is hash % n"
             )
+        recorded = manifest.get("input_lineage")
+        if recorded is not None:
+            current = _frontier_lineage(frontier_path)
+            if current != recorded:
+                changed = sorted(
+                    set(map(tuple, recorded)) ^ set(map(tuple, current))
+                )[:5]
+                raise ValueError(
+                    "frontier input changed since the schedule was built "
+                    f"(first differing fragments: {changed}); rerun with "
+                    "resume=False to rebuild the schedule"
+                )
 
     # --- seen shards (restored from snapshots if present) ------------------
     # seen_restore_dir enables INCREMENTAL crawls: restore a previous
@@ -493,6 +511,21 @@ def run_crawl(
     for s in shards:
         ray.kill(s)
     return counters
+
+
+def _frontier_lineage(frontier_path: str) -> list:
+    """Per-fragment identity of the input: sorted (relative path,
+    parquet row count) pairs from footers only — cheap, and row counts
+    catch both replaced files and appended rows. JSON-roundtrip-stable
+    (lists, not tuples)."""
+    if os.path.isfile(frontier_path):
+        return [[os.path.basename(frontier_path), pq.ParquetFile(frontier_path).metadata.num_rows]]
+    out = []
+    for name in sorted(os.listdir(frontier_path)):
+        if name.endswith(".parquet"):
+            p = os.path.join(frontier_path, name)
+            out.append([name, pq.ParquetFile(p).metadata.num_rows])
+    return out
 
 
 def _frontier_row_count(frontier_path: str) -> int:

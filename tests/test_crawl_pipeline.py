@@ -502,3 +502,32 @@ def test_resume_pre_raw_hash_schedule_fails_loudly(tmp_path):
         load_round_table(str(sched), 0)
     with pytest.raises(ValueError, match="regenerate the schedule"):
         load_rounds_table(str(sched), [0])
+
+
+def test_resume_detects_mutated_input(ray_session, frontier_tiny, politeness_cfg, tmp_path):
+    """North rule lineage: resuming after the frontier changed must fail
+    loudly instead of fetching a different page set under the old
+    schedule."""
+    import shutil
+
+    from don_crawler_ray.pipelines.crawl import run_crawl
+
+    frontier_dir = tmp_path / "frontier"
+    frontier_dir.mkdir()
+    shutil.copy(frontier_tiny, frontier_dir / "part-000.parquet")
+    out = tmp_path / "crawl"
+    run_crawl(str(frontier_dir), str(out), politeness_cfg, n_seen_shards=2, n_salts=4)
+    # mutate the input: add a fragment
+    shutil.copy(frontier_tiny, frontier_dir / "part-001.parquet")
+    with pytest.raises(ValueError, match="input changed"):
+        run_crawl(
+            str(frontier_dir), str(out), politeness_cfg,
+            n_seen_shards=2, n_salts=4, resume=True,
+        )
+    # unchanged input resumes fine (idempotent completed run)
+    (frontier_dir / "part-001.parquet").unlink()
+    counters = run_crawl(
+        str(frontier_dir), str(out), politeness_cfg,
+        n_seen_shards=2, n_salts=4, resume=True,
+    )
+    assert counters["fetched"] > 0
