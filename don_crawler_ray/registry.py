@@ -237,6 +237,8 @@ class AutoScanner:
         return True
 
     def _name_for_host(self, host: str) -> str:
+        if host is None:  # null host cell -> fallback extractor
+            return self._default
         got = self._by_host.get(host)
         if got is None:
             got = self._default
