@@ -3132,3 +3132,135 @@ ORACLE_SQL.update(
         "lang_balanced_sample": SQL_LANG_BALANCED,
     }
 )
+
+
+def q_decontaminate(sf_dir: str):
+    """Train/val decontamination — the LLM-data op that keeps eval sets
+    honest: find every VAL document sharing at least one 8-token
+    shingle with ANY train document (train/val = the same deterministic
+    md5(doc_id) 90/10 split as ``train_val_split``), reporting how many
+    of its shingles are contaminated.
+
+    Scale shape: the exchange carries only ``(shingle_hash, doc_id,
+    is_val)`` rows bucketed by ``hash % 64`` — never text. Each bucket
+    kernel sorts once, finds equal-hash runs via run-length segments,
+    and flags val rows in runs that also contain a train row (numpy
+    ``reduceat``, Python work O(buckets)). The final per-doc count is a
+    slim groupby. At 100 TB the shingle stream is ~doc_tokens rows of
+    12 bytes — the same class as the MinHash band shuffle."""
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    from don_crawler_ray.functions.dedup import shingle_hashes
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(8)
+
+    def shingles(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sh_all, id_all, val_all = [], [], []
+        for i, t in zip(ids.tolist(), batch.column("text").to_pylist()):
+            bucket = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+            sh = shingle_hashes(t, k=8)
+            sh_all.append(sh)
+            id_all.append(np.full(len(sh), i, np.int64))
+            val_all.append(np.full(len(sh), bucket >= 90, bool))
+        if not sh_all:
+            return pa.table(
+                {
+                    "sh": pa.array([], pa.uint64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "is_val": pa.array([], pa.bool_()),
+                    "_bucket": pa.array([], pa.int32()),
+                }
+            )
+        sh = np.concatenate(sh_all)
+        return pa.table(
+            {
+                "sh": pa.array(sh, pa.uint64()),
+                "doc_id": pa.array(np.concatenate(id_all), pa.int64()),
+                "is_val": pa.array(np.concatenate(val_all), pa.bool_()),
+                "_bucket": pa.array((sh % np.uint64(64)).astype(np.int32)),
+            }
+        )
+
+    def bucket_kernel(group: pa.Table) -> pa.Table:
+        sh = group.column("sh").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        is_val = group.column("is_val").to_numpy(zero_copy_only=False)
+        order = np.argsort(sh, kind="stable")
+        sh, ids, is_val = sh[order], ids[order], is_val[order]
+        _, seg_starts, seg_len = _segments(sh)
+        # a segment = one shingle value; contaminated val rows live in
+        # segments that also contain a train row
+        has_train = np.logical_or.reduceat(~is_val, seg_starts)
+        row_has_train = np.repeat(has_train, seg_len)
+        sel = is_val & row_has_train
+        return pa.table({"doc_id": pa.array(ids[sel], pa.int64())})
+
+    hits = (
+        ds.map_batches(shingles, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_kernel, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_shared"))
+    )
+    t = pa.Table.from_pylist(hits.take_all())
+    if t.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "n_shared": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "n_shared": pc.cast(t.column("n_shared"), pa.int64()),
+        }
+    )
+
+
+def _build_decontaminate_sql(k: int = 8) -> str:
+    fnv_prime, fnv_offset = 1099511628211, 1469598103934665603
+    m64 = 1 << 64
+    concat = " || ' ' || ".join(f"coalesce(toks[i+{j}], '')" for j in range(k))
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 90 AS is_train
+  FROM documents
+),
+tp AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {k} THEN toks
+              ELSE toks || (SELECT list(x) FROM (SELECT '' AS x, unnest(generate_series(1, {k} - len(toks))))) END AS toks
+  FROM t
+),
+pos AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(1, len(toks) - {k - 1}))) AS i FROM tp),
+shstr AS (SELECT doc_id, {concat} || ' ' AS s FROM pos),
+shh AS (
+  SELECT DISTINCT doc_id,
+    list_reduce(
+      list_prepend(CAST({fnv_offset} AS UBIGINT),
+        list_transform(regexp_extract_all(s, '.'), c -> CAST(ascii(c) AS UBIGINT))),
+      (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * {fnv_prime}) % {m64} AS UBIGINT)
+    ) AS sh
+  FROM shstr
+),
+train_sh AS (
+  SELECT DISTINCT sh FROM shh JOIN sp USING (doc_id) WHERE is_train
+)
+SELECT shh.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM shh
+JOIN sp ON sp.doc_id = shh.doc_id
+JOIN train_sh ON train_sh.sh = shh.sh
+WHERE NOT sp.is_train
+GROUP BY 1
+"""
+
+
+SQL_DECONTAMINATE = _build_decontaminate_sql()
+
+QUERIES.update({"decontaminate": q_decontaminate})
+ORACLE_SQL.update({"decontaminate": SQL_DECONTAMINATE})
