@@ -2814,12 +2814,18 @@ def q_kmeans_embeddings(sf_dir: str):
     broadcast codebook) emitting (cid, sum_vec, n) partials; the driver
     merges only O(k x blocks) partial rows to produce the next codebook
     (the ``_label_centroids`` pattern — the full table never lands
-    driver-side). Deterministic across parallelism: init = the k
-    vectors with ``vec_id < k`` (pushdown read), distances quantized to
-    1e-6 with ties broken by ascending centroid id, per-cluster inertia
-    summed as exact int64. Empty clusters keep their previous centroid.
-    Output: per-cluster size + quantized inertia under the final
-    codebook."""
+    driver-side). Deterministic: init = the k vectors with ``vec_id <
+    k`` (pushdown read), distances quantized to 1e-6 with ties broken
+    by ascending centroid id, per-cluster inertia summed as exact
+    int64. Empty clusters keep their previous centroid. Output:
+    per-cluster size + quantized inertia under the final codebook.
+
+    Caveat shared with every float partial-sum reduction
+    (``_label_centroids`` included): block boundaries move with
+    parallelism, so centroid sums can differ in the last ulps between
+    cluster sizes; an assignment would flip only if a quantized
+    distance tie lands within that ~1e-12 relative error — not
+    observed at any tested scale."""
     k, iters = 8, 2
     _, cents = _query_vectors(sf_dir, k=k)
 
