@@ -254,7 +254,7 @@ def make_schedule_bucket_fn(config_or_ref, n_salts: int, hot_hosts: frozenset[st
         paths = None
         for code, host in enumerate(hosts):
             rules = config.rules(host)
-            if not rules.deny_all and not rules.disallow:
+            if not rules.deny_all and rules.simple and not rules.disallow:
                 continue
             lo = int(np.searchsorted(hk_codes, code, side="left"))
             hi = int(np.searchsorted(hk_codes, code, side="right"))
@@ -268,10 +268,18 @@ def make_schedule_bucket_fn(config_or_ref, n_salts: int, hot_hosts: frozenset[st
                 paths = pc.replace_substring_regex(paths, pattern=r"\?.*$", replacement="")
                 paths = pc.if_else(pc.equal(paths, ""), pa.scalar("/"), paths).combine_chunks()
             sub = paths.slice(lo, hi - lo)
-            denied = pc.starts_with(sub, pattern=rules.disallow[0])
-            for p in rules.disallow[1:]:
-                denied = pc.or_(denied, pc.starts_with(sub, pattern=p))
-            allowed[lo:hi] = ~denied.to_numpy(zero_copy_only=False)
+            if rules.simple:
+                denied = pc.starts_with(sub, pattern=rules.disallow[0])
+                for p in rules.disallow[1:]:
+                    denied = pc.or_(denied, pc.starts_with(sub, pattern=p))
+                allowed[lo:hi] = ~denied.to_numpy(zero_copy_only=False)
+            else:
+                # Allow / wildcard / anchored rules (RFC 9309): exact
+                # per-path evaluation on this host's slice only
+                allow_fn = rules.allowed
+                allowed[lo:hi] = np.fromiter(
+                    (allow_fn(p) for p in sub.to_pylist()), bool, hi - lo
+                )
 
         sched_mask = ~dup_mask & allowed
         status_pa = pc.if_else(
@@ -381,7 +389,7 @@ def make_schedule_group_fn(config: PolitenessConfig, n_salts: int, hot_hosts: fr
         rules = config.rules(host)
         if rules.deny_all:
             allowed = np.zeros(n, dtype=bool)
-        elif not rules.disallow:
+        elif rules.simple and not rules.disallow:
             allowed = np.ones(n, dtype=bool)
         else:
             paths = pc.replace_substring_regex(
@@ -389,10 +397,16 @@ def make_schedule_group_fn(config: PolitenessConfig, n_salts: int, hot_hosts: fr
             )
             paths = pc.replace_substring_regex(paths, pattern=r"\?.*$", replacement="")
             paths = pc.if_else(pc.equal(paths, ""), pa.scalar("/"), paths)
-            denied_arr = pc.starts_with(paths, pattern=rules.disallow[0])
-            for p in rules.disallow[1:]:
-                denied_arr = pc.or_(denied_arr, pc.starts_with(paths, pattern=p))
-            allowed = ~denied_arr.to_numpy(zero_copy_only=False)
+            if rules.simple:
+                denied_arr = pc.starts_with(paths, pattern=rules.disallow[0])
+                for p in rules.disallow[1:]:
+                    denied_arr = pc.or_(denied_arr, pc.starts_with(paths, pattern=p))
+                allowed = ~denied_arr.to_numpy(zero_copy_only=False)
+            else:
+                allow_fn = rules.allowed
+                allowed = np.fromiter(
+                    (allow_fn(p) for p in paths.to_pylist()), bool, n
+                )
 
         sched_mask = ~dup_mask & allowed
         status_pa = pc.if_else(

@@ -14,26 +14,58 @@ from __future__ import annotations
 
 
 class RobotsRules:
-    """Parsed ``User-agent: *`` Disallow prefix rules.
+    """RFC 9309 robots.txt evaluation (deterministic, no network).
 
-    - ``robots_txt is None`` (fetch 404) -> allow all;
+    Implemented semantics (all from the public Robots Exclusion
+    Protocol, RFC 9309):
+
+    - group selection (§2.2.1): consecutive ``User-agent`` lines open a
+      group; a group naming our agent (case-insensitive token match)
+      beats the ``*`` group; other agents' groups are ignored;
+    - ``Allow`` and ``Disallow`` rules with ``*`` wildcards and a ``$``
+      end anchor (§2.2.2-2.2.3); the rule with the LONGEST pattern
+      wins, a tie between allow and disallow resolves to allow;
+    - empty ``Disallow:`` -> allow all; no matching rule -> allowed;
+    - ``Crawl-delay`` (ubiquitous extension) is parsed into
+      ``crawl_delay_ms`` for the politeness table to consume — the
+      schedule's virtual-time budget remains the single source of
+      per-host delay, so parsing it never perturbs existing digests;
+    - ``robots_txt is None`` (fetch 404) -> allow all (§2.3.1.3);
     - unfetchable robots (``__503__`` sentinel in fixtures) -> deny all
-      (conservative, counted as robots-denied);
-    - empty ``Disallow:`` line -> allow all (standard semantics).
+      (conservative 5xx handling, §2.3.1.4).
+
+    Plain-prefix rules (the only kind the fixtures use) take a fast
+    ``startswith`` path; wildcard/anchored rules compile to a regex
+    once at parse time.
     """
 
-    __slots__ = ("disallow", "deny_all")
+    __slots__ = ("_rules", "deny_all", "crawl_delay_ms", "disallow", "simple")
 
-    def __init__(self, robots_txt: str | None):
-        self.disallow: tuple[str, ...] = ()
+    def __init__(self, robots_txt: str | None, agent: str = "*"):
+        import re
+
+        # (is_allow, pattern_len, startswith_prefix | None, regex | None)
+        self._rules: tuple = ()
         self.deny_all = False
+        self.crawl_delay_ms = 0
+        # plain-prefix Disallow rules, exposed for the schedule kernels'
+        # vectorized Arrow starts_with fast path; ``simple`` is True
+        # when that fast path is EXACT (no Allow / wildcard / anchor
+        # rules in the selected group)
+        self.disallow: tuple[str, ...] = ()
+        self.simple = True
         if robots_txt is None:
             return
         if robots_txt == "__503__":
             self.deny_all = True
             return
-        prefixes: list[str] = []
-        in_star_group = False
+
+        agent = agent.lower()
+        # group parse: agents -> list of (is_allow, pattern) + delay
+        groups: dict[str, list] = {}
+        delays: dict[str, float] = {}
+        current: list[str] = []
+        collecting_agents = True
         for raw in robots_txt.splitlines():
             line = raw.split("#", 1)[0].strip()
             if not line:
@@ -42,19 +74,63 @@ class RobotsRules:
             key = key.strip().lower()
             value = value.strip()
             if key == "user-agent":
-                in_star_group = value == "*"
-            elif key == "disallow" and in_star_group:
-                if value:
-                    prefixes.append(value)
-        self.disallow = tuple(prefixes)
+                if not collecting_agents:
+                    current = []
+                collecting_agents = True
+                current.append(value.lower())
+                for a in current:
+                    groups.setdefault(a, [])
+            elif key in ("allow", "disallow"):
+                collecting_agents = False
+                for a in current:
+                    if value:
+                        groups.setdefault(a, []).append((key == "allow", value))
+                    # empty Disallow: allow-all -> contributes no rule
+            elif key == "crawl-delay":
+                collecting_agents = False
+                try:
+                    for a in current:
+                        delays[a] = float(value)
+                except ValueError:
+                    pass
+
+        chosen = agent if agent in groups else "*"
+        rules = groups.get(chosen, [])
+        self.crawl_delay_ms = int(delays.get(chosen, 0.0) * 1000)
+
+        compiled = []
+        plain_disallow = []
+        for is_allow, pat in rules:
+            if "*" not in pat and not pat.endswith("$"):
+                compiled.append((is_allow, len(pat), pat, None))
+                if is_allow:
+                    self.simple = False
+                else:
+                    plain_disallow.append(pat)
+            else:
+                self.simple = False
+                anchored = pat.endswith("$")
+                body = pat[:-1] if anchored else pat
+                rx = "".join(re.escape(c) if c != "*" else ".*" for c in body)
+                rx = "^" + rx + ("$" if anchored else "")
+                compiled.append((is_allow, len(pat), None, re.compile(rx)))
+        self._rules = tuple(compiled)
+        self.disallow = tuple(plain_disallow)
 
     def allowed(self, path: str) -> bool:
         if self.deny_all:
             return False
-        for p in self.disallow:
-            if path.startswith(p):
-                return False
-        return True
+        best_len = -1
+        best_allow = True
+        for is_allow, plen, prefix, rx in self._rules:
+            hit = path.startswith(prefix) if prefix is not None else bool(rx.match(path))
+            if not hit or plen < best_len:
+                continue
+            if plen > best_len:
+                best_len, best_allow = plen, is_allow
+            elif is_allow:  # equal length: allow wins the tie
+                best_allow = True
+        return best_allow
 
 
 class HostBudget:

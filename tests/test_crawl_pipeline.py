@@ -531,3 +531,47 @@ def test_resume_detects_mutated_input(ray_session, frontier_tiny, politeness_cfg
         n_seen_shards=2, n_salts=4, resume=True,
     )
     assert counters["fetched"] > 0
+
+
+def test_rfc9309_rules_flow_through_schedule(ray_session, tmp_path):
+    """Allow-precedence and wildcard rules (RFC 9309) are honored by the
+    vectorized schedule kernel's exact fallback path, end to end."""
+    import pyarrow as pa
+
+    from don_crawler_ray.pipelines.crawl import build_schedule
+    from don_crawler_ray.stages.schedule import PolitenessConfig
+
+    host = "rfc.example.nl"
+    urls = [
+        f"https://{host}/docs/public/a",   # allowed back by Allow
+        f"https://{host}/docs/secret/b",   # disallowed by /docs
+        f"https://{host}/data/x.json",     # disallowed by wildcard$
+        f"https://{host}/data/x.json.bak", # $ anchor -> allowed
+        f"https://{host}/plain",           # allowed (no rule)
+    ]
+    ts = np.datetime64("2024-01-01T00:00:00", "us")
+    import pyarrow.parquet as pqt
+
+    frontier = tmp_path / "f.parquet"
+    pqt.write_table(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array([ts] * len(urls), pa.timestamp("us")),
+                "html": pa.array([b"<html><body>t</body></html>"] * len(urls), pa.binary()),
+                "text": pa.array(["t"] * len(urls), pa.string()),
+                "lang": pa.array(["nl"] * len(urls), pa.string()),
+            }
+        ),
+        str(frontier),
+    )
+    robots = "User-agent: *\nDisallow: /docs\nAllow: /docs/public\nDisallow: /*.json$\n"
+    cfg = PolitenessConfig(robots_by_host={host: robots})
+    grouped, _hot = build_schedule(str(frontier), cfg, n_salts=1)
+    out = grouped.take_all()
+    status = {r["canonical_url"].split(host)[1]: r["status"] for r in out}
+    assert status["/docs/public/a"] == "scheduled"
+    assert status["/docs/secret/b"] == "robots_denied"
+    assert status["/data/x.json"] == "robots_denied"
+    assert status["/data/x.json.bak"] == "scheduled"
+    assert status["/plain"] == "scheduled"

@@ -154,3 +154,41 @@ class TestHostBudget:
         b = HostBudget(0, 1)
         out = b.assign(3)
         assert out == sorted(out) and len(set(out)) == 3
+
+
+class TestRobotsRfc9309:
+    """RFC 9309 semantics: Allow precedence, wildcards, $ anchor,
+    agent-specific groups, crawl-delay parse."""
+
+    def test_allow_longest_match_wins(self):
+        r = RobotsRules("User-agent: *\nDisallow: /docs\nAllow: /docs/public\n")
+        assert not r.allowed("/docs/private")
+        assert r.allowed("/docs/public/page")
+
+    def test_tie_resolves_to_allow(self):
+        r = RobotsRules("User-agent: *\nDisallow: /page\nAllow: /page\n")
+        assert r.allowed("/page")
+
+    def test_wildcard_and_anchor(self):
+        r = RobotsRules("User-agent: *\nDisallow: /*.json$\nDisallow: /tmp*/x\n")
+        assert not r.allowed("/data/file.json")
+        assert r.allowed("/data/file.json.bak")  # $ anchor
+        assert not r.allowed("/tmp123/x")
+        assert r.allowed("/tmp123/y")
+
+    def test_specific_agent_group_beats_star(self):
+        txt = "User-agent: donbot\nDisallow: /only-don\nUser-agent: *\nDisallow: /all\n"
+        assert not RobotsRules(txt, agent="DonBot").allowed("/only-don/x")
+        assert RobotsRules(txt, agent="donbot").allowed("/all/x")
+        assert not RobotsRules(txt).allowed("/all/x")
+
+    def test_shared_group_multiple_agents(self):
+        txt = "User-agent: a\nUser-agent: b\nDisallow: /x\n"
+        assert not RobotsRules(txt, agent="b").allowed("/x/1")
+        assert RobotsRules(txt).allowed("/x/1")  # '*' has no group -> allow
+
+    def test_crawl_delay_parsed_not_enforced(self):
+        r = RobotsRules("User-agent: *\nCrawl-delay: 2.5\nDisallow: /q\n")
+        assert r.crawl_delay_ms == 2500
+        assert not r.allowed("/q")
+        assert r.allowed("/ok")
