@@ -3270,3 +3270,97 @@ SQL_DECONTAMINATE = _build_decontaminate_sql()
 
 QUERIES.update({"decontaminate": q_decontaminate})
 ORACLE_SQL.update({"decontaminate": SQL_DECONTAMINATE})
+
+
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing — greedy packing of documents into
+    fixed-token-budget training sequences (budget 1024, whitespace
+    tokens): an ORDER-SENSITIVE sequential operator, made distributed
+    by the standard partitioning contract real pipelines use — packs
+    never cross a fixed doc-id range (bucket = doc_id // 256), so every
+    bucket packs independently and the result is a pure function of the
+    input at any parallelism.
+
+    In-bucket packing is vectorized over PACK BOUNDARIES, not rows: one
+    cumsum, then one ``searchsorted`` per emitted pack (O(packs log n)
+    numpy, no per-row Python). A document larger than the budget forms
+    its own pack. Global pack id = bucket * 1e6 + local index. The
+    DuckDB oracle replays the same greedy rule with a recursive CTE
+    (one recursion step per in-bucket row)."""
+    from ray.data.aggregate import Count
+
+    BUDGET, BUCKET = 1024, 256
+    from don_crawler_ray.functions.textstats import whitespace_token_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(8)
+
+    def toks(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = np.fromiter(
+            (whitespace_token_count(t) for t in batch.column("text").to_pylist()),
+            np.int64,
+            len(ids),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "_bucket": pa.array((ids // BUCKET).astype(np.int32)),
+            }
+        )
+
+    def pack_kernel(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        tok = group.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, tok = ids[order], tok[order]
+        bucket = int(ids[0]) // BUCKET
+        cum = np.cumsum(tok)
+        n = len(ids)
+        pack = np.empty(n, np.int64)
+        start, pid = 0, 0
+        while start < n:
+            prev = cum[start - 1] if start else 0
+            j = int(np.searchsorted(cum, prev + BUDGET, side="right")) - 1
+            j = max(j, start)  # oversize doc -> its own pack
+            pack[start : j + 1] = bucket * 1_000_000 + pid
+            pid += 1
+            start = j + 1
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(tok, pa.int64()),
+                "pack_id": pa.array(pack, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(toks, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(pack_kernel, batch_format="pyarrow")
+    )
+
+
+SQL_PACK_SEQUENCES = """
+WITH RECURSIVE
+d AS (
+  SELECT doc_id,
+         CAST(length(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS tok,
+         doc_id // 256 AS b,
+         row_number() OVER (PARTITION BY doc_id // 256 ORDER BY doc_id) AS rn
+  FROM documents
+),
+r AS (
+  SELECT b, rn, doc_id, tok, CAST(0 AS BIGINT) AS pack, tok AS running
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.b, d.rn, d.doc_id, d.tok,
+         CASE WHEN r.running + d.tok > 1024 THEN r.pack + 1 ELSE r.pack END,
+         CASE WHEN r.running + d.tok > 1024 THEN d.tok ELSE r.running + d.tok END
+  FROM r JOIN d ON d.b = r.b AND d.rn = r.rn + 1
+)
+SELECT doc_id, tok AS n_tokens, b * 1000000 + pack AS pack_id FROM r
+"""
+
+QUERIES.update({"pack_sequences": q_pack_sequences})
+ORACLE_SQL.update({"pack_sequences": SQL_PACK_SEQUENCES})
