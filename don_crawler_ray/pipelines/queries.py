@@ -979,7 +979,12 @@ def q_minhash_pairs(sf_dir: str):
         texts_ref = ray.put({row["doc_id"]: row["text"] for row in cand_texts})
 
         def verify_bcast(batch: pa.Table) -> pa.Table:
-            texts = ray.get(texts_ref)
+            # bounded per-process cache: a dict object-ref is
+            # re-DESERIALIZED by every plain ray.get, unlike zero-copy
+            # numpy (the _resolve_array cliff, ADVICE r02)
+            from don_crawler_ray.stages.fetch import _resolve_array
+
+            texts = _resolve_array(texts_ref)
             a_l = batch.column("a").to_pylist()
             b_l = batch.column("b").to_pylist()
             return verify_cols(
