@@ -3369,3 +3369,145 @@ SELECT doc_id, tok AS n_tokens, b * 1000000 + pack AS pack_id FROM r
 
 QUERIES.update({"pack_sequences": q_pack_sequences})
 ORACLE_SQL.update({"pack_sequences": SQL_PACK_SEQUENCES})
+
+
+def q_pagerank_orders(sf_dir: str):
+    """Distributed PageRank (3 iterations, d=0.85) over the REAL
+    purchase graph — customers and suppliers linked by order lines
+    (edges = distinct (o_custkey, l_suppkey) pairs via the native
+    lineitem-orders hash join, symmetrized so every node has out-degree
+    >= 1; supplier ids offset by 1e6). The iterative-graph-algorithm
+    shape: the slim int64 edge list is built once (object-store
+    materialized) and each iteration is ONE streaming pass emitting
+    per-batch (dst, partial_contribution) rows that the driver merges —
+    the ``_label_centroids``/kmeans partial-sum pattern.
+
+    All arithmetic is INTEGER (ranks scaled to 1e12; contribution =
+    (85 * r) // (100 * outdeg); teleport = (15 * S) // (100 * N)), so
+    the result is EXACTLY identical at any parallelism — no float
+    reduction order anywhere — and the DuckDB oracle reproduces it bit
+    for bit. Rank mass lost to floor division is not redistributed
+    (identical on both sides). At 10^9+ nodes the broadcast rank array
+    becomes a per-iteration shuffle join of (src, rank) against edges;
+    the per-batch partial-sum contract is unchanged."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    S, D_NUM, D_DEN, ITERS, SUPP_OFF = 10**12, 85, 100, 3, 1_000_000
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    joined = li.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    e0 = (
+        joined.groupby(["o_custkey", "l_suppkey"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        c = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64) + SUPP_OFF
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([c, s]), pa.int64()),
+                "dst": pa.array(np.concatenate([s, c]), pa.int64()),
+            }
+        )
+
+    edges = e0.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    # node set + out-degrees: per-batch value_counts partials, driver
+    # merge (bounded by distinct nodes; see docstring for the 1e9-node
+    # shuffle variant)
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("src"))
+        return pa.table(
+            {
+                "node": pc.cast(vc.field("values"), pa.int64()),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    import collections
+
+    deg: collections.Counter = collections.Counter()
+    for row in edges.map_batches(deg_partial, batch_format="pyarrow").take_all():
+        deg[int(row["node"])] += int(row["n"])
+    node_ids = np.array(sorted(deg), dtype=np.int64)
+    outdeg = np.array([deg[n] for n in node_ids.tolist()], dtype=np.int64)
+    n_nodes = len(node_ids)
+    ranks = np.full(n_nodes, S // n_nodes, dtype=np.int64)
+    base = ((D_DEN - D_NUM) * S) // (D_DEN * n_nodes)
+
+    for _ in range(ITERS):
+        ids_ref = ray.put(node_ids)
+        rank_ref = ray.put(ranks)
+        od_ref = ray.put(outdeg)
+
+        def contribs(batch: pa.Table) -> pa.Table:
+            from don_crawler_ray.stages.fetch import _resolve_array
+
+            nid = _resolve_array(ids_ref)
+            rk = _resolve_array(rank_ref)
+            od = _resolve_array(od_ref)
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            si = np.searchsorted(nid, src)
+            contrib = (D_NUM * rk[si]) // (D_DEN * od[si])
+            uniq, inv = np.unique(dst, return_inverse=True)
+            sums = np.zeros(len(uniq), np.int64)
+            np.add.at(sums, inv, contrib)
+            return pa.table(
+                {
+                    "node": pa.array(uniq, pa.int64()),
+                    "contrib": pa.array(sums, pa.int64()),
+                }
+            )
+
+        new = np.full(n_nodes, base, dtype=np.int64)
+        for row in edges.map_batches(contribs, batch_format="pyarrow").take_all():
+            new[int(np.searchsorted(node_ids, int(row["node"])))] += int(row["contrib"])
+        ranks = new
+
+    return pa.table(
+        {
+            "node": pa.array(node_ids, pa.int64()),
+            "pr": pa.array(ranks, pa.int64()),
+        }
+    )
+
+
+def _build_pagerank_sql(iters: int = 3) -> str:
+    S, DN, DD, OFF = 10**12, 85, 100, 1_000_000
+    ctes = [
+        "e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s FROM orders JOIN lineitem ON l_orderkey = o_orderkey)",
+        f"edges AS (SELECT c AS src, s + {OFF} AS dst FROM e0 UNION ALL SELECT s + {OFF} AS src, c AS dst FROM e0)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1)",
+        f"r0 AS (SELECT node, CAST({S} // (SELECT n FROM nn) AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST(CAST({(DD - 85)} * {S} AS BIGINT) // ({DD} * (SELECT n FROM nn))
+              + coalesce(sum(({DN} * r.r) // ({DD} * o.od)), 0) AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN r{i - 1} r ON r.node = e.src
+  LEFT JOIN outdeg o ON o.src = e.src
+  GROUP BY n.node
+)"""
+        )
+    body = ",\n".join(ctes)
+    return f"WITH {body}\nSELECT node, r AS pr FROM r{iters}"
+
+
+SQL_PAGERANK = _build_pagerank_sql()
+
+QUERIES.update({"pagerank_orders": q_pagerank_orders})
+ORACLE_SQL.update({"pagerank_orders": SQL_PAGERANK})
