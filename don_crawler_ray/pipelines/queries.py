@@ -3396,15 +3396,82 @@ def q_pagerank_orders(sf_dir: str):
 
     S, D_NUM, D_DEN, ITERS, SUPP_OFF = 10**12, 85, 100, 3, 1_000_000
 
+    # edge build = a sort-shuffle BUCKET equijoin on orderkey instead of
+    # the native hash-join operator: in this Ray build the hash-shuffle
+    # aggregators cost 20-30 s for this join while the sort-based
+    # exchange + segment kernel runs in ~2 s (BASELINE.md round-2
+    # tuning table; same finding as groupby strategy). Both sides ride
+    # one union keyed by a fixed int bucket; each bucket kernel sorts
+    # by orderkey once, locates each order's single custkey row by
+    # run-length segments, and gathers it onto that order's lineitem
+    # rows — Python work O(buckets).
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
-    joined = li.join(
-        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "okey": pa.array(ok, pa.int64()),
+                "ckey": pa.array(ck, pa.int64()),
+                "skey": pa.array(np.full(len(ok), -1, np.int64), pa.int64()),
+            }
+        )
+
+    def tag_lineitem(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "okey": pa.array(ok, pa.int64()),
+                "ckey": pa.array(np.full(len(ok), -1, np.int64), pa.int64()),
+                "skey": pa.array(sk, pa.int64()),
+            }
+        )
+
+    stream = (
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+        .union(li.map_batches(tag_lineitem, batch_format="pyarrow"))
+        .map_batches(_int_bucket_stage("okey"), batch_format="pyarrow")
     )
+
+    def equijoin_kernel(group: pa.Table) -> pa.Table:
+        ok = group.column("okey").to_numpy(zero_copy_only=False)
+        ck = group.column("ckey").to_numpy(zero_copy_only=False)
+        sk = group.column("skey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, ok))  # orders row (ckey != -1) sorts last per key
+        ok, ck, sk = ok[order], ck[order], sk[order]
+        _, seg_starts, seg_len = _segments(ok)
+        seg_end = seg_starts + seg_len - 1
+        # each order's custkey sits at its segment end (unique per okey)
+        cust_per_seg = ck[seg_end]
+        cust = np.repeat(cust_per_seg, seg_len)
+        sel = (sk != -1) & (cust != -1)  # lineitem rows of orders present in both sides
+        # pack (cust, supp) into one int64 and pre-dedup within the
+        # bucket; the global distinct below is then another 256-group
+        # bucket kernel — a per-(cust,supp) aggregate would pay per-GROUP
+        # cost on ~600k groups (measured 7.6 s vs ~1 s for the kernel)
+        packed = np.unique(
+            (cust[sel] << np.int64(32)) | sk[sel]
+        )
+        return pa.table({"cs": pa.array(packed, pa.int64())})
+
+    def dedup_kernel(group: pa.Table) -> pa.Table:
+        cs = np.unique(group.column("cs").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "o_custkey": pa.array(cs >> np.int64(32), pa.int64()),
+                "l_suppkey": pa.array(cs & np.int64(0xFFFFFFFF), pa.int64()),
+            }
+        )
+
     e0 = (
-        joined.groupby(["o_custkey", "l_suppkey"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
+        stream.groupby("_bucket")
+        .map_groups(equijoin_kernel, batch_format="pyarrow")
+        .map_batches(_int_bucket_stage("cs", 256), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(dedup_kernel, batch_format="pyarrow")
     )
 
     def symmetrize(batch: pa.Table) -> pa.Table:
