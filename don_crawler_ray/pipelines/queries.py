@@ -3371,40 +3371,26 @@ QUERIES.update({"pack_sequences": q_pack_sequences})
 ORACLE_SQL.update({"pack_sequences": SQL_PACK_SEQUENCES})
 
 
-def q_pagerank_orders(sf_dir: str):
-    """Distributed PageRank (3 iterations, d=0.85) over the REAL
-    purchase graph — customers and suppliers linked by order lines
-    (edges = distinct (o_custkey, l_suppkey) pairs via the native
-    lineitem-orders hash join, symmetrized so every node has out-degree
-    >= 1; supplier ids offset by 1e6). The iterative-graph-algorithm
-    shape: the slim int64 edge list is built once (object-store
-    materialized) and each iteration is ONE streaming pass emitting
-    per-batch (dst, partial_contribution) rows that the driver merges —
-    the ``_label_centroids``/kmeans partial-sum pattern.
+def _purchase_graph(sf_dir: str):
+    """Shared edge machinery for the graph queries: the symmetrized
+    customer-supplier purchase graph (distinct (o_custkey, l_suppkey)
+    pairs from the lineitem-orders equijoin; supplier ids offset by
+    1e6) as a MATERIALIZED slim (src, dst) int64 Dataset, plus the
+    sorted node array and out-degrees.
 
-    All arithmetic is INTEGER (ranks scaled to 1e12; contribution =
-    (85 * r) // (100 * outdeg); teleport = (15 * S) // (100 * N)), so
-    the result is EXACTLY identical at any parallelism — no float
-    reduction order anywhere — and the DuckDB oracle reproduces it bit
-    for bit. Rank mass lost to floor division is not redistributed
-    (identical on both sides). At 10^9+ nodes the broadcast rank array
-    becomes a per-iteration shuffle join of (src, rank) against edges;
-    the per-batch partial-sum contract is unchanged."""
-    import ray
+    The equijoin is a sort-shuffle BUCKET kernel, not the native
+    hash-join operator: in this Ray build the hash-shuffle aggregators
+    cost 20-30 s for this 600k-row join while the sort-based exchange +
+    segment gather runs in ~2 s (BASELINE.md round-2/3 tuning tables).
+    The global (cust, supp) distinct packs both ids into one int64 and
+    dedups in a second 256-group bucket kernel (a per-pair aggregate
+    paid per-GROUP cost on ~600k groups: 7.6 s measured). Node set and
+    degrees come from per-batch value_counts partials merged on the
+    driver — bounded by distinct nodes; at 10^9+ nodes they become a
+    keyed Dataset and each iteration a shuffle join, with the same
+    per-batch partial contract."""
+    SUPP_OFF = 1_000_000
 
-    from ray.data.aggregate import Count
-
-    S, D_NUM, D_DEN, ITERS, SUPP_OFF = 10**12, 85, 100, 3, 1_000_000
-
-    # edge build = a sort-shuffle BUCKET equijoin on orderkey instead of
-    # the native hash-join operator: in this Ray build the hash-shuffle
-    # aggregators cost 20-30 s for this join while the sort-based
-    # exchange + segment kernel runs in ~2 s (BASELINE.md round-2
-    # tuning table; same finding as groupby strategy). Both sides ride
-    # one union keyed by a fixed int bucket; each bucket kernel sorts
-    # by orderkey once, locates each order's single custkey row by
-    # run-length segments, and gathers it onto that order's lineitem
-    # rows — Python work O(buckets).
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
 
@@ -3448,47 +3434,29 @@ def q_pagerank_orders(sf_dir: str):
         cust_per_seg = ck[seg_end]
         cust = np.repeat(cust_per_seg, seg_len)
         sel = (sk != -1) & (cust != -1)  # lineitem rows of orders present in both sides
-        # pack (cust, supp) into one int64 and pre-dedup within the
-        # bucket; the global distinct below is then another 256-group
-        # bucket kernel — a per-(cust,supp) aggregate would pay per-GROUP
-        # cost on ~600k groups (measured 7.6 s vs ~1 s for the kernel)
-        packed = np.unique(
-            (cust[sel] << np.int64(32)) | sk[sel]
-        )
+        packed = np.unique((cust[sel] << np.int64(32)) | sk[sel])
         return pa.table({"cs": pa.array(packed, pa.int64())})
 
-    def dedup_kernel(group: pa.Table) -> pa.Table:
+    def dedup_and_symmetrize(group: pa.Table) -> pa.Table:
         cs = np.unique(group.column("cs").to_numpy(zero_copy_only=False))
+        c = cs >> np.int64(32)
+        sup = (cs & np.int64(0xFFFFFFFF)) + SUPP_OFF
         return pa.table(
             {
-                "o_custkey": pa.array(cs >> np.int64(32), pa.int64()),
-                "l_suppkey": pa.array(cs & np.int64(0xFFFFFFFF), pa.int64()),
+                "src": pa.array(np.concatenate([c, sup]), pa.int64()),
+                "dst": pa.array(np.concatenate([sup, c]), pa.int64()),
             }
         )
 
-    e0 = (
+    edges = (
         stream.groupby("_bucket")
         .map_groups(equijoin_kernel, batch_format="pyarrow")
         .map_batches(_int_bucket_stage("cs", 256), batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(dedup_kernel, batch_format="pyarrow")
+        .map_groups(dedup_and_symmetrize, batch_format="pyarrow")
+        .materialize()
     )
 
-    def symmetrize(batch: pa.Table) -> pa.Table:
-        c = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        s = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64) + SUPP_OFF
-        return pa.table(
-            {
-                "src": pa.array(np.concatenate([c, s]), pa.int64()),
-                "dst": pa.array(np.concatenate([s, c]), pa.int64()),
-            }
-        )
-
-    edges = e0.map_batches(symmetrize, batch_format="pyarrow").materialize()
-
-    # node set + out-degrees: per-batch value_counts partials, driver
-    # merge (bounded by distinct nodes; see docstring for the 1e9-node
-    # shuffle variant)
     def deg_partial(batch: pa.Table) -> pa.Table:
         vc = pc.value_counts(batch.column("src"))
         return pa.table(
@@ -3505,6 +3473,29 @@ def q_pagerank_orders(sf_dir: str):
         deg[int(row["node"])] += int(row["n"])
     node_ids = np.array(sorted(deg), dtype=np.int64)
     outdeg = np.array([deg[n] for n in node_ids.tolist()], dtype=np.int64)
+    return edges, node_ids, outdeg
+
+
+def q_pagerank_orders(sf_dir: str):
+    """Distributed PageRank (3 iterations, d=0.85) over the REAL
+    purchase graph (see ``_purchase_graph``). The
+    iterative-graph-algorithm shape: the slim int64 edge list is built
+    once (object-store materialized) and each iteration is ONE
+    streaming pass emitting per-batch (dst, partial_contribution) rows
+    that the driver merges — the ``_label_centroids``/kmeans
+    partial-sum pattern.
+
+    All arithmetic is INTEGER (ranks scaled to 1e12; contribution =
+    (85 * r) // (100 * outdeg); teleport = (15 * S) // (100 * N)), so
+    the result is EXACTLY identical at any parallelism — no float
+    reduction order anywhere — and the DuckDB oracle reproduces it bit
+    for bit. Rank mass lost to floor division is not redistributed
+    (identical on both sides)."""
+    import ray
+
+    S, D_NUM, D_DEN, ITERS = 10**12, 85, 100, 3
+
+    edges, node_ids, outdeg = _purchase_graph(sf_dir)
     n_nodes = len(node_ids)
     ranks = np.full(n_nodes, S // n_nodes, dtype=np.int64)
     base = ((D_DEN - D_NUM) * S) // (D_DEN * n_nodes)
@@ -3578,3 +3569,100 @@ SQL_PAGERANK = _build_pagerank_sql()
 
 QUERIES.update({"pagerank_orders": q_pagerank_orders})
 ORACLE_SQL.update({"pagerank_orders": SQL_PAGERANK})
+
+
+
+
+def _min_label_propagation(edges, node_ids: np.ndarray, iters: int) -> np.ndarray:
+    """The propagation loop of ``q_connected_components``, reusable and
+    unit-testable over any slim (src, dst) edge Dataset: each sweep is
+    one streaming pass of per-batch (dst, min incoming label) integer
+    partials; min-merge order cannot matter."""
+    import ray
+
+    labels = node_ids.copy()
+    for _ in range(iters):
+        ids_ref = ray.put(node_ids)
+        lab_ref = ray.put(labels)
+
+        def mins(batch: pa.Table) -> pa.Table:
+            from don_crawler_ray.stages.fetch import _resolve_array
+
+            nid = _resolve_array(ids_ref)
+            lab = _resolve_array(lab_ref)
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            incoming = lab[np.searchsorted(nid, src)]
+            order = np.argsort(dst, kind="stable")
+            d_s, in_s = dst[order], incoming[order]
+            _, seg_starts, _len = _segments(d_s)
+            return pa.table(
+                {
+                    "node": pa.array(d_s[seg_starts], pa.int64()),
+                    "m": pa.array(np.minimum.reduceat(in_s, seg_starts), pa.int64()),
+                }
+            )
+
+        new = labels.copy()
+        for row in edges.map_batches(mins, batch_format="pyarrow").take_all():
+            i = int(np.searchsorted(node_ids, int(row["node"])))
+            if int(row["m"]) < new[i]:
+                new[i] = int(row["m"])
+        labels = new
+    return labels
+
+
+def q_connected_components(sf_dir: str):
+    """Connected components by min-label propagation over the purchase
+    graph (see ``_purchase_graph``) — the second iterative graph
+    operator, run to a FIXED 4 sweeps so both engines compute the same
+    partial fixpoint (the graph's diameter is small; unconverged labels
+    would still match bit-for-bit). Each sweep is one streaming pass
+    emitting per-batch (dst, min incoming label) partials; all values
+    are integer node ids, so min-merge order cannot matter and the
+    result is exact at any parallelism. Output: per-component size
+    keyed by the component's minimum node id."""
+    import ray
+
+    edges, node_ids, _outdeg = _purchase_graph(sf_dir)
+    labels = _min_label_propagation(edges, node_ids, iters=4)
+    comp, counts = np.unique(labels, return_counts=True)
+    return pa.table(
+        {
+            "component": pa.array(comp, pa.int64()),
+            "n_nodes": pa.array(counts.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _build_components_sql(iters: int = 4) -> str:
+    OFF = 1_000_000
+    ctes = [
+        "e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s FROM orders JOIN lineitem ON l_orderkey = o_orderkey)",
+        f"edges AS (SELECT c AS src, s + {OFF} AS dst FROM e0 UNION ALL SELECT s + {OFF} AS src, c AS dst FROM e0)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "l0 AS (SELECT node, node AS lab FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""l{i} AS (
+  SELECT n.node, least(min(l.lab), any_value(own.lab)) AS lab
+  FROM nodes n
+  JOIN l{i - 1} own ON own.node = n.node
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN l{i - 1} l ON l.node = e.src
+  GROUP BY n.node
+)"""
+        )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT lab AS component, CAST(count(*) AS BIGINT) AS n_nodes "
+        f"FROM l{iters} GROUP BY 1"
+    )
+
+
+SQL_COMPONENTS = _build_components_sql()
+
+QUERIES.update({"connected_components": q_connected_components})
+ORACLE_SQL.update({"connected_components": SQL_COMPONENTS})

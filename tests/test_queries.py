@@ -343,3 +343,36 @@ class TestAsofJoin:
         assert out.loc[2].login_id == 1
         assert out.loc[4].login_id == 3
         assert out.loc[5].login_id == -1
+
+
+class TestGraphQueries:
+    def test_min_label_propagation_disconnected(self, ray_session):
+        """The propagation kernel finds true components on a graph with
+        several disconnected pieces (the sf fixture happens to be fully
+        connected, so this drives a synthetic 3-component graph)."""
+        import ray
+
+        from don_crawler_ray.pipelines.queries import _min_label_propagation
+
+        # components: {1,2,3}, {10,11}, {20}
+        src = [1, 2, 2, 3, 10, 11, 20]
+        dst = [2, 1, 3, 2, 11, 10, 20]
+        edges = ray.data.from_arrow(
+            pa.table(
+                {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+            )
+        ).repartition(3)
+        node_ids = np.array(sorted(set(src) | set(dst)), dtype=np.int64)
+        labels = _min_label_propagation(edges, node_ids, iters=4)
+        got = dict(zip(node_ids.tolist(), labels.tolist()))
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+    def test_pagerank_mass_and_ranking(self, ray_session):
+        out = _to_pandas(entrymod.queries()["pagerank_orders"](SF_DIR))
+        # floor division only ever LOSES mass; total stays within 1% of S
+        assert 0.99 * 10**12 <= out.pr.sum() <= 10**12
+        # suppliers (high-degree hubs in the bipartite graph) outrank
+        # customers
+        supp = out[out.node >= 1_000_000].pr.mean()
+        cust = out[out.node < 1_000_000].pr.mean()
+        assert supp > cust
