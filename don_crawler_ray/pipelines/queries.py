@@ -3371,6 +3371,9 @@ QUERIES.update({"pack_sequences": q_pack_sequences})
 ORACLE_SQL.update({"pack_sequences": SQL_PACK_SEQUENCES})
 
 
+_GRAPH_CACHE: dict = {}
+
+
 def _purchase_graph(sf_dir: str):
     """Shared edge machinery for the graph queries: the symmetrized
     customer-supplier purchase graph (distinct (o_custkey, l_suppkey)
@@ -3389,6 +3392,12 @@ def _purchase_graph(sf_dir: str):
     driver — bounded by distinct nodes; at 10^9+ nodes they become a
     keyed Dataset and each iteration a shuffle join, with the same
     per-batch partial contract."""
+    # memoized per sf_dir for the driver process: both graph queries
+    # (and repeated runs in one session) reuse the materialized edges
+    cached = _GRAPH_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+
     SUPP_OFF = 1_000_000
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
@@ -3473,6 +3482,8 @@ def _purchase_graph(sf_dir: str):
         deg[int(row["node"])] += int(row["n"])
     node_ids = np.array(sorted(deg), dtype=np.int64)
     outdeg = np.array([deg[n] for n in node_ids.tolist()], dtype=np.int64)
+    _GRAPH_CACHE.clear()  # one graph per process is plenty
+    _GRAPH_CACHE[sf_dir] = (edges, node_ids, outdeg)
     return edges, node_ids, outdeg
 
 
