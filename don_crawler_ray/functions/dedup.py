@@ -141,6 +141,38 @@ def jaccard_exact(text_a: str, text_b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def fnv1a64(s: str) -> int:
+    """FNV-1a 64-bit of the utf-8 bytes of ``s``. Used as the global
+    shingle total-order for prefix filtering — any fixed total order is
+    correct (Xiao et al., PPJoin); a hash order needs no global
+    document-frequency pass, so candidate generation stays one-shot."""
+    h = 1469598103934665603
+    for c in s.encode("utf-8"):
+        h = ((h ^ c) * 1099511628211) & _M64
+    return h
+
+
+def word_ngrams(text: str, n: int = 2) -> list[str]:
+    """Distinct space-joined word n-grams, first-seen order — the exact
+    Python mirror of the SQL shingle contract
+    ``list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' ||
+    t[i+1]))`` over ``regexp_split_to_array(text, '\\s+')`` with empty
+    tokens filtered. Empty when the text has fewer than ``n`` tokens."""
+    toks = text.split()
+    if len(toks) < n:
+        return []
+    return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
+
+
+def prefix_length(set_size: int, tau: float) -> int:
+    """PPJoin prefix length for Jaccard threshold ``tau``: a pair with
+    J >= tau must share a token within each side's
+    ``s - ceil(tau*s) + 1`` smallest tokens (global order)."""
+    import math
+
+    return set_size - int(math.ceil(tau * set_size)) + 1
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens (FNV token hashes)."""
     toks = text.lower().split()

@@ -376,3 +376,114 @@ class TestGraphQueries:
         supp = out[out.node >= 1_000_000].pr.mean()
         cust = out[out.node < 1_000_000].pr.mean()
         assert supp > cust
+
+    def test_jaccard_pairs_is_exact(self, ray_session):
+        """Prefix filtering must have recall AND precision 1.0: the
+        engine's pair set equals brute force over all sf0.001 docs."""
+        from don_crawler_ray.functions.dedup import word_ngrams
+        from don_crawler_ray.pipelines.queries import JACCARD_TAU
+
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+        sets = {
+            int(r.doc_id): set(word_ngrams(r.text, 2)) for _, r in docs.iterrows()
+        }
+        truth = {}
+        items = [(d, s) for d, s in sets.items() if s]
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                (a, sa), (b, sb) = items[i], items[j]
+                inter = len(sa & sb)
+                jac = inter / (len(sa) + len(sb) - inter)
+                if jac >= JACCARD_TAU:
+                    truth[tuple(sorted((a, b)))] = jac
+        out = _to_pandas(entrymod.queries()["jaccard_pairs"](SF_DIR))
+        found = {
+            tuple(sorted((int(r.a), int(r.b)))): float(r.jaccard)
+            for _, r in out.iterrows()
+        }
+        assert found.keys() == truth.keys()
+        for k in truth:
+            assert found[k] == truth[k], k
+
+    def test_jaccard_pairs_high_duplication_join_path(
+        self, ray_session, tmp_path, monkeypatch
+    ):
+        """50%-dup corpus through the shuffle-join verify path (bound
+        zeroed): still EXACTLY the brute-force pair set."""
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.functions.dedup import word_ngrams
+        from don_crawler_ray.pipelines import queries as qmod
+
+        monkeypatch.setattr(qmod, "MINHASH_BROADCAST_MAX_PAIRS", 0)
+
+        rng = np.random.default_rng(11)
+        words = [f"w{i:03d}" for i in range(300)]
+        ids, texts = [], []
+        for base in range(60):
+            toks = rng.choice(words, size=30, replace=True).tolist()
+            ids.append(2 * base)
+            texts.append(" ".join(toks))
+            mut = list(toks)
+            mut[int(rng.integers(0, 30))] = str(rng.choice(words))
+            ids.append(2 * base + 1)
+            texts.append(" ".join(mut))
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts}),
+            str(tmp_path / "documents.parquet"),
+        )
+        sets = {d: set(word_ngrams(t, 2)) for d, t in zip(ids, texts)}
+        truth = set()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = ids[i], ids[j]
+                inter = len(sets[a] & sets[b])
+                if inter and inter / (len(sets[a]) + len(sets[b]) - inter) >= 0.5:
+                    truth.add((min(a, b), max(a, b)))
+        out = _to_pandas(entrymod.queries()["jaccard_pairs"](str(tmp_path)))
+        found = {tuple(sorted((int(r.a), int(r.b)))) for _, r in out.iterrows()}
+        assert found == truth
+        assert len(truth) >= 40  # the fixture really is duplicate-heavy
+
+    def test_dedup_clusters_consistent_with_pairs(self, ray_session):
+        clusters = _to_pandas(entrymod.queries()["dedup_clusters"](SF_DIR))
+        pairs = _to_pandas(entrymod.queries()["jaccard_pairs"](SF_DIR))
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+        assert sorted(clusters.doc_id) == sorted(docs.doc_id)
+        rep = dict(zip(clusters.doc_id, clusters.rep))
+        # paired docs share a representative
+        for _, r in pairs.iterrows():
+            assert rep[int(r.a)] == rep[int(r.b)]
+        # each representative is the minimum member of its cluster
+        by_rep: dict = {}
+        for d, rp in rep.items():
+            by_rep.setdefault(rp, []).append(d)
+        for rp, members in by_rep.items():
+            assert rp == min(members)
+
+    def test_embedding_quantize_roundtrip(self, ray_session):
+        out = _to_pandas(entrymod.queries()["embedding_quantize"](SF_DIR))
+        emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+        d = mat.shape[1]
+        assert len(out) == len(emb) * d
+        assert out.qv.abs().max() <= 127
+        sub = out[out.vec_id == int(emb.vec_id.iloc[0])].sort_values("pos")
+        x = mat[emb.vec_id.to_numpy().tolist().index(int(emb.vec_id.iloc[0]))]
+        scale = float(sub.scale.iloc[0])
+        assert scale == np.abs(x).max()
+        # dequantization error bounded by half a quantization step
+        deq = sub.qv.to_numpy().astype(np.float64) * scale / 127.0
+        assert np.abs(deq - x).max() <= scale / 127.0 * 0.5 + 1e-12
+
+    def test_vocab_topk_counter_oracle(self, ray_session):
+        import collections
+
+        out = _to_pandas(entrymod.queries()["vocab_topk"](SF_DIR))
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+        c: collections.Counter = collections.Counter()
+        for t in docs.text:
+            c.update(t.split())
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+        got = list(zip(out.sort_values("rank").token, out.sort_values("rank").n))
+        assert got == [(t, n) for t, n in want]
