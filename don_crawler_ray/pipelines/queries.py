@@ -4138,3 +4138,212 @@ SELECT vec_id, unnest(range(0, len(ql))) AS pos, unnest(ql) AS qv, scale FROM q
 
 QUERIES.update({"embedding_quantize": q_embedding_quantize})
 ORACLE_SQL.update({"embedding_quantize": SQL_EMBEDDING_QUANTIZE})
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers + TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+
+def q_hll_users(sf_dir: str):
+    """HyperLogLog registers over ``events.user_id`` — the mergeable
+    distinct-count sketch a 100-TB pipeline uses instead of
+    ``count(DISTINCT)``'s all-to-all shuffle. Each batch emits its own
+    (bucket, max rho) partial registers (<= 1024 rows per batch,
+    regardless of batch size); the driver merges partials with an
+    elementwise max — merge order cannot matter. All register
+    derivation is integer (FNV-1a of the id's decimal string, top-10-bit
+    bucket, trailing-zero rank by exact modulo tests), so the oracle
+    re-derives every register bit-for-bit. ``hll_estimate`` turns the
+    output into the cardinality estimate (tested vs true distinct)."""
+    from don_crawler_ray.functions.sketch import HLL_P, hll_bucket_rho
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uids = np.unique(
+            batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        bucket, rho = hll_bucket_rho(uids, HLL_P)
+        uniq, inv = np.unique(bucket, return_inverse=True)
+        mx = np.zeros(len(uniq), np.int64)
+        np.maximum.at(mx, inv, rho)
+        return pa.table(
+            {
+                "bucket": pa.array(uniq, pa.int64()),
+                "rho": pa.array(mx, pa.int64()),
+            }
+        )
+
+    reg: dict[int, int] = {}
+    for row in (
+        ds.map_batches(partial, batch_format="pyarrow").take_all()
+    ):
+        b, r = int(row["bucket"]), int(row["rho"])
+        if r > reg.get(b, 0):
+            reg[b] = r
+    buckets = sorted(reg)
+    return pa.table(
+        {
+            "bucket": pa.array(buckets, pa.int64()),
+            "rho": pa.array([reg[b] for b in buckets], pa.int64()),
+        }
+    )
+
+
+def _build_hll_sql() -> str:
+    """FNV-1a of the id's decimal string + ONE splitmix64 finalizer mix
+    (32-bit-limb multiplies — a 64x64 product overflows HUGEINT), then
+    top-10-bit bucket and trailing-zero rho by exact modulo tests.
+    Bit-identical to ``sketch.hll_bucket_rho``."""
+    m64 = 1 << 64
+    c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(z, c):
+        zh = f"(CAST({z} AS HUGEINT) >> 32)"
+        zl = f"(CAST({z} AS HUGEINT) & 4294967295)"
+        return (
+            f"CAST(((({zh} * {c}) % 4294967296) * 4294967296 + {zl} * {c})"
+            f" % {m64} AS UBIGINT)"
+        )
+
+    return f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+h AS (
+  SELECT user_id,
+    list_reduce(
+      list_prepend(CAST(1469598103934665603 AS UBIGINT),
+        list_transform(regexp_extract_all(CAST(user_id AS VARCHAR), '.'),
+                       c -> CAST(ascii(c) AS UBIGINT))),
+      (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * 1099511628211)
+                       % {m64} AS UBIGINT)
+    ) AS hv
+  FROM u),
+ma AS (SELECT user_id, CAST((CAST(hv AS HUGEINT) + {c1}) % {m64} AS UBIGINT) AS z FROM h),
+mb AS (SELECT user_id, {mulmod('xor(z, z >> 30)', c2)} AS z FROM ma),
+mc AS (SELECT user_id, {mulmod('xor(z, z >> 27)', c3)} AS z FROM mb),
+md AS (SELECT user_id, xor(z, z >> 31) AS hv FROM mc),
+br AS (
+  SELECT CAST(hv >> 54 AS BIGINT) AS bucket,
+         CAST(len(list_filter(range(1, 55),
+                k -> (hv & ((CAST(1 AS UBIGINT) << 54) - 1))
+                       % (CAST(1 AS UBIGINT) << k) = 0)) + 1 AS BIGINT) AS rho
+  FROM md)
+SELECT bucket, max(rho) AS rho FROM br GROUP BY bucket
+"""
+
+
+SQL_HLL_USERS = _build_hll_sql()
+
+QUERIES.update({"hll_users": q_hll_users})
+ORACLE_SQL.update({"hll_users": SQL_HLL_USERS})
+
+
+TFIDF_TOPK = 3
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Top-3 TF-IDF terms per document. Document frequency is computed
+    distributed (per-batch distinct-doc partials -> 256-way token-hash
+    bucket exchange -> vectorized Arrow group-sum) and broadcast once
+    via ``ray.put`` — O(vocabulary) driver state, the J2 small-side
+    contract (at open-vocabulary scale: keep the top-V entries and
+    shuffle-join the tail). The score is the linear-idf variant
+    ``tf * N / df`` evaluated as ONE double division of exact integers,
+    so ranking and score bits are identical to the SQL oracle — a
+    log-idf would differ in ULPs between libm implementations."""
+    import collections
+
+    import ray
+
+    from don_crawler_ray.functions.dedup import fnv1a64
+
+    k = TFIDF_TOPK
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(set(t.split()))
+        toks = list(c.keys())
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "df": pa.array([c[t] for t in toks], pa.int64()),
+                "_bucket": pa.array(
+                    np.array([fnv1a64(t) % 256 for t in toks], np.int32)
+                ),
+            }
+        )
+
+    def df_merge(group: pa.Table) -> pa.Table:
+        return (
+            group.select(["token", "df"])
+            .group_by("token")
+            .aggregate([("df", "sum")])
+            .rename_columns(["token", "df"])
+        )
+
+    df_rows = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(df_merge, batch_format="pyarrow")
+        .take_all()
+    )
+    df_ref = ray.put({row["token"]: int(row["df"]) for row in df_rows})
+
+    def topk(batch: pa.Table) -> pa.Table:
+        from don_crawler_ray.stages.fetch import _resolve_array
+
+        df = _resolve_array(df_ref)
+        d_out, r_out, t_out, tf_out, df_out, s_out = [], [], [], [], [], []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            tf = collections.Counter(text.split())
+            scored = sorted(
+                ((-(cnt * n_docs) / df[tok], tok, cnt) for tok, cnt in tf.items())
+            )[:k]
+            for rank, (neg_s, tok, cnt) in enumerate(scored):
+                d_out.append(did)
+                r_out.append(rank)
+                t_out.append(tok)
+                tf_out.append(cnt)
+                df_out.append(df[tok])
+                s_out.append(-neg_s)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_out, pa.int64()),
+                "rank": pa.array(r_out, pa.int64()),
+                "token": pa.array(t_out, pa.string()),
+                "tf": pa.array(tf_out, pa.int64()),
+                "df": pa.array(df_out, pa.int64()),
+                "score": pa.array(s_out, pa.float64()),
+            }
+        )
+
+    return docs.repartition(32).map_batches(topk, batch_format="pyarrow")
+
+
+SQL_TFIDF_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+scored AS (
+  SELECT doc_id, token, tf, df,
+         CAST(tf * (SELECT n FROM n) AS DOUBLE) / df AS score
+  FROM tf JOIN df USING (token)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+  FROM scored)
+SELECT doc_id, CAST(rnk - 1 AS BIGINT) AS rank, token, tf, df, score
+FROM ranked WHERE rnk <= {TFIDF_TOPK}
+"""
+
+QUERIES.update({"tfidf_topk": q_tfidf_topk})
+ORACLE_SQL.update({"tfidf_topk": SQL_TFIDF_TOPK})

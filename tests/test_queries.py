@@ -487,3 +487,50 @@ class TestGraphQueries:
         want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
         got = list(zip(out.sort_values("rank").token, out.sort_values("rank").n))
         assert got == [(t, n) for t, n in want]
+
+    def test_hll_estimate_accuracy(self, ray_session):
+        from don_crawler_ray.functions.sketch import hll_estimate
+
+        out = _to_pandas(entrymod.queries()["hll_users"](SF_DIR))
+        est = hll_estimate(out.bucket.to_numpy(), out.rho.to_numpy())
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+        true = ev.user_id.nunique()
+        assert abs(est - true) / true < 0.05, (est, true)
+
+    def test_hll_partials_merge_invariant(self, ray_session):
+        """The sketch is mergeable: registers from the full table equal
+        the elementwise max of registers over any split of it."""
+        import numpy as np
+
+        from don_crawler_ray.functions.sketch import hll_bucket_rho
+
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+        uids = ev.user_id.unique()
+        full_b, full_r = hll_bucket_rho(uids)
+        reg_full: dict = {}
+        for b, r in zip(full_b, full_r):
+            reg_full[int(b)] = max(reg_full.get(int(b), 0), int(r))
+        reg_merged: dict = {}
+        for part in np.array_split(uids, 7):
+            pb, pr = hll_bucket_rho(part)
+            for b, r in zip(pb, pr):
+                reg_merged[int(b)] = max(reg_merged.get(int(b), 0), int(r))
+        assert reg_full == reg_merged
+
+    def test_tfidf_topk_ranks_by_score(self, ray_session):
+        out = _to_pandas(entrymod.queries()["tfidf_topk"](SF_DIR))
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+        n = len(docs)
+        # independent recomputation for 10 docs
+        df: dict = {}
+        for t in docs.text:
+            for tok in set(t.split()):
+                df[tok] = df.get(tok, 0) + 1
+        for _, doc in docs.head(10).iterrows():
+            tf: dict = {}
+            for tok in doc.text.split():
+                tf[tok] = tf.get(tok, 0) + 1
+            want = sorted(((-(c * n) / df[t], t) for t, c in tf.items()))[:3]
+            got = out[out.doc_id == doc.doc_id].sort_values("rank")
+            assert list(got.token) == [t for _, t in want]
+            assert list(got.score) == [-s for s, _ in want]
