@@ -3694,7 +3694,12 @@ ORACLE_SQL.update({"connected_components": SQL_COMPONENTS})
 # match is bit-exact, not probabilistic.
 
 JACCARD_TAU = 0.5
-JACCARD_NGRAM = 2
+# Word 4-grams, not bigrams: the synthetic corpus draws from a ~31-word
+# vocabulary, so bigram document frequency is enormous and the prefix
+# filter degenerates toward all-pairs (17.3M candidates at sf0.1 vs
+# 25.5k with 4-grams, measured). Longer shingles keep prefix segments
+# rare — the standard shingle-size lever for low-entropy corpora.
+JACCARD_NGRAM = 4
 
 _JACCARD_CACHE: dict = {}
 
@@ -3910,7 +3915,11 @@ def q_jaccard_pairs(sf_dir: str):
 
 
 _NGRAM_SQL = (
-    "list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))"
+    f"list_distinct(list_transform(range(1, len(t) - {JACCARD_NGRAM - 2}), i -> "
+    + " || ' ' || ".join(f"t[i + {j}]" for j in range(JACCARD_NGRAM)).replace(
+        "t[i + 0]", "t[i]"
+    )
+    + "))"
 )
 
 SQL_JACCARD_PAIRS = f"""

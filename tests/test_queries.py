@@ -381,11 +381,12 @@ class TestGraphQueries:
         """Prefix filtering must have recall AND precision 1.0: the
         engine's pair set equals brute force over all sf0.001 docs."""
         from don_crawler_ray.functions.dedup import word_ngrams
-        from don_crawler_ray.pipelines.queries import JACCARD_TAU
+        from don_crawler_ray.pipelines.queries import JACCARD_NGRAM, JACCARD_TAU
 
         docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
         sets = {
-            int(r.doc_id): set(word_ngrams(r.text, 2)) for _, r in docs.iterrows()
+            int(r.doc_id): set(word_ngrams(r.text, JACCARD_NGRAM))
+            for _, r in docs.iterrows()
         }
         truth = {}
         items = [(d, s) for d, s in sets.items() if s]
@@ -432,7 +433,7 @@ class TestGraphQueries:
             pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts}),
             str(tmp_path / "documents.parquet"),
         )
-        sets = {d: set(word_ngrams(t, 2)) for d, t in zip(ids, texts)}
+        sets = {d: set(word_ngrams(t, qmod.JACCARD_NGRAM)) for d, t in zip(ids, texts)}
         truth = set()
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
