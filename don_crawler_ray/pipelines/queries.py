@@ -1828,48 +1828,66 @@ def q_last_activity(sf_dir: str):
     Modeled on events: per user, head = max click ts, api = max purchase
     ts, updated = max any ts; ``last_activity`` is the first non-null in
     that order and ``activity_source`` records which level supplied it."""
-    from ray.data.aggregate import Max
-
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    SENT = np.int64(np.iinfo(np.int64).min)  # null stand-in for max()
 
-    def prep(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
+        # per-batch 3-way max partials — the partial-agg combiner shape:
+        # one row per distinct user per batch rides the exchange, never
+        # raw events, and no per-key aggregate actors are involved
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
         et = batch.column("event_type")
-        ts = batch.column("ts")
-        null_ts = pa.scalar(None, pa.timestamp("us"))
+        click = pc.equal(et, "click").to_numpy(zero_copy_only=False)
+        purch = pc.equal(et, "purchase").to_numpy(zero_copy_only=False)
+        order = np.argsort(uid, kind="stable")
+        uid, ts = uid[order], ts[order]
+        click, purch = click[order], purch[order]
+        _, starts, _lens = _segments(uid)
+        head = np.where(click, ts, SENT)
+        api = np.where(purch, ts, SENT)
         return pa.table(
             {
-                "user_id": batch.column("user_id"),
-                "head_ts": pc.if_else(pc.equal(et, "click"), ts, null_ts),
-                "api_ts": pc.if_else(pc.equal(et, "purchase"), ts, null_ts),
-                "ts": ts,
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "head_max": pa.array(np.maximum.reduceat(head, starts), pa.int64()),
+                "api_max": pa.array(np.maximum.reduceat(api, starts), pa.int64()),
+                "any_max": pa.array(np.maximum.reduceat(ts, starts), pa.int64()),
             }
         )
 
-    agg = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(
-            Max("head_ts", alias_name="head_max", ignore_nulls=True),
-            Max("api_ts", alias_name="api_max", ignore_nulls=True),
-            Max("ts", alias_name="any_max"),
+    def cascade_kernel(group: pa.Table) -> pa.Table:
+        # each user lives wholly in one bucket: merge partials with one
+        # sort + segment reduceat, then the 3-level coalesce cascade
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(uid, kind="stable")
+        uid = uid[order]
+        _, starts, _lens = _segments(uid)
+        head = np.maximum.reduceat(
+            group.column("head_max").to_numpy(zero_copy_only=False)[order], starts
         )
-    )
-    t = pa.Table.from_pylist(agg.take_all())
-    head = pc.cast(t.column("head_max"), pa.timestamp("us"))
-    api = pc.cast(t.column("api_max"), pa.timestamp("us"))
-    anyts = pc.cast(t.column("any_max"), pa.timestamp("us"))
-    last = pc.coalesce(head, api, anyts)
-    source = pc.if_else(
-        pc.is_valid(head),
-        pa.scalar("git_head"),
-        pc.if_else(pc.is_valid(api), pa.scalar("api"), pa.scalar("updated_at")),
-    )
-    return pa.table(
-        {
-            "user_id": pc.cast(t.column("user_id"), pa.int64()),
-            "last_activity": last,
-            "activity_source": source,
-        }
+        api = np.maximum.reduceat(
+            group.column("api_max").to_numpy(zero_copy_only=False)[order], starts
+        )
+        anyts = np.maximum.reduceat(
+            group.column("any_max").to_numpy(zero_copy_only=False)[order], starts
+        )
+        last = np.where(head != SENT, head, np.where(api != SENT, api, anyts))
+        source = np.where(
+            head != SENT, "git_head", np.where(api != SENT, "api", "updated_at")
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "last_activity": pa.array(last.view("datetime64[us]")),
+                "activity_source": pa.array(source.tolist(), pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(_int_bucket_stage("user_id"), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(cascade_kernel, batch_format="pyarrow")
     )
 
 
