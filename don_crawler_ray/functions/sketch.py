@@ -55,6 +55,34 @@ def hll_bucket_rho(values: np.ndarray, p: int = HLL_P) -> tuple[np.ndarray, np.n
     return bucket, t + 1
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+_SALT = 0x9E3779B97F4A7C15
+
+
+def cms_buckets(hashes: np.ndarray, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> np.ndarray:
+    """(depth, n) bucket matrix for pre-hashed items: row r's bucket is
+    ``splitmix64_mix(h + (r+1)*SALT) mod width`` — integer-only, so the
+    oracle re-derives every counter cell (Cormode & Muthukrishnan 2005
+    for the sketch; the mix is the same splitmix64 finalizer the HLL
+    and MinHash oracles re-derive)."""
+    from don_crawler_ray.functions.dedup import _mix64
+
+    h = hashes.astype(np.uint64)
+    out = np.empty((depth, len(h)), np.int64)
+    with np.errstate(over="ignore"):
+        for r in range(depth):
+            out[r] = (_mix64(h + np.uint64((r + 1) * _SALT & _M64)) % np.uint64(width)).astype(np.int64)
+    return out
+
+
+def cms_point_query(counters: np.ndarray, token_hash: int) -> int:
+    """Point frequency estimate: min over rows of the token's cell.
+    ``counters`` is the (depth, width) int64 matrix."""
+    b = cms_buckets(np.array([token_hash], np.uint64))
+    return int(min(counters[r, b[r, 0]] for r in range(counters.shape[0])))
+
+
 def hll_estimate(buckets: np.ndarray, rhos: np.ndarray, p: int = HLL_P) -> float:
     """Distinct-count estimate from max-rho registers. Raw HLL with the
     standard alpha_m constant; linear counting below the 2.5*m

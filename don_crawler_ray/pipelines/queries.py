@@ -4374,3 +4374,114 @@ FROM ranked WHERE rnk <= {TFIDF_TOPK}
 
 QUERIES.update({"tfidf_topk": q_tfidf_topk})
 ORACLE_SQL.update({"tfidf_topk": SQL_TFIDF_TOPK})
+
+
+def q_cms_tokens(sf_dir: str):
+    """Count-min sketch over token OCCURRENCES — the mergeable
+    frequency sketch that answers heavy-hitter point queries at 100 TB
+    without a vocabulary-wide shuffle (Cormode & Muthukrishnan 2005).
+    Each batch emits its own nonzero counter cells (<= depth*width =
+    2048 rows per batch regardless of batch size); the driver merges by
+    elementwise SUM — merge order cannot matter. Cell derivation is
+    integer-only (FNV-1a token hash, per-row splitmix64 mix, modulo
+    width), so the oracle re-derives every counter bit-for-bit.
+    ``sketch.cms_point_query`` turns the output into frequency
+    estimates (>= true count by construction; tested)."""
+    import collections
+
+    from don_crawler_ray.functions.dedup import fnv1a64
+    from don_crawler_ray.functions.sketch import CMS_DEPTH, CMS_WIDTH, cms_buckets
+
+    ds = _read(sf_dir, "documents", columns=["text"]).repartition(32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(t.split())
+        if not c:
+            return pa.table(
+                {
+                    "r": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        toks = list(c.keys())
+        h = np.array([fnv1a64(t) for t in toks], np.uint64)
+        cnt = np.array([c[t] for t in toks], np.int64)
+        b = cms_buckets(h)
+        counters = np.zeros((CMS_DEPTH, CMS_WIDTH), np.int64)
+        for r in range(CMS_DEPTH):
+            np.add.at(counters[r], b[r], cnt)
+        rr, bb = np.nonzero(counters)
+        return pa.table(
+            {
+                "r": pa.array(rr.astype(np.int64), pa.int64()),
+                "bucket": pa.array(bb.astype(np.int64), pa.int64()),
+                "n": pa.array(counters[rr, bb], pa.int64()),
+            }
+        )
+
+    acc: dict[tuple[int, int], int] = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        key = (int(row["r"]), int(row["bucket"]))
+        acc[key] = acc.get(key, 0) + int(row["n"])
+    keys = sorted(acc)
+    return pa.table(
+        {
+            "r": pa.array([k[0] for k in keys], pa.int64()),
+            "bucket": pa.array([k[1] for k in keys], pa.int64()),
+            "n": pa.array([acc[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+def _build_cms_sql() -> str:
+    from don_crawler_ray.functions.sketch import CMS_DEPTH, CMS_WIDTH, _SALT
+
+    m64 = 1 << 64
+    c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(z, c):
+        zh = f"(CAST({z} AS HUGEINT) >> 32)"
+        zl = f"(CAST({z} AS HUGEINT) & 4294967295)"
+        return (
+            f"CAST(((({zh} * {c}) % 4294967296) * 4294967296 + {zl} * {c})"
+            f" % {m64} AS UBIGINT)"
+        )
+
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+  FROM documents),
+tf AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY token),
+h AS (
+  SELECT token, n,
+    list_reduce(
+      list_prepend(CAST(1469598103934665603 AS UBIGINT),
+        list_transform(regexp_extract_all(token, '.'), c -> CAST(ascii(c) AS UBIGINT))),
+      (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * 1099511628211)
+                       % {m64} AS UBIGINT)
+    ) AS hv
+  FROM tf),
+rows AS (SELECT unnest(range(0, {CMS_DEPTH})) AS r),
+ma AS (
+  SELECT r, n,
+         -- salted input + the splitmix mix's own first step (+c1)
+         CAST((CAST(hv AS HUGEINT)
+               + (CAST(r + 1 AS HUGEINT) * {_SALT}) % {m64}
+               + {c1}) % {m64} AS UBIGINT) AS z
+  FROM h CROSS JOIN rows),
+mb AS (SELECT r, n, {mulmod('xor(z, z >> 30)', c2)} AS z FROM ma),
+mc AS (SELECT r, n, {mulmod('xor(z, z >> 27)', c3)} AS z FROM mb),
+md AS (SELECT r, n, xor(z, z >> 31) AS hv2 FROM mc)
+SELECT CAST(r AS BIGINT) AS r, CAST(hv2 % {CMS_WIDTH} AS BIGINT) AS bucket,
+       CAST(sum(n) AS BIGINT) AS n
+FROM md GROUP BY 1, 2
+"""
+
+
+SQL_CMS_TOKENS = _build_cms_sql()
+
+QUERIES.update({"cms_tokens": q_cms_tokens})
+ORACLE_SQL.update({"cms_tokens": SQL_CMS_TOKENS})

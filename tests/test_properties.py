@@ -202,3 +202,47 @@ def test_asof_kernel_matches_bruteforce(rows):
                 best, best_key = lid, (lt, lid)
         assert got[pid] == best, (pid, rows)
     assert len(got) == sum(1 for r in rows if not r[2])
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 12), min_size=0, max_size=20),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from([0.3, 0.5, 0.8]),
+)
+@settings(max_examples=200, deadline=None)
+def test_prefix_filter_candidates_superset_of_true_pairs(token_lists, tau):
+    """The PPJoin prefix lemma as implemented (hash total order +
+    per-doc prefix_length): every pair with exact n-gram Jaccard >= tau
+    MUST share a prefix shingle — recall 1 before verification, for any
+    corpus and threshold. Pure-Python mirror of the candidate stage of
+    ``q_jaccard_pairs``."""
+    from don_crawler_ray.functions.dedup import fnv1a64, prefix_length, word_ngrams
+
+    n = 2
+    texts = [" ".join(f"w{t}" for t in toks) for toks in token_lists]
+    sets = {i: set(word_ngrams(t, n)) for i, t in enumerate(texts)}
+    prefixes = {}
+    for i, t in enumerate(texts):
+        grams = word_ngrams(t, n)
+        if not grams:
+            continue
+        p = prefix_length(len(grams), tau)
+        prefixes[i] = {g for _h, g in sorted(((fnv1a64(g), g) for g in grams))[:p]}
+    candidates = set()
+    docs = sorted(prefixes)
+    for ai in range(len(docs)):
+        for bi in range(ai + 1, len(docs)):
+            a, b = docs[ai], docs[bi]
+            if prefixes[a] & prefixes[b]:
+                candidates.add((a, b))
+    for ai in range(len(texts)):
+        for bi in range(ai + 1, len(texts)):
+            sa, sb = sets[ai], sets[bi]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter / (len(sa) + len(sb) - inter) >= tau:
+                assert (ai, bi) in candidates, (texts[ai], texts[bi], tau)

@@ -535,3 +535,30 @@ class TestGraphQueries:
             got = out[out.doc_id == doc.doc_id].sort_values("rank")
             assert list(got.token) == [t for _, t in want]
             assert list(got.score) == [-s for s, _ in want]
+
+    def test_cms_point_queries_bound_true_counts(self, ray_session):
+        """CMS guarantees estimate >= true count; with depth 4 x width
+        512 over this vocabulary the estimates should also be tight."""
+        import collections
+
+        import numpy as np
+
+        from don_crawler_ray.functions.dedup import fnv1a64
+        from don_crawler_ray.functions.sketch import (
+            CMS_DEPTH,
+            CMS_WIDTH,
+            cms_point_query,
+        )
+
+        out = _to_pandas(entrymod.queries()["cms_tokens"](SF_DIR))
+        counters = np.zeros((CMS_DEPTH, CMS_WIDTH), np.int64)
+        counters[out.r.to_numpy(), out.bucket.to_numpy()] = out.n.to_numpy()
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+        true: collections.Counter = collections.Counter()
+        for t in docs.text:
+            true.update(t.split())
+        assert int(counters[0].sum()) == sum(true.values())  # each row sees every occurrence
+        for tok, cnt in true.items():
+            est = cms_point_query(counters, fnv1a64(tok))
+            assert est >= cnt, tok
+            assert est <= cnt + counters[0].sum() * 2 / CMS_WIDTH, tok  # CM error bound
