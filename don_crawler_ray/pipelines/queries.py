@@ -4485,3 +4485,60 @@ SQL_CMS_TOKENS = _build_cms_sql()
 
 QUERIES.update({"cms_tokens": q_cms_tokens})
 ORACLE_SQL.update({"cms_tokens": SQL_CMS_TOKENS})
+
+
+GROUP_TOPK = 2
+
+
+def q_topk_docs_per_lang(sf_dir: str):
+    """Grouped top-k (top-2 docs per language by char count) with ZERO
+    shuffle: grouping cardinality is small, so each batch emits its own
+    per-group top-k partial (<= langs * k rows per batch) and the
+    driver merges partials with the same comparator — the ANN
+    partial-top-k pattern applied to a categorical key. For
+    high-cardinality keys the bucket segment kernel applies instead
+    (``q_last_event_per_user``)."""
+    k = GROUP_TOPK
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((did, -nch, lang))
+        lang, did, nch = lang[order], did[order], nch[order]
+        _, starts, lens = _segments(lang)
+        take = np.concatenate(
+            [np.arange(s, s + min(k, ln)) for s, ln in zip(starts, lens)]
+        ) if len(starts) else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "lang": pa.array(lang[take].tolist(), pa.string()),
+                "doc_id": pa.array(did[take], pa.int64()),
+                "n_chars": pa.array(nch[take], pa.int64()),
+            }
+        )
+
+    parts = pa.Table.from_pylist(
+        ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
+    )
+    merged = partial_topk(parts)
+    ranks = np.zeros(merged.num_rows, np.int64)
+    lang = merged.column("lang").to_numpy(zero_copy_only=False)
+    _, starts, lens = _segments(lang)
+    for s, ln in zip(starts, lens):
+        ranks[s : s + ln] = np.arange(ln)
+    return merged.append_column("rank", pa.array(ranks, pa.int64()))
+
+
+SQL_TOPK_DOCS = f"""
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id)
+              - 1 AS BIGINT) AS rank
+  FROM documents)
+SELECT lang, doc_id, n_chars, rank FROM ranked WHERE rank < {GROUP_TOPK}
+"""
+
+QUERIES.update({"topk_docs_per_lang": q_topk_docs_per_lang})
+ORACLE_SQL.update({"topk_docs_per_lang": SQL_TOPK_DOCS})
