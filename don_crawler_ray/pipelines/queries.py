@@ -3493,13 +3493,20 @@ def _purchase_graph(sf_dir: str):
             }
         )
 
-    import collections
-
-    deg: collections.Counter = collections.Counter()
-    for row in edges.map_batches(deg_partial, batch_format="pyarrow").take_all():
-        deg[int(row["node"])] += int(row["n"])
-    node_ids = np.array(sorted(deg), dtype=np.int64)
-    outdeg = np.array([deg[n] for n in node_ids.tolist()], dtype=np.int64)
+    # vectorized partial merge: concatenate the per-block (node, n)
+    # partials and reduce with one np.unique + add.at — never a Python
+    # loop over nodes x blocks dict rows
+    nodes_l, ns_l = [], []
+    for b in edges.map_batches(deg_partial, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        nodes_l.append(b.column("node").to_numpy(zero_copy_only=False))
+        ns_l.append(b.column("n").to_numpy(zero_copy_only=False))
+    all_nodes = np.concatenate(nodes_l) if nodes_l else np.empty(0, np.int64)
+    all_ns = np.concatenate(ns_l) if ns_l else np.empty(0, np.int64)
+    node_ids, inv = np.unique(all_nodes, return_inverse=True)
+    outdeg = np.zeros(len(node_ids), np.int64)
+    np.add.at(outdeg, inv, all_ns)
     _GRAPH_CACHE.clear()  # one graph per process is plenty
     _GRAPH_CACHE[sf_dir] = (edges, node_ids, outdeg)
     return edges, node_ids, outdeg
@@ -3555,8 +3562,13 @@ def q_pagerank_orders(sf_dir: str):
             )
 
         new = np.full(n_nodes, base, dtype=np.int64)
-        for row in edges.map_batches(contribs, batch_format="pyarrow").take_all():
-            new[int(np.searchsorted(node_ids, int(row["node"])))] += int(row["contrib"])
+        for b in edges.map_batches(contribs, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ):
+            idx = np.searchsorted(
+                node_ids, b.column("node").to_numpy(zero_copy_only=False)
+            )
+            np.add.at(new, idx, b.column("contrib").to_numpy(zero_copy_only=False))
         ranks = new
 
     return pa.table(
@@ -3637,10 +3649,13 @@ def _min_label_propagation(
             )
 
         new = labels.copy()
-        for row in edges.map_batches(mins, batch_format="pyarrow").take_all():
-            i = int(np.searchsorted(node_ids, int(row["node"])))
-            if int(row["m"]) < new[i]:
-                new[i] = int(row["m"])
+        for b in edges.map_batches(mins, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ):
+            idx = np.searchsorted(
+                node_ids, b.column("node").to_numpy(zero_copy_only=False)
+            )
+            np.minimum.at(new, idx, b.column("m").to_numpy(zero_copy_only=False))
         labels = new
     return labels
 
