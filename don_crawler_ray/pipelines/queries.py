@@ -4556,3 +4556,444 @@ SELECT lang, doc_id, n_chars, rank FROM ranked WHERE rank < {GROUP_TOPK}
 
 QUERIES.update({"topk_docs_per_lang": q_topk_docs_per_lang})
 ORACLE_SQL.update({"topk_docs_per_lang": SQL_TOPK_DOCS})
+
+
+# ---------------------------------------------------------------------------
+# Range join / exact quantiles / normalization / LM counts / rollup /
+# percentile gate (round-3 widening batch)
+# ---------------------------------------------------------------------------
+
+RANGE_BAND_US = 3_600_000_000  # 1 hour
+
+
+def q_range_join_events(sf_dir: str):
+    """RANGE (band) JOIN over a continuous time domain — the non-equi
+    join family the Dataset API lacks (SURVEY §2.4, alongside the
+    as-of join): for every event, how many OTHER events start within
+    the following hour.
+
+    Scale shape: bucket both sides by ``floor(ts / band)`` with
+    band == bucket width, REPLICATE each build row into its own bucket
+    and the previous one, and route each probe to exactly ONE bucket —
+    a probe's window [t, t+band) is then fully covered by the build
+    copies in its bucket, so ONE shuffle answers every probe with no
+    second aggregation pass. Build replication is x2 on a slim
+    (bucket, ts) stream. The exchange key is the time bucket folded
+    into a FIXED 64-way meta-bucket space (hour buckets of the same
+    meta-bucket are disjoint segments after one sort), so the group
+    count — and hence the per-group Python-call overhead — is constant
+    while per-hour work stays numpy: the schedule bucket-kernel
+    doctrine applied to a non-equi join. Python work is O(distinct
+    time buckets), never per row."""
+    n_meta = 64
+    # single-file testdata reads land in one block; spread the expand
+    # kernel (and the shuffle's map side) across the pool
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"]).repartition(32)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = ts // RANGE_BAND_US
+        bucket = np.concatenate([b, b, b - 1])
+        kind = np.concatenate(
+            [np.zeros(len(b), np.int32), np.ones(2 * len(b), np.int32)]
+        )
+        out_ts = np.concatenate([ts, ts, ts])
+        out_id = np.concatenate([eid, np.full(2 * len(b), -1, np.int64)])
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "_meta": pa.array((bucket % n_meta).astype(np.int32)),
+                "kind": pa.array(kind, pa.int32()),
+                "ts_us": pa.array(out_ts, pa.int64()),
+                "event_id": pa.array(out_id, pa.int64()),
+            }
+        )
+
+    def probe(group: pa.Table) -> pa.Table:
+        # one sort puts every (hour-bucket, kind) run contiguous with
+        # builds before probes; per hour-segment work is two
+        # searchsorteds on views — no per-row Python
+        g = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[
+                    ("bucket", "ascending"),
+                    ("kind", "descending"),
+                    ("ts_us", "ascending"),
+                ],
+            )
+        )
+        bucket = g.column("bucket").to_numpy(zero_copy_only=False)
+        kind = g.column("kind").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        _, seg_starts, seg_len = _segments(bucket)
+        out_id: list[np.ndarray] = []
+        out_n: list[np.ndarray] = []
+        for s, ln in zip(seg_starts, seg_len):
+            k = kind[s : s + ln]
+            nb = int(np.searchsorted(-k, 0))  # builds (kind 1) sort first
+            build = ts[s : s + nb]
+            pts = ts[s + nb : s + ln]
+            lo = np.searchsorted(build, pts, side="left")
+            hi = np.searchsorted(build, pts + RANGE_BAND_US, side="left")
+            out_id.append(eid[s + nb : s + ln])
+            out_n.append(hi - lo - 1)  # own build copy is always present
+        pid = np.concatenate(out_id) if out_id else np.empty(0, np.int64)
+        pn = np.concatenate(out_n) if out_n else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(pid, pa.int64()),
+                "n_within": pa.array(pn.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby("_meta")
+        .map_groups(probe, batch_format="pyarrow")
+    )
+
+
+SQL_RANGE_JOIN = """
+SELECT e.event_id, CAST(count(e2.event_id) AS BIGINT) AS n_within
+FROM events e
+LEFT JOIN events e2
+  ON e2.ts >= e.ts AND e2.ts < e.ts + INTERVAL 1 HOUR
+ AND e2.event_id <> e.event_id
+GROUP BY 1
+"""
+
+QUERIES.update({"range_join_events": q_range_join_events})
+ORACLE_SQL.update({"range_join_events": SQL_RANGE_JOIN})
+
+
+QUANTILE_PCTS = (25, 50, 90)
+
+
+def q_group_quantiles(sf_dir: str):
+    """Exact multi-quantile per group (p25/p50/p90 of order price per
+    priority) — the percentile-profile aggregate. Order statistics are
+    not partial-mergeable, so the scale shape is the bucket segment
+    kernel: one shuffle on a small int key space, one sort per bucket,
+    quantile rows by vectorized gather at integer indices. The index
+    contract is pure-integer on BOTH sides — 1-based
+    ``(p*n + 99) // 100`` — because ``ceil(0.9 * n)`` in doubles
+    rounds differently when 9n/10 is integral."""
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        code = pc.cast(
+            pc.utf8_slice_codeunits(batch.column("o_orderpriority"), 0, 1), pa.int64()
+        )
+        return batch.append_column("prio_code", code)
+
+    def quant(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[("prio_code", "ascending"), ("o_totalprice", "ascending")],
+            )
+        )
+        code = g.column("prio_code").to_numpy(zero_copy_only=False)
+        v = g.column("o_totalprice").to_numpy(zero_copy_only=False)
+        names = g.column("o_orderpriority")
+        _, seg_starts, seg_len = _segments(code)
+        cols: dict[str, pa.Array] = {
+            "o_orderpriority": names.take(pa.array(seg_starts, pa.int64())),
+        }
+        for p in QUANTILE_PCTS:
+            idx = seg_starts + (p * seg_len + 99) // 100 - 1
+            cols[f"p{p}"] = pa.array(v[idx], pa.float64())
+        cols["n"] = pa.array(seg_len.astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .map_batches(_int_bucket_stage("prio_code", n_buckets=8), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(quant, batch_format="pyarrow")
+    )
+
+
+SQL_GROUP_QUANTILES = f"""
+WITH g AS (
+  SELECT o_orderpriority,
+         array_agg(o_totalprice ORDER BY o_totalprice) AS v,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1)
+SELECT o_orderpriority,
+       {", ".join(f"v[CAST((({p}*n + 99) // 100) AS INT)] AS p{p}" for p in QUANTILE_PCTS)},
+       n
+FROM g
+"""
+
+QUERIES.update({"group_quantiles": q_group_quantiles})
+ORACLE_SQL.update({"group_quantiles": SQL_GROUP_QUANTILES})
+
+
+def q_zscore_orders(sf_dir: str):
+    """Per-group z-score normalization (the feature-scaling map): each
+    order's price standardized against its priority group. Two passes:
+    a partial-aggregation stats pass (per-batch grouped sums — cents,
+    cents^2 split into 32-bit limbs so int64 never overflows, counts)
+    merged exactly on the driver in Python ints, then a broadcast map.
+    Bit-exactness: z = (n*x - s) / sqrt(n*q - s^2) — numerator exact
+    in int64 (< 2^53), the radicand a Python int -> double conversion
+    matching DuckDB's HUGEINT -> DOUBLE rounding, one correctly-
+    rounded sqrt and one division on both engines."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        prio = batch.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        uniq, inv = np.unique(prio, return_inverse=True)
+        c2 = cents * cents  # cents < 2^26 -> exact in int64
+        return pa.table(
+            {
+                "prio": pa.array(uniq.tolist(), pa.string()),
+                "s": pa.array(np.bincount(inv, weights=cents).astype(np.int64)),
+                "q_lo": pa.array(
+                    np.bincount(inv, weights=(c2 & 0xFFFFFFFF)).astype(np.int64)
+                ),
+                "q_hi": pa.array(np.bincount(inv, weights=(c2 >> 32)).astype(np.int64)),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    acc: dict[str, list[int]] = {}
+    for row in ds.map_batches(stats_partial, batch_format="pyarrow").take_all():
+        got = acc.setdefault(row["prio"], [0, 0, 0])
+        got[0] += int(row["s"])
+        got[1] += (int(row["q_hi"]) << 32) + int(row["q_lo"])
+        got[2] += int(row["n"])
+
+    denom = {
+        p: (n, s, float(n * q - s * s)) for p, (s, q, n) in acc.items()
+    }
+
+    def zmap(batch: pa.Table) -> pa.Table:
+        prio = batch.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        z = np.empty(len(prio), np.float64)
+        for p, (n, s, b) in denom.items():
+            m = prio == p
+            z[m] = (n * cents[m] - s).astype(np.float64) / np.sqrt(b)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "zscore": pa.array(z, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(zmap, batch_format="pyarrow")
+
+
+SQL_ZSCORE = """
+WITH c AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+st AS (
+  SELECT o_orderpriority, sum(cents) AS s, sum(cents * cents) AS q,
+         CAST(count(*) AS BIGINT) AS n
+  FROM c GROUP BY 1)
+SELECT o_orderkey,
+       CAST(n * cents - s AS DOUBLE) / sqrt(CAST(n * q - s * s AS DOUBLE)) AS zscore
+FROM c JOIN st USING (o_orderpriority)
+"""
+
+QUERIES.update({"zscore_orders": q_zscore_orders})
+ORACLE_SQL.update({"zscore_orders": SQL_ZSCORE})
+
+
+BIGRAM_MIN = 5
+
+
+def q_bigram_counts(sf_dir: str):
+    """Adjacent-token (bigram) LM counts with a min-count gate — the
+    n-gram language-model counting pass. Same shape as ``vocab_topk``:
+    per-batch ``Counter`` partials (one row per DISTINCT pair per
+    batch), 256-way exchange on the pair hash so each pair's global
+    count lands wholly in one bucket, per-bucket Arrow group-sum, and
+    the min-count filter applied per bucket (complete counts) so only
+    heavy pairs ever reach the driver."""
+    import collections
+
+    from don_crawler_ray.functions.dedup import fnv1a64
+
+    ds = _read(sf_dir, "documents", columns=["text"]).repartition(32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for t in batch.column("text").to_pylist():
+            toks = t.split()
+            c.update(zip(toks, toks[1:]))
+        pairs = list(c.keys())
+        return pa.table(
+            {
+                "w1": pa.array([p[0] for p in pairs], pa.string()),
+                "w2": pa.array([p[1] for p in pairs], pa.string()),
+                "cnt": pa.array([c[p] for p in pairs], pa.int64()),
+                "_bucket": pa.array(
+                    np.array(
+                        [fnv1a64(a + "\x00" + b) % 256 for a, b in pairs], np.int32
+                    )
+                ),
+            }
+        )
+
+    def bucket_sum(group: pa.Table) -> pa.Table:
+        agg = (
+            group.select(["w1", "w2", "cnt"])
+            .group_by(["w1", "w2"])
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["w1", "w2", "cnt"])
+        )
+        return agg.filter(pc.greater_equal(agg.column("cnt"), BIGRAM_MIN))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_sum, batch_format="pyarrow")
+    )
+
+
+SQL_BIGRAM = f"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents),
+pairs AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2
+  FROM toks, unnest(range(1, len(tk))) AS u(i))
+SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY 1, 2 HAVING count(*) >= {BIGRAM_MIN}
+"""
+
+QUERIES.update({"bigram_counts": q_bigram_counts})
+ORACLE_SQL.update({"bigram_counts": SQL_BIGRAM})
+
+
+def q_rollup_orders(sf_dir: str):
+    """ROLLUP / grouping-sets aggregate (revenue by year, by
+    year+priority, and grand total) from ONE pass of finest-grain
+    partials: per-batch grouped integer-cent sums (<= years x
+    priorities rows per batch), exact driver merge, coarser levels
+    derived by re-summing the merged partials — no second scan, no
+    shuffle, summation order irrelevant by integer exactness."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        yr = pc.year(batch.column("o_orderdate")).to_numpy(zero_copy_only=False).astype(np.int64)
+        prio = batch.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        key = np.char.add(yr.astype("U8"), np.char.add("|", prio.astype("U24")))
+        uniq, inv = np.unique(key, return_inverse=True)
+        return pa.table(
+            {
+                "key": pa.array(uniq.tolist(), pa.string()),
+                "cents": pa.array(np.bincount(inv, weights=cents).astype(np.int64)),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    acc: dict[tuple[int, str], list[int]] = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        y_s, prio = row["key"].split("|", 1)
+        got = acc.setdefault((int(y_s), prio), [0, 0])
+        got[0] += int(row["cents"])
+        got[1] += int(row["n"])
+
+    levels: dict[tuple[int, str], list[int]] = {}
+    for (y, p), (cents, n) in acc.items():
+        for key in [(y, p), (y, "ALL"), (-1, "ALL")]:
+            got = levels.setdefault(key, [0, 0])
+            got[0] += cents
+            got[1] += n
+    keys = sorted(levels)
+    return pa.table(
+        {
+            "year": pa.array([k[0] for k in keys], pa.int64()),
+            "priority": pa.array([k[1] for k in keys], pa.string()),
+            "revenue_cents": pa.array([levels[k][0] for k in keys], pa.int64()),
+            "n_orders": pa.array([levels[k][1] for k in keys], pa.int64()),
+        }
+    )
+
+
+SQL_ROLLUP = """
+SELECT COALESCE(CAST(year(o_orderdate) AS BIGINT), -1) AS year,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
+"""
+
+QUERIES.update({"rollup_orders": q_rollup_orders})
+ORACLE_SQL.update({"rollup_orders": SQL_ROLLUP})
+
+
+QUALITY_PCT = 90
+
+
+def q_quality_filter_pct(sf_dir: str):
+    """Global-percentile quality gate (keep documents at or above the
+    exact p90 of length) — the corpus-level filtering step of a
+    training-data pipeline. The threshold is found WITHOUT a global
+    sort: per-batch value-count partials over the bounded-cardinality
+    score domain (distinct lengths), a tiny exact driver merge, then a
+    cumulative walk to the order statistic; the filter itself is a
+    predicate-pushdown re-read, so sub-threshold rows never leave
+    storage. Same integer index contract as ``group_quantiles``."""
+    import pyarrow.dataset as pads
+
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+
+    def vc(batch: pa.Table) -> pa.Table:
+        v = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, counts = np.unique(v, return_counts=True)
+        return pa.table(
+            {
+                "v": pa.array(uniq, pa.int64()),
+                "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts: dict[int, int] = {}
+    for row in ds.map_batches(vc, batch_format="pyarrow").take_all():
+        counts[int(row["v"])] = counts.get(int(row["v"]), 0) + int(row["cnt"])
+    n = sum(counts.values())
+    k = (QUALITY_PCT * n + 99) // 100  # 1-based rank of the threshold
+    cum = 0
+    thr = None
+    for v in sorted(counts):
+        cum += counts[v]
+        if cum >= k:
+            thr = v
+            break
+
+    dset = pads.dataset(f"{sf_dir}/documents.parquet")
+    return dset.to_table(
+        columns=["doc_id", "lang", "n_chars"], filter=pads.field("n_chars") >= thr
+    )
+
+
+SQL_QUALITY_FILTER = f"""
+WITH s AS (
+  SELECT array_agg(n_chars ORDER BY n_chars) AS v, CAST(count(*) AS BIGINT) AS n
+  FROM documents)
+SELECT doc_id, lang, n_chars
+FROM documents, s
+WHERE n_chars >= v[CAST((({QUALITY_PCT}*n + 99) // 100) AS INT)]
+"""
+
+QUERIES.update({"quality_filter_pct": q_quality_filter_pct})
+ORACLE_SQL.update({"quality_filter_pct": SQL_QUALITY_FILTER})

@@ -562,3 +562,75 @@ class TestGraphQueries:
             est = cms_point_query(counters, fnv1a64(tok))
             assert est >= cnt, tok
             assert est <= cnt + counters[0].sum() * 2 / CMS_WIDTH, tok  # CM error bound
+
+
+class TestRound3Widening:
+    """Dedicated oracles for the range-join / quantile / normalization
+    batch, beyond the parametrized SQL gate above."""
+
+    def test_range_join_matches_brute_force(self, ray_session):
+        """Every bucketed band-join count equals the O(n^2) definition:
+        events with ts in [t, t+1h) excluding self — including window
+        boundaries and cross-bucket probes."""
+        from don_crawler_ray.pipelines.queries import RANGE_BAND_US
+
+        out = _to_pandas(entrymod.queries()["range_join_events"](SF_DIR))
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_id", "ts"])
+        ts = ev.ts.astype("int64").to_numpy()
+        order = np.argsort(ts, kind="stable")
+        sorted_ts = ts[order]
+        lo = np.searchsorted(sorted_ts, ts, side="left")
+        hi = np.searchsorted(sorted_ts, ts + RANGE_BAND_US, side="left")
+        brute = dict(zip(ev.event_id.to_numpy(), (hi - lo - 1)))
+        assert len(out) == len(ev)
+        for eid, n in zip(out.event_id, out.n_within):
+            assert n == brute[eid], eid
+
+    def test_zscore_group_moments(self, ray_session):
+        """Standardized scores have ~0 mean and ~1 population std per
+        priority group (float tolerance only — bit-exactness vs DuckDB
+        is the parametrized gate's job)."""
+        out = _to_pandas(entrymod.queries()["zscore_orders"](SF_DIR))
+        orders = pd.read_parquet(
+            f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+        )
+        j = out.merge(orders, on="o_orderkey")
+        for _, g in j.groupby("o_orderpriority"):
+            assert abs(g.zscore.mean()) < 1e-9
+            assert abs(g.zscore.std(ddof=0) - 1.0) < 1e-9
+
+    def test_quality_filter_keeps_exact_tail(self, ray_session):
+        """The percentile gate keeps exactly the rows at/above the
+        1-based (90n+99)//100 order statistic of n_chars."""
+        out = _to_pandas(entrymod.queries()["quality_filter_pct"](SF_DIR))
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["n_chars"])
+        v = np.sort(docs.n_chars.to_numpy())
+        n = len(v)
+        thr = v[(90 * n + 99) // 100 - 1]
+        assert (out.n_chars >= thr).all()
+        assert len(out) == int((docs.n_chars >= thr).sum())
+
+    def test_group_quantiles_integer_index_contract(self, ray_session):
+        """p50 equals the explicit ceil-index order statistic computed
+        in pure integers — the contract that differs from float
+        ceil(0.5*n) when the product is integral."""
+        out = _to_pandas(entrymod.queries()["group_quantiles"](SF_DIR))
+        orders = pd.read_parquet(
+            f"{SF_DIR}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+        )
+        for prio, g in orders.groupby("o_orderpriority"):
+            v = np.sort(g.o_totalprice.to_numpy())
+            n = len(v)
+            row = out[out.o_orderpriority == prio].iloc[0]
+            for p in (25, 50, 90):
+                assert row[f"p{p}"] == v[(p * n + 99) // 100 - 1]
+
+    def test_rollup_levels_consistent(self, ray_session):
+        """Grand total == sum of year level == sum of finest level."""
+        out = _to_pandas(entrymod.queries()["rollup_orders"](SF_DIR))
+        total = out[(out.year == -1)].revenue_cents.iloc[0]
+        yr = out[(out.year != -1) & (out.priority == "ALL")]
+        fine = out[(out.year != -1) & (out.priority != "ALL")]
+        assert yr.revenue_cents.sum() == total
+        assert fine.revenue_cents.sum() == total
+        assert yr.n_orders.sum() == fine.n_orders.sum() == out[out.year == -1].n_orders.iloc[0]
