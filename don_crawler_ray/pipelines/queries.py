@@ -4997,3 +4997,254 @@ WHERE n_chars >= v[CAST((({QUALITY_PCT}*n + 99) // 100) AS INT)]
 
 QUERIES.update({"quality_filter_pct": q_quality_filter_pct})
 ORACLE_SQL.update({"quality_filter_pct": SQL_QUALITY_FILTER})
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): per
+    document, the number of occurrences of its most frequent word
+    2-gram and 3-gram, and the fraction of words covered by them
+    (``top{k}_n * k / n_words``). High fractions flag boilerplate /
+    looping text that a training-data pipeline drops.
+
+    Scale shape: a pure per-row map — no shuffle at all. Counting is
+    per-doc ``collections.Counter`` over token-tuple windows (docs are
+    bounded at ~100 tokens; at 100 TB this stage is embarrassingly
+    parallel and CPU-bound, the ideal map_batches shape). Fractions
+    are one IEEE division of exact integers, so the DuckDB oracle is
+    bit-identical."""
+    from collections import Counter
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(8)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_words, top2, top3 = [], [], []
+        for t in batch.column("text").to_pylist():
+            toks = t.lower().split()
+            n = len(toks)
+            n_words.append(n)
+            top2.append(max(Counter(zip(toks, toks[1:])).values()) if n >= 2 else 0)
+            top3.append(
+                max(Counter(zip(toks, toks[1:], toks[2:])).values()) if n >= 3 else 0
+            )
+        nw = np.asarray(n_words, np.int64)
+        t2 = np.asarray(top2, np.int64)
+        t3 = np.asarray(top3, np.int64)
+        safe = np.maximum(nw, 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(nw, pa.int64()),
+                "top2_n": pa.array(t2, pa.int64()),
+                "top3_n": pa.array(t3, pa.int64()),
+                "top2_frac": pa.array((t2 * 2).astype(np.float64) / safe, pa.float64()),
+                "top3_frac": pa.array((t3 * 3).astype(np.float64) / safe, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+SQL_REPETITION_STATS = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+base AS (SELECT doc_id, w, len(w) AS n_words FROM t),
+g2 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+                                       i -> w[i] || ' ' || w[i + 1])) AS g
+  FROM base WHERE n_words >= 2
+),
+m2 AS (SELECT doc_id, max(c) AS top2
+       FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+g3 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+                                       i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS g
+  FROM base WHERE n_words >= 3
+),
+m3 AS (SELECT doc_id, max(c) AS top3
+       FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1)
+SELECT b.doc_id,
+       CAST(b.n_words AS BIGINT) AS n_words,
+       CAST(coalesce(m2.top2, 0) AS BIGINT) AS top2_n,
+       CAST(coalesce(m3.top3, 0) AS BIGINT) AS top3_n,
+       CAST(coalesce(m2.top2, 0) * 2 AS DOUBLE) / greatest(b.n_words, 1) AS top2_frac,
+       CAST(coalesce(m3.top3, 0) * 3 AS DOUBLE) / greatest(b.n_words, 1) AS top3_frac
+FROM base b
+LEFT JOIN m2 USING (doc_id)
+LEFT JOIN m3 USING (doc_id)
+"""
+
+QUERIES.update({"repetition_stats": q_repetition_stats})
+ORACLE_SQL.update({"repetition_stats": SQL_REPETITION_STATS})
+
+
+def q_dup_ngram_docs(sf_dir: str):
+    """Cross-document duplicate-n-gram detection (the ExactSubstr-dedup
+    signal of Lee et al. 2022, at shingle granularity): for every
+    document, how many of its distinct 8-token shingles also appear in
+    at least one OTHER document. A training-data pipeline drops or
+    trims documents whose fraction is high.
+
+    Scale shape: identical to ``decontaminate`` — the exchange carries
+    only ``(shingle_hash, doc_id)`` rows bucketed by ``hash % 64``,
+    never text. Each bucket kernel sorts once; a shingle-value run of
+    length >= 2 means every row in it is shared (shingles are distinct
+    per document), flagged via run-length segments with zero per-row
+    Python. The per-doc tally is a slim groupby-count."""
+    from ray.data.aggregate import Count
+
+    from don_crawler_ray.functions.dedup import shingle_hashes
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(8)
+
+    def shingles(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sh_all, id_all = [], []
+        for i, t in zip(ids.tolist(), batch.column("text").to_pylist()):
+            sh = shingle_hashes(t, k=8)
+            sh_all.append(sh)
+            id_all.append(np.full(len(sh), i, np.int64))
+        if not sh_all:
+            return pa.table(
+                {
+                    "sh": pa.array([], pa.uint64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "_bucket": pa.array([], pa.int32()),
+                }
+            )
+        sh = np.concatenate(sh_all)
+        return pa.table(
+            {
+                "sh": pa.array(sh, pa.uint64()),
+                "doc_id": pa.array(np.concatenate(id_all), pa.int64()),
+                "_bucket": pa.array((sh % np.uint64(64)).astype(np.int32)),
+            }
+        )
+
+    def bucket_kernel(group: pa.Table) -> pa.Table:
+        sh = group.column("sh").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(sh, kind="stable")
+        sh, ids = sh[order], ids[order]
+        _, seg_starts, seg_len = _segments(sh)
+        sel = np.repeat(seg_len >= 2, seg_len)
+        return pa.table({"doc_id": pa.array(ids[sel], pa.int64())})
+
+    hits = (
+        ds.map_batches(shingles, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_kernel, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_shared"))
+    )
+    t = pa.Table.from_pylist(hits.take_all())
+    if t.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "n_shared": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "n_shared": pc.cast(t.column("n_shared"), pa.int64()),
+        }
+    )
+
+
+def _build_dup_ngram_sql(k: int = 8) -> str:
+    fnv_prime, fnv_offset = 1099511628211, 1469598103934665603
+    m64 = 1 << 64
+    concat = " || ' ' || ".join(f"coalesce(toks[i+{j}], '')" for j in range(k))
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents
+),
+tp AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {k} THEN toks
+              ELSE toks || (SELECT list(x) FROM (SELECT '' AS x, unnest(generate_series(1, {k} - len(toks))))) END AS toks
+  FROM t
+),
+pos AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(1, len(toks) - {k - 1}))) AS i FROM tp),
+shstr AS (SELECT doc_id, {concat} || ' ' AS s FROM pos),
+shh AS (
+  SELECT DISTINCT doc_id,
+    list_reduce(
+      list_prepend(CAST({fnv_offset} AS UBIGINT),
+        list_transform(regexp_extract_all(s, '.'), c -> CAST(ascii(c) AS UBIGINT))),
+      (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * {fnv_prime}) % {m64} AS UBIGINT)
+    ) AS sh
+  FROM shstr
+),
+dup AS (SELECT sh FROM shh GROUP BY sh HAVING count(*) >= 2)
+SELECT shh.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM shh JOIN dup USING (sh)
+GROUP BY 1
+"""
+
+
+SQL_DUP_NGRAM = _build_dup_ngram_sql()
+
+QUERIES.update({"dup_ngram_docs": q_dup_ngram_docs})
+ORACLE_SQL.update({"dup_ngram_docs": SQL_DUP_NGRAM})
+
+
+_PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_events(sf_dir: str):
+    """Pivot / reshape-wide: per-day event counts fanned out into one
+    column per event type (the long->wide step feeding dashboards and
+    per-day feature vectors). The set of pivot columns is fixed up
+    front — at scale a data-dependent column set would itself be a
+    full pass, so the engine takes the schema as config, like SQL
+    PIVOT ... IN (...).
+
+    Scale shape: per-batch combiner partials keyed (day, type) — at
+    most days x types rows leave each task — then a slim groupby-sum
+    and a driver-side pivot of the tiny (days x types) result."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def prep_partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        slim = pa.table({"day": day, "event_type": batch.column("event_type")})
+        part = slim.group_by(["day", "event_type"]).aggregate([("day", "count")])
+        return part.rename_columns(["day", "event_type", "p_n"])
+
+    agg = (
+        ds.map_batches(prep_partial, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    days = pc.cast(t.column("day"), pa.timestamp("us")).to_numpy(zero_copy_only=False)
+    types = np.asarray(t.column("event_type").to_pylist())
+    ns = pc.cast(t.column("n"), pa.int64()).to_numpy(zero_copy_only=False)
+    uniq_days = np.unique(days)
+    day_idx = np.searchsorted(uniq_days, days)
+    cols = {"day": pa.array(uniq_days, pa.timestamp("us"))}
+    for et in _PIVOT_EVENT_TYPES:
+        out = np.zeros(len(uniq_days), np.int64)
+        mask = types == et
+        out[day_idx[mask]] = ns[mask]
+        cols[f"n_{et}"] = pa.array(out, pa.int64())
+    return pa.table(cols)
+
+
+SQL_PIVOT_EVENTS = """
+SELECT date_trunc('day', ts) AS day,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events
+GROUP BY 1
+"""
+
+QUERIES.update({"pivot_events": q_pivot_events})
+ORACLE_SQL.update({"pivot_events": SQL_PIVOT_EVENTS})

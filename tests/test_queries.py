@@ -634,3 +634,56 @@ class TestRound3Widening:
         assert yr.revenue_cents.sum() == total
         assert fine.revenue_cents.sum() == total
         assert yr.n_orders.sum() == fine.n_orders.sum() == out[out.year == -1].n_orders.iloc[0]
+
+
+class TestTextCorpusOps:
+    def test_repetition_stats_brute_force(self, ray_session):
+        """top-k-gram counts match a per-doc Counter brute force and
+        fractions are the exact integer ratio."""
+        from collections import Counter
+
+        out = _to_pandas(entrymod.queries()["repetition_stats"](SF_DIR)).set_index("doc_id")
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        for _, r in docs.head(50).iterrows():
+            toks = r.text.lower().split()
+            row = out.loc[r.doc_id]
+            assert row.n_words == len(toks)
+            exp2 = max(Counter(zip(toks, toks[1:])).values()) if len(toks) >= 2 else 0
+            exp3 = (
+                max(Counter(zip(toks, toks[1:], toks[2:])).values()) if len(toks) >= 3 else 0
+            )
+            assert row.top2_n == exp2 and row.top3_n == exp3
+            assert row.top2_frac == exp2 * 2 / max(len(toks), 1)
+            assert row.top3_frac == exp3 * 3 / max(len(toks), 1)
+
+    def test_dup_ngram_docs_symmetric_and_brute(self, ray_session):
+        """Every reported doc shares >=1 8-gram with another doc; counts
+        match a brute-force shingle-set intersection."""
+        from don_crawler_ray.functions.dedup import shingle_hashes
+
+        out = _to_pandas(entrymod.queries()["dup_ngram_docs"](SF_DIR)).set_index("doc_id")
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        sets = {int(r.doc_id): set(shingle_hashes(r.text, k=8).tolist()) for _, r in docs.iterrows()}
+        from collections import Counter as C
+
+        freq = C()
+        for s in sets.values():
+            freq.update(s)
+        for did, s in sets.items():
+            n_shared = sum(1 for h in s if freq[h] >= 2)
+            if n_shared:
+                assert out.loc[did].n_shared == n_shared
+            else:
+                assert did not in out.index
+
+    def test_pivot_events_row_sums(self, ray_session):
+        """Pivoted per-day type counts sum to the per-day event total."""
+        out = _to_pandas(entrymod.queries()["pivot_events"](SF_DIR))
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["ts", "event_type"])
+        per_day = ev.groupby(ev.ts.dt.floor("D")).size()
+        wide_sum = out.set_index("day")[
+            ["n_click", "n_error", "n_purchase", "n_signup", "n_view"]
+        ].sum(axis=1)
+        assert len(out) == len(per_day)
+        for day, n in per_day.items():
+            assert wide_sum.loc[day] == n
