@@ -5248,3 +5248,215 @@ GROUP BY 1
 
 QUERIES.update({"pivot_events": q_pivot_events})
 ORACLE_SQL.update({"pivot_events": SQL_PIVOT_EVENTS})
+
+
+def q_json_extract_events(sf_dir: str):
+    """JSON property extraction (M26-adjacent parser class): pull the
+    integer ``k`` out of the ``props`` JSON string column and
+    aggregate it per event type — the semi-structured-payload step
+    every event pipeline has.
+
+    Scale shape: extraction is a single vectorized
+    ``pyarrow.compute.extract_regex`` kernel (no Python per row, no
+    json.loads), the aggregate is per-batch combiner partials then a
+    5-row groupby — only (type, n, sum, min, max) partials cross the
+    exchange."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("props"), r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        slim = pa.table({"event_type": batch.column("event_type"), "k": k})
+        agg = slim.group_by(["event_type"]).aggregate(
+            [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")]
+        )
+        return agg.rename_columns(["event_type", "p_n", "p_sum", "p_min", "p_max"])
+
+    agg = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("p_n", alias_name="n"),
+            Sum("p_sum", alias_name="sum_k"),
+            Min("p_min", alias_name="min_k"),
+            Max("p_max", alias_name="max_k"),
+        )
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    return pa.table(
+        {
+            "event_type": t.column("event_type"),
+            "n": pc.cast(t.column("n"), pa.int64()),
+            "sum_k": pc.cast(t.column("sum_k"), pa.int64()),
+            "min_k": pc.cast(t.column("min_k"), pa.int64()),
+            "max_k": pc.cast(t.column("max_k"), pa.int64()),
+        }
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY 1
+"""
+
+
+def q_left_join_customers(sf_dir: str):
+    """Distributed LEFT OUTER join: every customer with their order
+    count and exact-cents spend, customers without orders kept with
+    zeros — the outer-join operator the semi/anti/inner family was
+    missing.
+
+    Scale shape: the same sort-shuffle bucket equijoin as the graph
+    queries — orders are pre-aggregated per batch to (custkey, n,
+    cents) partials, both sides are bucketed by ``custkey % 256``
+    (side-tagged so the customer row sorts first in its key run), and
+    each bucket kernel does one sort + run-length segments +
+    ``np.add.reduceat`` — no per-key Python, no driver materialization
+    of either side."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        key = batch.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        nat = batch.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(key)
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "side": pa.array(np.zeros(n, np.int8)),
+                "nat": pa.array(nat, pa.int64()),
+                "p_n": pa.array(np.zeros(n, np.int64)),
+                "p_cents": pa.array(np.zeros(n, np.int64)),
+                "_bucket": pa.array((key % 256).astype(np.int32)),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        key = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        slim = pa.table(
+            {"key": pa.array(key), "cents": pa.array(cents)}
+        ).group_by(["key"]).aggregate([("cents", "count"), ("cents", "sum")])
+        k = slim.column("key").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "side": pa.array(np.ones(len(k), np.int8)),
+                "nat": pa.array(np.zeros(len(k), np.int64)),
+                "p_n": pc.cast(slim.column("cents_count"), pa.int64()),
+                "p_cents": pc.cast(slim.column("cents_sum"), pa.int64()),
+                "_bucket": pa.array((k % 256).astype(np.int32)),
+            }
+        )
+
+    def bucket_kernel(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        side = group.column("side").to_numpy(zero_copy_only=False).astype(np.int64)
+        nat = group.column("nat").to_numpy(zero_copy_only=False)
+        p_n = group.column("p_n").to_numpy(zero_copy_only=False)
+        p_cents = group.column("p_cents").to_numpy(zero_copy_only=False)
+        order = np.argsort(key * 2 + side, kind="stable")
+        key, side, nat = key[order], side[order], nat[order]
+        p_n, p_cents = p_n[order], p_cents[order]
+        _, seg_starts, seg_len = _segments(key)
+        n_orders = np.add.reduceat(np.where(side == 1, p_n, 0), seg_starts)
+        cents = np.add.reduceat(np.where(side == 1, p_cents, 0), seg_starts)
+        has_cust = side[seg_starts] == 0  # customer row sorts first in its run
+        return pa.table(
+            {
+                "c_custkey": pa.array(key[seg_starts][has_cust], pa.int64()),
+                "c_nationkey": pa.array(nat[seg_starts][has_cust], pa.int64()),
+                "n_orders": pa.array(n_orders[has_cust], pa.int64()),
+                "total_cents": pa.array(cents[has_cust], pa.int64()),
+            }
+        )
+
+    both = cust.map_batches(cust_side, batch_format="pyarrow").union(
+        orders.map_batches(order_side, batch_format="pyarrow")
+    )
+    return both.groupby("_bucket").map_groups(bucket_kernel, batch_format="pyarrow")
+
+
+SQL_LEFT_JOIN = """
+SELECT c.c_custkey,
+       CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(count(o.o_custkey) AS BIGINT) AS n_orders,
+       CAST(coalesce(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)), 0) AS BIGINT) AS total_cents
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+def q_value_histogram(sf_dir: str):
+    """Fixed-bin histogram of event values in exact integer cents (20
+    bins of 25.00, top bin open) — the profiling primitive behind
+    every distribution dashboard.
+
+    Scale shape: per-batch ``np.bincount`` partials (20 rows leave
+    each task regardless of input size) merged by a 20-row
+    groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        b = np.minimum(cents // 2500, 19)
+        counts = np.bincount(b, minlength=20).astype(np.int64)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(20, dtype=np.int64)),
+                "p_n": pa.array(counts),
+            }
+        )
+
+    agg = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    return pa.table(
+        {
+            "bin": pc.cast(t.column("bin"), pa.int64()),
+            "n": pc.cast(t.column("n"), pa.int64()),
+        }
+    )
+
+
+SQL_VALUE_HISTOGRAM = """
+WITH b AS (
+  SELECT least(CAST(round(value * 100.0) AS BIGINT) // 2500, 19) AS bin FROM events
+),
+grid AS (SELECT unnest(generate_series(0, 19)) AS bin)
+SELECT CAST(grid.bin AS BIGINT) AS bin, CAST(count(b.bin) AS BIGINT) AS n
+FROM grid LEFT JOIN b USING (bin)
+GROUP BY 1
+"""
+
+QUERIES.update(
+    {
+        "json_extract_events": q_json_extract_events,
+        "left_join_customers": q_left_join_customers,
+        "value_histogram": q_value_histogram,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "json_extract_events": SQL_JSON_EXTRACT,
+        "left_join_customers": SQL_LEFT_JOIN,
+        "value_histogram": SQL_VALUE_HISTOGRAM,
+    }
+)

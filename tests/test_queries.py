@@ -687,3 +687,63 @@ class TestTextCorpusOps:
         assert len(out) == len(per_day)
         for day, n in per_day.items():
             assert wide_sum.loc[day] == n
+
+
+class TestJoinReshapeOps:
+    def test_left_join_keeps_orderless_customer(self, ray_session, tmp_path):
+        """A customer with no orders survives the left join with zero
+        count/spend; totals are exact cents."""
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([1, 2, 7], pa.int64()),
+                    "c_nationkey": pa.array([10, 11, 12], pa.int32()),
+                }
+            ),
+            tmp_path / "customer.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "o_custkey": pa.array([1, 1, 2], pa.int64()),
+                    "o_totalprice": pa.array([10.01, 0.02, 5.555], pa.float64()),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        out = (
+            _to_pandas(entrymod.queries()["left_join_customers"](str(tmp_path)))
+            .set_index("c_custkey")
+            .sort_index()
+        )
+        assert list(out.index) == [1, 2, 7]
+        assert out.loc[7].n_orders == 0 and out.loc[7].total_cents == 0
+        assert out.loc[1].n_orders == 2 and out.loc[1].total_cents == 1003
+        assert out.loc[2].n_orders == 1 and out.loc[2].total_cents == 556  # rint half-even on 555.5
+        assert out.loc[7].c_nationkey == 12
+
+    def test_json_extract_matches_json_loads(self, ray_session):
+        import json
+
+        out = _to_pandas(entrymod.queries()["json_extract_events"](SF_DIR)).set_index(
+            "event_type"
+        )
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_type", "props"])
+        ev["k"] = ev.props.map(lambda s: json.loads(s)["k"])
+        for et, g in ev.groupby("event_type"):
+            row = out.loc[et]
+            assert row.n == len(g)
+            assert row.sum_k == g.k.sum()
+            assert row.min_k == g.k.min() and row.max_k == g.k.max()
+
+    def test_value_histogram_total_and_bins(self, ray_session):
+        out = _to_pandas(entrymod.queries()["value_histogram"](SF_DIR)).set_index("bin")
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["value"])
+        cents = np.rint(ev.value.to_numpy() * 100.0).astype(np.int64)
+        bins = np.minimum(cents // 2500, 19)
+        assert out.n.sum() == len(ev)
+        assert len(out) == 20
+        for b in range(20):
+            assert out.loc[b].n == int((bins == b).sum())
