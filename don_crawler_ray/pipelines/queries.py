@@ -5460,3 +5460,204 @@ ORACLE_SQL.update(
         "value_histogram": SQL_VALUE_HISTOGRAM,
     }
 )
+
+# ---------------------------------------------------------------------------
+# Window-function family: rank / running total / grouped mode.  All three
+# ride the same scale shape as the schedule stage (stages/schedule.py:186):
+# a fixed int32 hash-bucket exchange (key % 256), one sort per bucket,
+# run-length segment detection, and pure-numpy per-segment kernels — no
+# per-key Python calls, no driver materialization of the big side.
+# ---------------------------------------------------------------------------
+
+
+def _bucket_col(key: np.ndarray) -> pa.Array:
+    return pa.array((key % 256).astype(np.int32))
+
+
+def q_rank_orders(sf_dir: str):
+    """ROW_NUMBER() per group: each customer's first three orders by
+    (date, orderkey) — the ranked-window operator behind "top-N per
+    entity" exports.
+
+    Scale shape: slim 4-column rows bucketed by ``custkey % 256``;
+    each bucket kernel does one stable lexsort + run-length segments,
+    and per-segment ranks are ``arange - repeat(seg_starts)`` — one
+    vectorized expression for every key in the bucket."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        key = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": pa.array(key),
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_orderdate": batch.column("o_orderdate"),
+                "cents": pa.array(cents),
+                "_bucket": _bucket_col(key),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        key = group.column("o_custkey").to_numpy(zero_copy_only=False)
+        okey = group.column("o_orderkey").to_numpy(zero_copy_only=False)
+        date = group.column("o_orderdate").to_numpy(zero_copy_only=False).view(np.int64)
+        cents = group.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, date, key))
+        key, okey, date, cents = key[order], okey[order], date[order], cents[order]
+        _, seg_starts, seg_len = _segments(key)
+        rnk = np.arange(len(key), dtype=np.int64) - np.repeat(seg_starts, seg_len) + 1
+        keep = rnk <= 3
+        return pa.table(
+            {
+                "o_custkey": pa.array(key[keep], pa.int64()),
+                "rnk": pa.array(rnk[keep], pa.int64()),
+                "o_orderkey": pa.array(okey[keep], pa.int64()),
+                "o_orderdate": pa.array(date[keep].view("datetime64[us]")),
+                "cents": pa.array(cents[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+SQL_RANK_ORDERS = """
+SELECT o_custkey, rnk, o_orderkey, o_orderdate, cents FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents,
+         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def q_running_total(sf_dir: str):
+    """Cumulative-sum window: running spend in exact cents per
+    customer, ordered by (date, orderkey) — SUM() OVER (PARTITION ...
+    ORDER ... ROWS UNBOUNDED PRECEDING).
+
+    Scale shape: same bucket exchange as ``rank_orders``; the running
+    total is one global ``np.cumsum`` with a per-segment base
+    subtraction (``cum - repeat(cum[seg_start] - x[seg_start])``), so
+    cost is O(bucket rows) regardless of key count."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        key = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": pa.array(key),
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_orderdate": batch.column("o_orderdate"),
+                "cents": pa.array(cents),
+                "_bucket": _bucket_col(key),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        key = group.column("o_custkey").to_numpy(zero_copy_only=False)
+        okey = group.column("o_orderkey").to_numpy(zero_copy_only=False)
+        date = group.column("o_orderdate").to_numpy(zero_copy_only=False).view(np.int64)
+        cents = group.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, date, key))
+        key, okey, date, cents = key[order], okey[order], date[order], cents[order]
+        _, seg_starts, seg_len = _segments(key)
+        cum = np.cumsum(cents)
+        base = np.repeat(cum[seg_starts] - cents[seg_starts], seg_len)
+        return pa.table(
+            {
+                "o_custkey": pa.array(key, pa.int64()),
+                "o_orderkey": pa.array(okey, pa.int64()),
+                "o_orderdate": pa.array(date.view("datetime64[us]")),
+                "cum_cents": pa.array(cum - base, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+SQL_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+FROM orders
+"""
+
+
+def q_mode_user_event(sf_dir: str):
+    """Grouped mode: each user's most frequent event type (ties break
+    to the alphabetically smallest type) — the categorical-summary
+    window analog of ``last_event_per_user``.
+
+    Scale shape: per-batch Arrow ``group_by`` partials shrink each
+    task's output to (user, type, n) triples before the bucket
+    exchange; the bucket kernel merges partials with one more Arrow
+    group-sum, then picks each user's winner with a single lexsort +
+    segment-first gather."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(["user_id", "event_type"]).aggregate([("user_id", "count")])
+        agg = agg.rename_columns(["user_id", "event_type", "p_n"])
+        key = agg.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return agg.append_column("_bucket", _bucket_col(key))
+
+    def kernel(group: pa.Table) -> pa.Table:
+        merged = group.group_by(["user_id", "event_type"]).aggregate([("p_n", "sum")])
+        user = merged.column("user_id").to_numpy(zero_copy_only=False)
+        etype = np.asarray(merged.column("event_type").to_pylist(), dtype=object)
+        n = merged.column("p_n_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((etype, -n, user))
+        user, etype, n = user[order], etype[order], n[order]
+        _, seg_starts, _ = _segments(user)
+        return pa.table(
+            {
+                "user_id": pa.array(user[seg_starts], pa.int64()),
+                "event_type": pa.array(etype[seg_starts], pa.string()),
+                "n": pa.array(n[seg_starts], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+SQL_MODE_USER_EVENT = """
+SELECT user_id, event_type, n FROM (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rn
+  FROM events GROUP BY 1, 2
+) WHERE rn = 1
+"""
+
+QUERIES.update(
+    {
+        "rank_orders": q_rank_orders,
+        "running_total": q_running_total,
+        "mode_user_event": q_mode_user_event,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "rank_orders": SQL_RANK_ORDERS,
+        "running_total": SQL_RUNNING_TOTAL,
+        "mode_user_event": SQL_MODE_USER_EVENT,
+    }
+)
