@@ -5661,3 +5661,390 @@ ORACLE_SQL.update(
         "mode_user_event": SQL_MODE_USER_EVENT,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Join-family additions: a 3-table analytic join (TPC-H Q3 shape), a
+# bloom-prefiltered semi-join, and a cohort-retention join — each built
+# from the slim sort-shuffle bucket equijoin the graph queries use, so
+# no driver materialization of any big side and integer-exact money.
+# ---------------------------------------------------------------------------
+
+_Q3_CUTOFF_US = np.datetime64("1998-06-01", "us").view(np.int64).item()
+_WEEK_US = 7 * 86_400_000_000
+
+
+def q_q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: customer(segment) ⋈ orders(date<cutoff) ⋈
+    lineitem(shipdate>cutoff), revenue per order in exact 1e-4-dollar
+    integers, global top-10 by revenue — the chained multi-table join
+    plan every analytic engine must run.
+
+    Scale shape: two successive slim bucket exchanges (custkey then
+    orderkey), lineitem revenue pre-aggregated per batch before its
+    shuffle, per-bucket top-10 so at most 256 x 10 rows ever reach the
+    driver."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("c_mktsegment"), "BUILDING"))
+        key = batch.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(key)
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "side": pa.array(np.zeros(n, np.int8)),
+                "okey": pa.array(np.zeros(n, np.int64)),
+                "date": pa.array(np.zeros(n, np.int64)),
+                "prio": pa.array([""] * n, pa.string()),
+                "_bucket": _bucket_col(key),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        date = batch.column("o_orderdate").to_numpy(zero_copy_only=False).view(np.int64)
+        keep = date < _Q3_CUTOFF_US
+        key = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "side": pa.array(np.ones(keep.sum(), np.int8)),
+                "okey": pc.cast(batch.column("o_orderkey"), pa.int64()).filter(pa.array(keep)),
+                "date": pa.array(date[keep]),
+                "prio": batch.column("o_orderpriority").filter(pa.array(keep)),
+                "_bucket": _bucket_col(key),
+            }
+        )
+
+    def semi_kernel(group: pa.Table) -> pa.Table:
+        """Orders whose custkey appears on the customer side."""
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        side = group.column("side").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((side, key))
+        key, side = key[order], side[order]
+        _, seg_starts, seg_len = _segments(key)
+        keep = np.repeat(side[seg_starts] == 0, seg_len) & (side == 1)
+        sel = pa.array(order[keep])
+        okey = group.column("okey").take(sel)
+        k2 = okey.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(k2),
+                "side": pa.array(np.zeros(len(k2), np.int8)),
+                "date": group.column("date").take(sel),
+                "prio": group.column("prio").take(sel),
+                "rev": pa.array(np.zeros(len(k2), np.int64)),
+                "_bucket": _bucket_col(k2),
+            }
+        )
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False).view(np.int64)
+        keep = ship > _Q3_CUTOFF_US
+        key = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        price = np.rint(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep] * 100.0
+        ).astype(np.int64)
+        disc = np.rint(
+            batch.column("l_discount").to_numpy(zero_copy_only=False)[keep] * 100.0
+        ).astype(np.int64)
+        rev = price * (100 - disc)
+        part = (
+            pa.table({"key": pa.array(key), "rev": pa.array(rev)})
+            .group_by(["key"]).aggregate([("rev", "sum")])
+        )
+        k2 = part.column("key").to_numpy(zero_copy_only=False)
+        n = len(k2)
+        return pa.table(
+            {
+                "key": pa.array(k2, pa.int64()),
+                "side": pa.array(np.ones(n, np.int8)),
+                "date": pa.array(np.zeros(n, np.int64)),
+                "prio": pa.array([""] * n, pa.string()),
+                "rev": pc.cast(part.column("rev_sum"), pa.int64()),
+                "_bucket": _bucket_col(k2),
+            }
+        )
+
+    def topk_kernel(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        side = group.column("side").to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = group.column("rev").to_numpy(zero_copy_only=False)
+        date = group.column("date").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, key))
+        key, side, rev, date = key[order], side[order], rev[order], date[order]
+        _, seg_starts, seg_len = _segments(key)
+        has_order = side[seg_starts] == 0
+        revenue = np.add.reduceat(np.where(side == 1, rev, 0), seg_starts)
+        keep = has_order & (revenue > 0)
+        okey, revenue = key[seg_starts][keep], revenue[keep]
+        odate = date[seg_starts][keep]
+        prio = group.column("prio").take(pa.array(order[seg_starts][keep]))
+        top = np.lexsort((okey, odate, -revenue))[:10]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(okey[top], pa.int64()),
+                "revenue_e4": pa.array(revenue[top], pa.int64()),
+                "o_orderdate": pa.array(odate[top].view("datetime64[us]")),
+                "o_orderpriority": prio.take(pa.array(top)),
+            }
+        )
+
+    joined_orders = (
+        cust.map_batches(cust_side, batch_format="pyarrow")
+        .union(orders.map_batches(order_side, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(semi_kernel, batch_format="pyarrow")
+    )
+    per_bucket = (
+        joined_orders.union(li.map_batches(li_side, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(topk_kernel, batch_format="pyarrow")
+    )
+    t = pa.Table.from_pylist(per_bucket.take_all())  # <= 2560 rows
+    okey = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+    rev = t.column("revenue_e4").to_numpy(zero_copy_only=False)
+    date = pc.cast(t.column("o_orderdate"), pa.timestamp("us")).to_numpy(zero_copy_only=False).view(np.int64)
+    top = np.lexsort((okey, date, -rev))[:10]
+    sel = pa.array(top)
+    return pa.table(
+        {
+            "l_orderkey": pa.array(okey[top], pa.int64()),
+            "revenue_e4": pa.array(rev[top], pa.int64()),
+            "o_orderdate": pa.array(date[top].view("datetime64[us]")),
+            "o_orderpriority": t.column("o_orderpriority").take(sel),
+        }
+    )
+
+
+SQL_Q3 = """
+SELECT l_orderkey, revenue_e4, o_orderdate, o_orderpriority FROM (
+  SELECT l.l_orderkey,
+         CAST(sum(CAST(round(l.l_extendedprice * 100.0) AS BIGINT)
+                  * (100 - CAST(round(l.l_discount * 100.0) AS BIGINT))) AS BIGINT) AS revenue_e4,
+         o.o_orderdate, o.o_orderpriority
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-06-01'
+    AND l.l_shipdate > TIMESTAMP '1998-06-01'
+  GROUP BY 1, 3, 4
+) ORDER BY revenue_e4 DESC, o_orderdate, l_orderkey LIMIT 10
+"""
+
+
+_BLOOM_BITS = 1 << 16  # 8 KiB bitmap, 4 x 16-bit probes via splitmix64
+
+
+def _bloom_indices(keys: np.ndarray):
+    from don_crawler_ray.functions.dedup import _mix64
+
+    h = _mix64(keys.astype(np.uint64))
+    return [((h >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.int64) for s in (0, 16, 32, 48)]
+
+
+def q_bloom_join_lineitem(sf_dir: str):
+    """Bloom-prefiltered semi-join: lineitems of large parts
+    (p_size >= 40), count + exact cents per returnflag. The build side
+    produces a fixed 8 KiB bloom bitmap (per-batch partial bitmaps
+    OR-merged — the classic commutative-sketch broadcast), the probe
+    side drops ~4/5 of lineitem rows before the exchange, and a slim
+    bucket equijoin against the true key set removes bloom false
+    positives, so results are exact.
+
+    Scale shape: the bitmap is constant-size regardless of build rows;
+    only bloom survivors (pre-aggregated per (partkey, flag)) ride the
+    shuffle."""
+    from ray.data.aggregate import Sum
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_size"])
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_returnflag", "l_extendedprice"])
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        size = batch.column("p_size").to_numpy(zero_copy_only=False)
+        keys = batch.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)[size >= 40]
+        bits = np.zeros(_BLOOM_BITS // 64, np.uint64)
+        for idx in _bloom_indices(keys):
+            np.bitwise_or.at(bits, idx >> 6, np.uint64(1) << (idx & 63).astype(np.uint64))
+        return pa.table({"word": pa.array(np.arange(len(bits), dtype=np.int64)), "bits": pa.array(bits)})
+
+    parts = part.map_batches(bloom_partial, batch_format="pyarrow").take_all()
+    bits = np.zeros(_BLOOM_BITS // 64, np.uint64)
+    for row in parts:
+        bits[row["word"]] |= np.uint64(row["bits"])
+
+    def key_side(batch: pa.Table) -> pa.Table:
+        size = batch.column("p_size").to_numpy(zero_copy_only=False)
+        keys = batch.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)[size >= 40]
+        n = len(keys)
+        return pa.table(
+            {
+                "key": pa.array(keys),
+                "side": pa.array(np.zeros(n, np.int8)),
+                "flag": pa.array([""] * n, pa.string()),
+                "p_n": pa.array(np.zeros(n, np.int64)),
+                "p_cents": pa.array(np.zeros(n, np.int64)),
+                "_bucket": _bucket_col(keys),
+            }
+        )
+
+    def probe_side(batch: pa.Table) -> pa.Table:
+        keys = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        member = np.ones(len(keys), bool)
+        for idx in _bloom_indices(keys):
+            member &= ((bits[idx >> 6] >> (idx & 63).astype(np.uint64)) & np.uint64(1)).astype(bool)
+        keys = keys[member]
+        cents = np.rint(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[member] * 100.0
+        ).astype(np.int64)
+        slim = pa.table(
+            {
+                "key": pa.array(keys),
+                "flag": batch.column("l_returnflag").filter(pa.array(member)),
+                "cents": pa.array(cents),
+            }
+        ).group_by(["key", "flag"]).aggregate([("cents", "count"), ("cents", "sum")])
+        k2 = slim.column("key").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array(k2, pa.int64()),
+                "side": pa.array(np.ones(len(k2), np.int8)),
+                "flag": slim.column("flag"),
+                "p_n": pc.cast(slim.column("cents_count"), pa.int64()),
+                "p_cents": pc.cast(slim.column("cents_sum"), pa.int64()),
+                "_bucket": _bucket_col(k2),
+            }
+        )
+
+    def verify_kernel(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        side = group.column("side").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((side, key))
+        key, side = key[order], side[order]
+        _, seg_starts, seg_len = _segments(key)
+        keep = np.repeat(side[seg_starts] == 0, seg_len) & (side == 1)
+        sel = pa.array(order[keep])
+        return pa.table(
+            {
+                "l_returnflag": group.column("flag").take(sel),
+                "p_n": group.column("p_n").take(sel),
+                "p_cents": group.column("p_cents").take(sel),
+            }
+        )
+
+    agg = (
+        part.map_batches(key_side, batch_format="pyarrow")
+        .union(li.map_batches(probe_side, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(verify_kernel, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("p_n", alias_name="n"), Sum("p_cents", alias_name="cents"))
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    return pa.table(
+        {
+            "l_returnflag": t.column("l_returnflag"),
+            "n": pc.cast(t.column("n"), pa.int64()),
+            "cents": pc.cast(t.column("cents"), pa.int64()),
+        }
+    )
+
+
+SQL_BLOOM_JOIN = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
+GROUP BY 1
+"""
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Cohort retention: users grouped by first-seen day, distinct
+    active users per (cohort day, week offset) — the
+    self-join-on-first-touch analytic behind every retention curve.
+
+    Scale shape: one bucket exchange on ``user_id % 256``; because a
+    user's rows land wholly in one bucket, the kernel derives the
+    cohort (segment first after one sort), computes week offsets, and
+    deduplicates (user, week) pairs vectorized — the exchange carries
+    (user, day) pairs only, and distinct-counting needs no second
+    shuffle: per-kernel partials are disjoint by construction."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        user = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        return pa.table(
+            {
+                "user_id": pa.array(user),
+                "day": pa.array(day.to_numpy(zero_copy_only=False).view(np.int64)),
+                "_bucket": _bucket_col(user),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        user = group.column("user_id").to_numpy(zero_copy_only=False)
+        day = group.column("day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, user))
+        user, day = user[order], day[order]
+        _, seg_starts, seg_len = _segments(user)
+        cohort = np.repeat(day[seg_starts], seg_len)
+        week = (day - cohort) // _WEEK_US
+        pair_change = np.ones(len(user), bool)
+        pair_change[1:] = (user[1:] != user[:-1]) | (week[1:] != week[:-1])
+        cohort, week = cohort[pair_change], week[pair_change]
+        slim = pa.table(
+            {"cohort": pa.array(cohort), "week_off": pa.array(week)}
+        ).group_by(["cohort", "week_off"]).aggregate([("week_off", "count")])
+        return slim.rename_columns(["cohort", "week_off", "p_n"])
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+        .groupby(["cohort", "week_off"])
+        .aggregate(Sum("p_n", alias_name="n_users"))
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    cohort = pc.cast(t.column("cohort"), pa.int64()).to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "cohort_day": pa.array(cohort.view("datetime64[us]")),
+            "week_off": pc.cast(t.column("week_off"), pa.int64()),
+            "n_users": pc.cast(t.column("n_users"), pa.int64()),
+        }
+    )
+
+
+SQL_RETENTION = """
+WITH f AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS cohort_day FROM events GROUP BY 1
+)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, date_trunc('day', e.ts)) // 7 AS BIGINT) AS week_off,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+QUERIES.update(
+    {
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "bloom_join_lineitem": q_bloom_join_lineitem,
+        "retention_cohorts": q_retention_cohorts,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "q3_shipping_priority": SQL_Q3,
+        "bloom_join_lineitem": SQL_BLOOM_JOIN,
+        "retention_cohorts": SQL_RETENTION,
+    }
+)
