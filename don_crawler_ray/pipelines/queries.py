@@ -6048,3 +6048,233 @@ ORACLE_SQL.update(
         "retention_cohorts": SQL_RETENTION,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Text-normalization family additions: stopword scrubbing (the cleanup
+# pass of a training-data pipeline) and exact-arithmetic PMI
+# collocations (the phrase-mining pass of tokenizer construction).
+# ---------------------------------------------------------------------------
+
+
+def q_stopword_scrub(sf_dir: str):
+    """Stopword scrub: remove the filler tokens ('a', 'the') from each
+    document and report how many were dropped — the vectorized
+    text-normalization step before tokenization.
+
+    Scale shape: three RE2 ``replace_substring_regex`` kernels per
+    batch (interior / leading / whole-string matches — RE2 has no
+    lookarounds, so the interior pattern consumes the preceding space
+    and the leading anchor handles position 0), token counts from
+    space counting; no Python per row. Assumes the corpus invariant of
+    single-space-separated tokens (guaranteed by the extract stage)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        s = pc.replace_substring_regex(txt, pattern=" (a|the)\\b", replacement="")
+        s = pc.replace_substring_regex(s, pattern="^(a|the) ", replacement="")
+        s = pc.replace_substring_regex(s, pattern="^(a|the)$", replacement="")
+
+        def ntok(col):
+            spaces = pc.count_substring(col, " ").to_numpy(zero_copy_only=False).astype(np.int64)
+            empty = pc.equal(pc.utf8_length(col), 0).to_numpy(zero_copy_only=False)
+            return np.where(empty, 0, spaces + 1)
+
+        removed = ntok(txt) - ntok(s)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text_clean": s,
+                "n_removed": pa.array(removed, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+SQL_STOPWORD_SCRUB = """
+WITH s AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, ' (a|the)\\b', '', 'g'),
+             '^(a|the) ', ''),
+           '^(a|the)$', '') AS text_clean
+  FROM documents
+)
+SELECT doc_id, text_clean,
+       CAST((CASE WHEN text = '' THEN 0
+                  ELSE length(text) - length(replace(text, ' ', '')) + 1 END)
+          - (CASE WHEN text_clean = '' THEN 0
+                  ELSE length(text_clean) - length(replace(text_clean, ' ', '')) + 1 END)
+            AS BIGINT) AS n_removed
+FROM s
+"""
+
+
+PMI_TOPK = 20
+
+
+def q_pmi_bigrams(sf_dir: str):
+    """PMI collocations: top-20 bigrams by pointwise mutual information
+    (log dropped — the monotone ratio ranks identically), computed with
+    exact integer products and a fixed two-step float evaluation
+    ``(cnt*T / (c1*c2)) * (T/B)`` so engine and oracle agree to the
+    ULP.
+
+    Scale shape: unigram counts aggregate to a vocabulary-sized table
+    (broadcastable — the small side of J2), bigram counts stay a
+    Dataset; scoring is a map_batches with per-block top-k partials so
+    at most blocks x k candidate rows reach the driver."""
+    import collections
+
+    from don_crawler_ray.functions.dedup import fnv1a64
+
+    ds = _read(sf_dir, "documents", columns=["text"]).repartition(32)
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(t.split())
+        toks = list(c.keys())
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "n": pa.array([c[t] for t in toks], pa.int64()),
+                "_bucket": pa.array(np.array([fnv1a64(t) % 256 for t in toks], np.int32)),
+            }
+        )
+
+    def uni_sum(group: pa.Table) -> pa.Table:
+        return (
+            group.select(["token", "n"])
+            .group_by("token")
+            .aggregate([("n", "sum")])
+            .rename_columns(["token", "n"])
+        )
+
+    uni_rows = (
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(uni_sum, batch_format="pyarrow")
+        .take_all()
+    )
+    uni = {r["token"]: r["n"] for r in uni_rows}
+    total_t = sum(uni.values())
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for t in batch.column("text").to_pylist():
+            toks = t.split()
+            c.update(zip(toks, toks[1:]))
+        pairs = list(c.keys())
+        return pa.table(
+            {
+                "w1": pa.array([p[0] for p in pairs], pa.string()),
+                "w2": pa.array([p[1] for p in pairs], pa.string()),
+                "cnt": pa.array([c[p] for p in pairs], pa.int64()),
+                "_bucket": pa.array(
+                    np.array([fnv1a64(a + "\x00" + b) % 256 for a, b in pairs], np.int32)
+                ),
+            }
+        )
+
+    def bi_sum(group: pa.Table) -> pa.Table:
+        return (
+            group.select(["w1", "w2", "cnt"])
+            .group_by(["w1", "w2"])
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["w1", "w2", "cnt"])
+        )
+
+    # Materialize the slim aggregated bigram table once: both the B
+    # total and the scoring pass consume it, and a lazy diamond DAG
+    # would re-run the count pipeline per consumer.
+    big = (
+        ds.map_batches(bi_partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bi_sum, batch_format="pyarrow")
+        .materialize()
+    )
+    total_b = big.sum("cnt")
+
+    factor = np.float64(total_t) / np.float64(total_b)
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        w1 = batch.column("w1").to_pylist()
+        w2 = batch.column("w2").to_pylist()
+        cnt = batch.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        c1 = np.array([uni[w] for w in w1], np.int64)
+        c2 = np.array([uni[w] for w in w2], np.int64)
+        ratio = (cnt * total_t).astype(np.float64) / (c1 * c2).astype(np.float64)
+        pmi = ratio * factor
+        t = pa.table(
+            {
+                "w1": batch.column("w1"),
+                "w2": batch.column("w2"),
+                "cnt": pa.array(cnt),
+                "pmi_ratio": pa.array(pmi, pa.float64()),
+            }
+        )
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("pmi_ratio", "descending"), ("w1", "ascending"), ("w2", "ascending")],
+        )[:PMI_TOPK]
+        return t.take(idx)
+
+    parts = pa.Table.from_pylist(
+        big.map_batches(score_topk, batch_format="pyarrow").take_all()
+    )
+    idx = pc.sort_indices(
+        parts,
+        sort_keys=[("pmi_ratio", "descending"), ("w1", "ascending"), ("w2", "ascending")],
+    )[:PMI_TOPK]
+    top = parts.take(idx)
+    return pa.table(
+        {
+            "w1": top.column("w1"),
+            "w2": top.column("w2"),
+            "cnt": pc.cast(top.column("cnt"), pa.int64()),
+            "pmi_ratio": pc.cast(top.column("pmi_ratio"), pa.float64()),
+        }
+    )
+
+
+SQL_PMI_BIGRAMS = f"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uni),
+pairs AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2
+  FROM toks, unnest(range(1, len(tk))) AS u(i)),
+big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM pairs GROUP BY 1, 2),
+btot AS (SELECT CAST(sum(cnt) AS BIGINT) AS b FROM big)
+SELECT big.w1, big.w2, big.cnt,
+       (CAST(big.cnt * tot.t AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE))
+         * (CAST(tot.t AS DOUBLE) / CAST(btot.b AS DOUBLE)) AS pmi_ratio
+FROM big
+CROSS JOIN tot CROSS JOIN btot
+JOIN uni u1 ON u1.w = big.w1
+JOIN uni u2 ON u2.w = big.w2
+ORDER BY pmi_ratio DESC, big.w1, big.w2
+LIMIT {PMI_TOPK}
+"""
+
+QUERIES.update(
+    {
+        "stopword_scrub": q_stopword_scrub,
+        "pmi_bigrams": q_pmi_bigrams,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "stopword_scrub": SQL_STOPWORD_SCRUB,
+        "pmi_bigrams": SQL_PMI_BIGRAMS,
+    }
+)
