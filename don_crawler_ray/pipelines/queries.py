@@ -6278,3 +6278,249 @@ ORACLE_SQL.update(
         "pmi_bigrams": SQL_PMI_BIGRAMS,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting / indexing / sink additions: winnowing fingerprints
+# (the MOSS document-fingerprinting pass), an inverted-index build
+# (the search/retrieval side of a corpus pipeline), and a partitioned
+# parquet sink query exercising the resumable hive-layout writer.
+# ---------------------------------------------------------------------------
+
+WINNOW_W = 4  # window width over the 3-word-gram hash sequence
+
+
+def q_winnow_fingerprints(sf_dir: str):
+    """Winnowing fingerprints (Schleimer et al., leftmost-min variant):
+    slide a width-4 window over each document's ordered 3-word-gram
+    FNV hash sequence, keep the window minimum, report each doc's
+    distinct-fingerprint count and extremes. Guarantees every exact
+    match of >= w+k-1 tokens shares a fingerprint.
+
+    Scale shape: per-row string kernel in ``map_batches`` (the winnow
+    itself is a vectorized ``sliding_window_view`` argmin, not a
+    Python scan); output is 4 scalars per doc — nothing wide ever
+    leaves the task. Oracle re-derives FNV-1a + the window rule with
+    DuckDB list functions (same machinery as the MinHash oracle)."""
+    from don_crawler_ray.functions.dedup import fnv1a64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
+
+    def fp(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_fp = np.zeros(len(ids), np.int64)
+        mn = np.zeros(len(ids), np.uint64)
+        mx = np.zeros(len(ids), np.uint64)
+        for r, text in enumerate(batch.column("text").to_pylist()):
+            toks = text.lower().split()
+            if len(toks) < 3:
+                toks = toks + [""] * (3 - len(toks))
+            h = np.array(
+                [
+                    fnv1a64(toks[i] + " " + toks[i + 1] + " " + toks[i + 2] + " ")
+                    for i in range(max(1, len(toks) - 2))
+                ],
+                np.uint64,
+            )
+            if len(h) <= WINNOW_W:
+                sel = h[[np.argmin(h)]]
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(h, WINNOW_W)
+                idx = np.argmin(win, axis=1) + np.arange(win.shape[0])
+                sel = h[np.unique(idx)]
+            sel = np.unique(sel)
+            n_fp[r], mn[r], mx[r] = len(sel), sel.min(), sel.max()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_fp": pa.array(n_fp),
+                "min_fp": pa.array(mn, pa.uint64()),
+                "max_fp": pa.array(mx, pa.uint64()),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def _build_winnow_sql() -> str:
+    m64 = 1 << 64
+    fnv_prime, fnv_offset = 1099511628211, 1469598103934665603
+    w = WINNOW_W
+    return f"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
+tp AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN toks
+              ELSE toks || (SELECT list(x) FROM (SELECT '' AS x, unnest(generate_series(1, 3 - len(toks))))) END AS toks
+  FROM t
+),
+pos AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(1, len(toks) - 2))) AS i FROM tp),
+shstr AS (
+  SELECT doc_id, i,
+         coalesce(toks[i], '') || ' ' || coalesce(toks[i+1], '') || ' ' || coalesce(toks[i+2], '') || ' ' AS s
+  FROM pos
+),
+shh AS (
+  SELECT doc_id, i,
+    list_reduce(
+      list_prepend(CAST({fnv_offset} AS UBIGINT),
+        list_transform(regexp_extract_all(s, '.'), c -> CAST(ascii(c) AS UBIGINT))),
+      (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * {fnv_prime}) % {m64} AS UBIGINT)
+    ) AS sh
+  FROM shstr
+),
+hs AS (SELECT doc_id, list(sh ORDER BY i) AS h FROM shh GROUP BY 1),
+win AS (SELECT doc_id, h, unnest(generate_series(1, greatest(1, len(h) - {w} + 1))) AS j FROM hs),
+sel AS (
+  SELECT doc_id,
+         h[j + list_position(h[j:least(j + {w} - 1, len(h))],
+                             list_min(h[j:least(j + {w} - 1, len(h))])) - 1] AS fp
+  FROM win
+)
+SELECT doc_id, CAST(count(DISTINCT fp) AS BIGINT) AS n_fp,
+       min(fp) AS min_fp, max(fp) AS max_fp
+FROM sel GROUP BY 1
+"""
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted-index build: per-token document frequency, collection
+    frequency, and posting-list extremes — the retrieval-index side of
+    a corpus pipeline (posting lists themselves stay distributed; the
+    query returns the per-token directory row a real index would store
+    in its term dictionary).
+
+    Scale shape: per-doc Counter partials emit one (token, doc, n) row
+    per distinct token per doc (each doc lives wholly in one batch, so
+    pairs are globally unique — no distinct pass needed); 256-way
+    exchange on the token hash; per-bucket Arrow group aggregate."""
+    import collections
+
+    from don_crawler_ray.functions.dedup import fnv1a64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
+
+    def part(batch: pa.Table) -> pa.Table:
+        toks, docs, occ = [], [], []
+        ids = batch.column("doc_id").to_pylist()
+        for did, text in zip(ids, batch.column("text").to_pylist()):
+            c = collections.Counter(text.split())
+            toks.extend(c.keys())
+            docs.extend([did] * len(c))
+            occ.extend(c.values())
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "doc_id": pa.array(docs, pa.int64()),
+                "n_occ": pa.array(occ, pa.int64()),
+                "_bucket": pa.array(np.array([fnv1a64(t) % 256 for t in toks], np.int32)),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        agg = (
+            group.select(["token", "doc_id", "n_occ"])
+            .group_by("token")
+            .aggregate(
+                [("doc_id", "count"), ("n_occ", "sum"), ("doc_id", "min"), ("doc_id", "max")]
+            )
+        )
+        return pa.table(
+            {
+                "token": agg.column("token"),
+                "df": pc.cast(agg.column("doc_id_count"), pa.int64()),
+                "cf": pc.cast(agg.column("n_occ_sum"), pa.int64()),
+                "first_doc": pc.cast(agg.column("doc_id_min"), pa.int64()),
+                "last_doc": pc.cast(agg.column("doc_id_max"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+SQL_INVERTED_INDEX = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
+  FROM documents),
+pl AS (SELECT w AS token, doc_id, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2)
+SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(n) AS BIGINT) AS cf,
+       CAST(min(doc_id) AS BIGINT) AS first_doc, CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM pl GROUP BY 1
+"""
+
+
+def q_partitioned_write_docs(sf_dir: str):
+    """Partitioned-sink round trip: write the documents table as
+    hive-partitioned parquet (one directory per language — the
+    resumable layout every long crawl output uses), read it back with
+    partition discovery, and aggregate per partition. Proves the sink
+    and the partition-aware re-read, not just the aggregate.
+
+    Scale shape: the write streams block-by-block into per-partition
+    files (no driver materialization); the re-read prunes to the
+    3 needed columns; per-partition counts use the standard partial
+    combiner."""
+    import shutil
+    import tempfile
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    out = tempfile.mkdtemp(prefix="don_part_docs_")
+    try:
+        _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]).write_parquet(
+            out, partition_cols=["lang"]
+        )
+        back = ray.data.read_parquet(out, columns=["doc_id", "lang", "n_chars"])
+
+        def part(batch: pa.Table) -> pa.Table:
+            slim = pa.table(
+                {
+                    "lang": pc.cast(batch.column("lang"), pa.string()),
+                    "n_chars": pc.cast(batch.column("n_chars"), pa.int64()),
+                }
+            )
+            agg = slim.group_by("lang").aggregate([("n_chars", "count"), ("n_chars", "sum")])
+            return agg.rename_columns(["lang", "p_n", "p_chars"])
+
+        agg = (
+            back.map_batches(part, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("p_n", alias_name="n_docs"), Sum("p_chars", alias_name="sum_chars"))
+        )
+        t = pa.Table.from_pylist(agg.take_all())
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return pa.table(
+        {
+            "lang": t.column("lang"),
+            "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+            "sum_chars": pc.cast(t.column("sum_chars"), pa.int64()),
+        }
+    )
+
+
+SQL_PARTITIONED_WRITE = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1
+"""
+
+QUERIES.update(
+    {
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "inverted_index": q_inverted_index,
+        "partitioned_write_docs": q_partitioned_write_docs,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "winnow_fingerprints": _build_winnow_sql(),
+        "inverted_index": SQL_INVERTED_INDEX,
+        "partitioned_write_docs": SQL_PARTITIONED_WRITE,
+    }
+)
