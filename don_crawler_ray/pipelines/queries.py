@@ -6524,3 +6524,377 @@ ORACLE_SQL.update(
         "partitioned_write_docs": SQL_PARTITIONED_WRITE,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Product-analytics family: funnel conversion, daily active users,
+# day-over-day deltas — plus corpus-mixture weights and grouped heavy
+# hitters for the training-data side.
+# ---------------------------------------------------------------------------
+
+_TS_MISSING = np.iinfo(np.int64).max
+
+
+def q_funnel_stages(sf_dir: str):
+    """Funnel conversion: users whose FIRST signup precedes their
+    first view precedes their first purchase — the ordered-sequence
+    analytic behind conversion dashboards.
+
+    Scale shape: per-batch Arrow group partials shrink events to
+    (user, type, min_ts) triples; one bucket exchange on the user hash;
+    the kernel merges partials, pivots the three stage times with two
+    searchsorteds, and emits three partial counters — 3 rows per
+    bucket regardless of input size."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    stages = ("signup", "view", "purchase")
+
+    def part(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("event_type"), value_set=pa.array(stages))
+        slim = batch.filter(mask)
+        agg = (
+            pa.table(
+                {
+                    "user_id": slim.column("user_id"),
+                    "event_type": slim.column("event_type"),
+                    "ts": pa.array(
+                        slim.column("ts").to_numpy(zero_copy_only=False).view(np.int64)
+                    ),
+                }
+            )
+            .group_by(["user_id", "event_type"])
+            .aggregate([("ts", "min")])
+        )
+        agg = agg.rename_columns(["user_id", "event_type", "p_ts"])
+        key = agg.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return agg.append_column("_bucket", _bucket_col(key))
+
+    def kernel(group: pa.Table) -> pa.Table:
+        merged = (
+            group.select(["user_id", "event_type", "p_ts"])
+            .group_by(["user_id", "event_type"])
+            .aggregate([("p_ts", "min")])
+        )
+        user = merged.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        etype = np.asarray(merged.column("event_type").to_pylist(), dtype=object)
+        ts = merged.column("p_ts_min").to_numpy(zero_copy_only=False).astype(np.int64)
+        users = np.unique(user)
+        t = np.full((3, len(users)), _TS_MISSING, np.int64)
+        pos = np.searchsorted(users, user)
+        for si, s in enumerate(stages):
+            m = etype == s
+            t[si, pos[m]] = ts[m]
+        has1 = t[0] != _TS_MISSING
+        c1 = has1
+        c2 = c1 & (t[1] != _TS_MISSING) & (t[1] >= t[0])
+        c3 = c2 & (t[2] != _TS_MISSING) & (t[2] >= t[1])
+        return pa.table(
+            {
+                "stage": pa.array([1, 2, 3], pa.int64()),
+                "p_n": pa.array(
+                    [int(c1.sum()), int(c2.sum()), int(c3.sum())], pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+        .groupby("stage")
+        .aggregate(Sum("p_n", alias_name="n_users"))
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    return pa.table(
+        {
+            "stage": pc.cast(t.column("stage"), pa.int64()),
+            "n_users": pc.cast(t.column("n_users"), pa.int64()),
+        }
+    )
+
+
+SQL_FUNNEL = """
+WITH m AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t2,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+  FROM events GROUP BY 1)
+SELECT CAST(1 AS BIGINT) AS stage,
+       CAST(count(*) FILTER (WHERE t1 IS NOT NULL) AS BIGINT) AS n_users FROM m
+UNION ALL
+SELECT 2, CAST(count(*) FILTER (WHERE t1 IS NOT NULL AND t2 >= t1) AS BIGINT) FROM m
+UNION ALL
+SELECT 3, CAST(count(*) FILTER (WHERE t1 IS NOT NULL AND t2 >= t1 AND t3 >= t2) AS BIGINT) FROM m
+"""
+
+
+def q_dau_daily(sf_dir: str):
+    """Daily active users: COUNT(DISTINCT user) per day without a
+    global distinct pass — each user's rows land wholly in one bucket,
+    so (user, day) dedup inside the kernel is globally complete and
+    the per-day partial counts just sum."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        user = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        return pa.table(
+            {
+                "user_id": pa.array(user),
+                "day": pa.array(day.to_numpy(zero_copy_only=False).view(np.int64)),
+                "_bucket": _bucket_col(user),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        user = group.column("user_id").to_numpy(zero_copy_only=False)
+        day = group.column("day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, user))
+        user, day = user[order], day[order]
+        uniq = np.ones(len(user), bool)
+        uniq[1:] = (user[1:] != user[:-1]) | (day[1:] != day[:-1])
+        slim = pa.table({"day": pa.array(day[uniq])})
+        agg = slim.group_by("day").aggregate([("day", "count")])
+        return agg.rename_columns(["day", "p_n"])
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("p_n", alias_name="n_users"))
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    day = pc.cast(t.column("day"), pa.int64()).to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "day": pa.array(day.view("datetime64[us]")),
+            "n_users": pc.cast(t.column("n_users"), pa.int64()),
+        }
+    )
+
+
+SQL_DAU = """
+SELECT date_trunc('day', ts) AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+def q_daily_delta(sf_dir: str):
+    """Day-over-day delta (the LAG window over an ordered aggregate):
+    daily purchase totals in exact cents plus the change versus the
+    previous active day. The aggregate shrinks to one row per day
+    (per-batch combiner partials), so the lag runs on the driver over
+    the tiny result — the correct place for a window whose partition
+    is the entire (small) aggregate."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("event_type"), "purchase")
+        slim = batch.filter(mask)
+        day = pc.floor_temporal(slim.column("ts"), unit="day")
+        cents = np.rint(
+            slim.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        agg = (
+            pa.table(
+                {
+                    "day": pa.array(day.to_numpy(zero_copy_only=False).view(np.int64)),
+                    "cents": pa.array(cents),
+                }
+            )
+            .group_by("day")
+            .aggregate([("cents", "sum")])
+        )
+        return agg.rename_columns(["day", "p_cents"])
+
+    agg = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("p_cents", alias_name="cents"))
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    day = pc.cast(t.column("day"), pa.int64()).to_numpy(zero_copy_only=False)
+    cents = pc.cast(t.column("cents"), pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.argsort(day)
+    day, cents = day[order], cents[order]
+    delta = np.diff(cents, prepend=cents[:1])  # first day: 0
+    return pa.table(
+        {
+            "day": pa.array(day.view("datetime64[us]")),
+            "cents": pa.array(cents, pa.int64()),
+            "delta": pa.array(delta, pa.int64()),
+        }
+    )
+
+
+SQL_DAILY_DELTA = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT day, cents,
+       CAST(coalesce(cents - lag(cents) OVER (ORDER BY day), 0) AS BIGINT) AS delta
+FROM d
+"""
+
+
+def q_source_mixture(sf_dir: str):
+    """Corpus-mixture weights: per-source document counts and the
+    sqrt-temperature sampling weight ``sqrt(n_s / N)`` used to
+    up-weight rare sources when mixing training corpora. sqrt is
+    IEEE-correctly-rounded, so engine and oracle agree bit-for-bit
+    (weights are unnormalized by design — a normalizing sum of doubles
+    would be summation-order-dependent)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by("source").aggregate([("source", "count")])
+        return agg.rename_columns(["source", "p_n"])
+
+    agg = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("p_n", alias_name="n_docs"))
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    n = pc.cast(t.column("n_docs"), pa.int64()).to_numpy(zero_copy_only=False)
+    total = int(n.sum())
+    w = np.sqrt(n.astype(np.float64) / np.float64(total))
+    return pa.table(
+        {
+            "source": t.column("source"),
+            "n_docs": pa.array(n, pa.int64()),
+            "weight": pa.array(w, pa.float64()),
+        }
+    )
+
+
+SQL_SOURCE_MIXTURE = """
+WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM s)
+SELECT s.source, s.n_docs,
+       sqrt(CAST(s.n_docs AS DOUBLE) / CAST(tot.t AS DOUBLE)) AS weight
+FROM s CROSS JOIN tot
+"""
+
+
+LANG_TOKEN_TOPK = 5
+
+
+def q_topk_tokens_per_lang(sf_dir: str):
+    """Grouped heavy hitters: the top-5 tokens per language — the
+    per-group version of ``vocab_topk``. Bucketing by the TOKEN hash
+    keeps every (lang, token) pair's count complete within one bucket,
+    so per-bucket per-lang top-k candidates are sound and the driver
+    merges <= 256 x langs x k rows."""
+    import collections
+
+    from don_crawler_ray.functions.dedup import fnv1a64
+
+    k = LANG_TOKEN_TOPK
+    ds = _read(sf_dir, "documents", columns=["lang", "text"]).repartition(32)
+
+    def part(batch: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for lang, text in zip(batch.column("lang").to_pylist(), batch.column("text").to_pylist()):
+            for tok in text.split():
+                c[(lang, tok)] += 1
+        keys = list(c.keys())
+        return pa.table(
+            {
+                "lang": pa.array([p[0] for p in keys], pa.string()),
+                "token": pa.array([p[1] for p in keys], pa.string()),
+                "n": pa.array([c[p] for p in keys], pa.int64()),
+                "_bucket": pa.array(
+                    np.array([fnv1a64(p[1]) % 256 for p in keys], np.int32)
+                ),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        agg = (
+            group.select(["lang", "token", "n"])
+            .group_by(["lang", "token"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["lang", "token", "n"])
+        )
+        lang = np.asarray(agg.column("lang").to_pylist(), dtype=object)
+        tok = np.asarray(agg.column("token").to_pylist(), dtype=object)
+        n = agg.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, -n, lang))
+        lang_s = lang[order]
+        _, seg_starts, seg_len = _segments(lang_s)
+        rnk = np.arange(len(lang_s)) - np.repeat(seg_starts, seg_len)
+        keep = order[rnk < k]
+        return pa.table(
+            {
+                "lang": pa.array(lang[keep], pa.string()),
+                "token": pa.array(tok[keep], pa.string()),
+                "n": pa.array(n[keep], pa.int64()),
+            }
+        )
+
+    parts = pa.Table.from_pylist(
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+        .take_all()
+    )
+    lang = np.asarray(parts.column("lang").to_pylist(), dtype=object)
+    tok = np.asarray(parts.column("token").to_pylist(), dtype=object)
+    n = parts.column("n").to_numpy(zero_copy_only=False)
+    order = np.lexsort((tok, -n, lang))
+    lang_s = lang[order]
+    _, seg_starts, seg_len = _segments(lang_s)
+    rnk_arr = np.arange(len(lang_s)) - np.repeat(seg_starts, seg_len)
+    keep = order[rnk_arr < LANG_TOKEN_TOPK]
+    rnk = rnk_arr[rnk_arr < LANG_TOKEN_TOPK] + 1
+    return pa.table(
+        {
+            "lang": pa.array(lang[keep], pa.string()),
+            "rnk": pa.array(rnk, pa.int64()),
+            "token": pa.array(tok[keep], pa.string()),
+            "n": pa.array(n[keep], pa.int64()),
+        }
+    )
+
+
+SQL_TOPK_TOKENS_PER_LANG = f"""
+WITH toks AS (
+  SELECT lang, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+  FROM documents),
+c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2),
+r AS (SELECT lang, token, n,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS BIGINT) AS rnk
+      FROM c)
+SELECT lang, rnk, token, n FROM r WHERE rnk <= {LANG_TOKEN_TOPK}
+"""
+
+QUERIES.update(
+    {
+        "funnel_stages": q_funnel_stages,
+        "dau_daily": q_dau_daily,
+        "daily_delta": q_daily_delta,
+        "source_mixture": q_source_mixture,
+        "topk_tokens_per_lang": q_topk_tokens_per_lang,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "funnel_stages": SQL_FUNNEL,
+        "dau_daily": SQL_DAU,
+        "daily_delta": SQL_DAILY_DELTA,
+        "source_mixture": SQL_SOURCE_MIXTURE,
+        "topk_tokens_per_lang": SQL_TOPK_TOKENS_PER_LANG,
+    }
+)
