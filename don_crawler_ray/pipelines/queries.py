@@ -6898,3 +6898,226 @@ ORACLE_SQL.update(
         "topk_tokens_per_lang": SQL_TOPK_TOKENS_PER_LANG,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Set-op / statistics / tile additions: INTERSECT of user cohorts,
+# Pearson correlation from exact integer moments, and NTILE window
+# tiles — rounding out the set-operation, statistical-aggregate, and
+# window families.
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def q_intersect_users(sf_dir: str):
+    """Row-set INTERSECT: users active in BOTH the first and the last
+    week of the dataset. Week bounds come from a streaming min/max
+    aggregate; membership flags are per-batch partial maxima, one
+    bucket exchange on the user hash, and the kernel keeps users whose
+    merged flags are both set — set intersection without a distinct
+    pass or a second shuffle."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def day_col(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "day": pa.array(day.to_numpy(zero_copy_only=False).view(np.int64)),
+            }
+        )
+
+    days = ds.map_batches(day_col, batch_format="pyarrow")
+    bounds = days.aggregate(Min("day"), Max("day"))
+    lo = int(bounds["min(day)"]) + 7 * _DAY_US
+    hi = int(bounds["max(day)"]) - 7 * _DAY_US
+
+    def part(batch: pa.Table) -> pa.Table:
+        user = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        day = batch.column("day").to_numpy(zero_copy_only=False)
+        early = (day < lo).astype(np.int8)
+        late = (day > hi).astype(np.int8)
+        agg = (
+            pa.table({"user_id": pa.array(user), "early": pa.array(early), "late": pa.array(late)})
+            .group_by("user_id")
+            .aggregate([("early", "max"), ("late", "max")])
+            .rename_columns(["user_id", "p_early", "p_late"])
+        )
+        key = agg.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return agg.append_column("_bucket", _bucket_col(key))
+
+    def kernel(group: pa.Table) -> pa.Table:
+        merged = (
+            group.select(["user_id", "p_early", "p_late"])
+            .group_by("user_id")
+            .aggregate([("p_early", "max"), ("p_late", "max")])
+        )
+        both = pc.and_(
+            pc.equal(merged.column("p_early_max"), 1),
+            pc.equal(merged.column("p_late_max"), 1),
+        )
+        return pa.table(
+            {"user_id": pc.cast(merged.filter(both).column("user_id"), pa.int64())}
+        )
+
+    return (
+        days.map_batches(part, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+SQL_INTERSECT_USERS = """
+WITH b AS (
+  SELECT min(date_trunc('day', ts)) AS lo, max(date_trunc('day', ts)) AS hi FROM events)
+SELECT user_id FROM events, b WHERE date_trunc('day', ts) < lo + INTERVAL 7 DAY
+INTERSECT
+SELECT user_id FROM events, b WHERE date_trunc('day', ts) > hi - INTERVAL 7 DAY
+"""
+
+
+def q_corr_lineitem(sf_dir: str):
+    """Pearson correlation per group from exact integer moments:
+    corr(quantity, extended-price cents) per returnflag. Per-batch
+    grouped integer sums (cents^2 split into 32-bit limbs so int64
+    never overflows), exact Python-int driver merge, and the closed
+    form ``(n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy -
+    sy^2))`` evaluated with the identical HUGEINT->DOUBLE conversions
+    and correctly-rounded sqrts on both engines (the zscore contract,
+    `q_zscore_orders`)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        flag = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+        x = batch.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = np.rint(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        uniq, inv = np.unique(flag, return_inverse=True)
+        y2 = y * y
+        return pa.table(
+            {
+                "flag": pa.array(uniq.tolist(), pa.string()),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "sx": pa.array(np.bincount(inv, weights=x).astype(np.int64)),
+                "sy": pa.array(np.bincount(inv, weights=y).astype(np.int64)),
+                "sxx": pa.array(np.bincount(inv, weights=x * x).astype(np.int64)),
+                "syy_lo": pa.array(np.bincount(inv, weights=(y2 & 0xFFFFFFFF)).astype(np.int64)),
+                "syy_hi": pa.array(np.bincount(inv, weights=(y2 >> 32)).astype(np.int64)),
+                "sxy": pa.array(np.bincount(inv, weights=x * y).astype(np.int64)),
+            }
+        )
+
+    acc: dict[str, list[int]] = {}
+    for row in ds.map_batches(part, batch_format="pyarrow").take_all():
+        got = acc.setdefault(row["flag"], [0, 0, 0, 0, 0, 0])
+        got[0] += int(row["n"])
+        got[1] += int(row["sx"])
+        got[2] += int(row["sy"])
+        got[3] += int(row["sxx"])
+        got[4] += (int(row["syy_hi"]) << 32) + int(row["syy_lo"])
+        got[5] += int(row["sxy"])
+
+    flags = sorted(acc)
+    corr = []
+    for f in flags:
+        n, sx, sy, sxx, syy, sxy = acc[f]
+        num = float(n * sxy - sx * sy)
+        den = np.sqrt(float(n * sxx - sx * sx)) * np.sqrt(float(n * syy - sy * sy))
+        corr.append(num / den)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(flags, pa.string()),
+            "n": pa.array([acc[f][0] for f in flags], pa.int64()),
+            "corr_xy": pa.array(corr, pa.float64()),
+        }
+    )
+
+
+SQL_CORR = """
+WITH c AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100.0) AS BIGINT) AS y
+  FROM lineitem),
+st AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+         sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM c GROUP BY 1)
+SELECT l_returnflag, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_xy
+FROM st
+"""
+
+
+def q_ntile_orders(sf_dir: str):
+    """NTILE(4) per customer over orders by (date, orderkey) —
+    DuckDB's tile rule reproduced exactly: the first ``n mod k`` tiles
+    take ``ceil(n/k)`` rows. Same bucket-kernel shape as
+    ``rank_orders``; the tile assignment is one vectorized expression
+    over per-segment ranks."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        key = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": pa.array(key),
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_orderdate": batch.column("o_orderdate"),
+                "_bucket": _bucket_col(key),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        key = group.column("o_custkey").to_numpy(zero_copy_only=False)
+        okey = group.column("o_orderkey").to_numpy(zero_copy_only=False)
+        date = group.column("o_orderdate").to_numpy(zero_copy_only=False).view(np.int64)
+        order = np.lexsort((okey, date, key))
+        key, okey = key[order], okey[order]
+        _, seg_starts, seg_len = _segments(key)
+        n = np.repeat(seg_len, seg_len)
+        i = np.arange(len(key), dtype=np.int64) - np.repeat(seg_starts, seg_len)
+        size = n // 4
+        rem = n % 4
+        cut = rem * (size + 1)
+        tile = np.where(i < cut, i // (size + 1), rem + (i - cut) // np.maximum(size, 1)) + 1
+        return pa.table(
+            {
+                "o_custkey": pa.array(key, pa.int64()),
+                "o_orderkey": pa.array(okey, pa.int64()),
+                "tile": pa.array(tile.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+SQL_NTILE = """
+SELECT o_custkey, o_orderkey,
+       CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS tile
+FROM orders
+"""
+
+QUERIES.update(
+    {
+        "intersect_users": q_intersect_users,
+        "corr_lineitem": q_corr_lineitem,
+        "ntile_orders": q_ntile_orders,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "intersect_users": SQL_INTERSECT_USERS,
+        "corr_lineitem": SQL_CORR,
+        "ntile_orders": SQL_NTILE,
+    }
+)
