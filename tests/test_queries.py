@@ -747,3 +747,89 @@ class TestJoinReshapeOps:
         assert len(out) == 20
         for b in range(20):
             assert out.loc[b].n == int((bins == b).sum())
+
+
+class TestWindowJoinFingerprintOps:
+    """Semantic (non-parity) properties of the round-3 additions: the
+    parametrized SQL gate proves value equality; these prove the
+    operator CONTRACTS (winnowing's match guarantee, DuckDB's NTILE
+    sizing rule, bloom exactness under false positives, funnel
+    ordering)."""
+
+    def test_winnow_guarantee_shared_fingerprint(self, ray_session):
+        """Two docs sharing a run of >= w+k-1 tokens share a
+        fingerprint (the winnowing theorem, Schleimer et al. §2)."""
+        from don_crawler_ray.functions.dedup import fnv1a64
+
+        out = _to_pandas(entrymod.queries()["winnow_fingerprints"](SF_DIR))
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+
+        def fps(text):
+            toks = text.lower().split()
+            if len(toks) < 3:
+                toks = toks + [""] * (3 - len(toks))
+            h = np.array(
+                [fnv1a64(" ".join(toks[i:i + 3]) + " ") for i in range(max(1, len(toks) - 2))],
+                np.uint64,
+            )
+            if len(h) <= 4:
+                return {int(h[np.argmin(h)])}
+            win = np.lib.stride_tricks.sliding_window_view(h, 4)
+            idx = np.argmin(win, axis=1) + np.arange(win.shape[0])
+            return set(h[np.unique(idx)].tolist())
+
+        # independent recomputation agrees with the distributed result
+        ref = {int(r.doc_id): fps(r.text) for r in docs.itertuples()}
+        for r in out.itertuples():
+            want = ref[int(r.doc_id)]
+            assert r.n_fp == len(want)
+            assert int(r.min_fp) == min(want) and int(r.max_fp) == max(want)
+        # the guarantee itself, on a synthetic shared run
+        a = "unique alpha beta gamma delta epsilon zeta eta theta run"
+        b = "other prefix alpha beta gamma delta epsilon zeta eta theta tail"
+        assert fps(a) & fps(b)
+
+    def test_ntile_sizes_match_duckdb_rule(self, ray_session):
+        out = _to_pandas(entrymod.queries()["ntile_orders"](SF_DIR))
+        sizes = out.groupby(["o_custkey", "tile"]).size().unstack(fill_value=0)
+        for _, row in sizes.iterrows():
+            counts = [c for c in row.tolist() if c > 0]
+            n = sum(counts)
+            k = min(4, n)
+            # first n%k tiles get ceil(n/k), rest floor(n/k)
+            want = [(n // k) + (1 if i < n % k else 0) for i in range(k)]
+            assert counts == [w for w in want if w > 0]
+
+    def test_bloom_join_exact_despite_false_positives(self, ray_session):
+        """A deliberately tiny bloom (high FP rate) must still give
+        exact results because the bucket equijoin verifies."""
+        from don_crawler_ray.pipelines import queries as q
+
+        out = _to_pandas(entrymod.queries()["bloom_join_lineitem"](SF_DIR))
+        li = pd.read_parquet(
+            f"{SF_DIR}/lineitem.parquet",
+            columns=["l_partkey", "l_returnflag", "l_extendedprice"],
+        )
+        part = pd.read_parquet(f"{SF_DIR}/part.parquet", columns=["p_partkey", "p_size"])
+        keys = set(part[part.p_size >= 40].p_partkey)
+        hit = li[li.l_partkey.isin(keys)]
+        want = hit.groupby("l_returnflag").agg(
+            n=("l_extendedprice", "size"),
+            cents=("l_extendedprice", lambda s: int(np.rint(s.to_numpy() * 100).sum())),
+        )
+        got = out.set_index("l_returnflag")
+        assert got.n.to_dict() == want.n.to_dict()
+        assert got.cents.to_dict() == want.cents.to_dict()
+
+    def test_funnel_stages_monotone(self, ray_session):
+        out = _to_pandas(entrymod.queries()["funnel_stages"](SF_DIR)).set_index("stage")
+        assert out.loc[1].n_users >= out.loc[2].n_users >= out.loc[3].n_users
+
+    def test_running_total_last_equals_group_sum(self, ray_session):
+        out = _to_pandas(entrymod.queries()["running_total"](SF_DIR))
+        orders = pd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+        want = orders.assign(
+            cents=np.rint(orders.o_totalprice.to_numpy() * 100).astype(np.int64)
+        ).groupby("o_custkey").cents.sum()
+        last = out.sort_values(["o_custkey", "o_orderdate", "o_orderkey"]).groupby("o_custkey").cum_cents.last()
+        assert last.to_dict() == want.to_dict()
