@@ -235,12 +235,18 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_top_orders(sf_dir: str):
-    """Broadcast join (J2-style small side) + sort + limit (SURVEY
-    §2.4/§2.6): top 10 orders by price with customer/nation names."""
+    """Broadcast join (J2-style small side) + top-k (SURVEY
+    §2.4/§2.6): top 10 orders by price with customer/nation names.
+
+    Scale shape: per-block partial top-10 over the slim 3-column read
+    (a global sort for a LIMIT 10 would shuffle every orders block —
+    `sorted_export` exercises the genuine global-sort operator), then
+    a driver merge of <= 10 x blocks candidate rows; the customer/
+    nation name lookup touches only the final 10 rows."""
     cust = _read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
     nat = _read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
     nation_by_key = dict(zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist()))
-    # broadcast small side as sorted parallel arrays: the per-batch probe
+    # broadcast small side as sorted parallel arrays: the final probe
     # is one np.searchsorted, not a Python dict lookup per row
     ckeys = cust.column("c_custkey").to_numpy(zero_copy_only=False)
     order_keys = np.argsort(ckeys, kind="stable")
@@ -253,24 +259,36 @@ def q_top_orders(sf_dir: str):
 
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
 
-    def join(batch: pa.Table) -> pa.Table:
-        ok = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-        idx = np.clip(np.searchsorted(ckeys_sorted, ok), 0, len(ckeys_sorted) - 1)
-        hit = ckeys_sorted[idx] == ok
-        names = cnames_sorted.take(pa.array(idx))
-        nations = nnames_sorted.take(pa.array(idx))
-        if not hit.all():
-            miss = pa.array(~hit)
-            names = pc.if_else(miss, pa.scalar(None, pa.string()), names)
-            nations = pc.if_else(miss, pa.scalar(None, pa.string()), nations)
-        return batch.append_column("c_name", names).append_column("n_name", nations)
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        okey = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        top = np.lexsort((okey, -price))[:10]
+        return batch.take(pa.array(top))
 
-    out = (
-        ds.map_batches(join, batch_format="pyarrow")
-        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
-        .limit(10)
+    cand = pa.Table.from_pylist(
+        ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
     )
-    return out.select_columns(["o_orderkey", "o_totalprice", "c_name", "n_name"])
+    price = cand.column("o_totalprice").to_numpy(zero_copy_only=False)
+    okey = cand.column("o_orderkey").to_numpy(zero_copy_only=False)
+    top = np.lexsort((okey, -price))[:10]
+    final = cand.take(pa.array(top))
+    ok = final.column("o_custkey").to_numpy(zero_copy_only=False)
+    idx = np.clip(np.searchsorted(ckeys_sorted, ok), 0, len(ckeys_sorted) - 1)
+    hit = ckeys_sorted[idx] == ok
+    names = cnames_sorted.take(pa.array(idx))
+    nations = nnames_sorted.take(pa.array(idx))
+    if not hit.all():
+        miss = pa.array(~hit)
+        names = pc.if_else(miss, pa.scalar(None, pa.string()), names)
+        nations = pc.if_else(miss, pa.scalar(None, pa.string()), nations)
+    return pa.table(
+        {
+            "o_orderkey": final.column("o_orderkey"),
+            "o_totalprice": final.column("o_totalprice"),
+            "c_name": names,
+            "n_name": nations,
+        }
+    )
 
 
 SQL_TOP_ORDERS = """
@@ -7119,5 +7137,236 @@ ORACLE_SQL.update(
         "intersect_users": SQL_INTERSECT_USERS,
         "corr_lineitem": SQL_CORR,
         "ntile_orders": SQL_NTILE,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Global-sort export, BPE merge step, percent_rank — sorted-output,
+# tokenizer-training, and ranked-window coverage.
+# ---------------------------------------------------------------------------
+
+SORT_EXPORT_OFFSET = 1000
+
+
+def q_sorted_export(sf_dir: str):
+    """Global sort + pagination: the rows at global ranks 1001-1010 of
+    the orders table ordered by (date, orderkey) — the sorted-export /
+    pagination operator (Ray's distributed range-partitioned sort is
+    the honest tool here: unlike a top-k, a sorted EXPORT genuinely
+    needs the all-to-all).
+
+    Scale shape: `Dataset.sort` (sample-based range partitioning) +
+    `limit` so only the leading blocks reach the driver; the page is
+    cut on the driver from <= offset+10 rows."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+    page = (
+        ds.sort(["o_orderdate", "o_orderkey"])
+        .limit(SORT_EXPORT_OFFSET + 10)
+        .take_all()
+    )
+    t = pa.Table.from_pylist(page[SORT_EXPORT_OFFSET:])
+    cents = np.rint(
+        t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "rank": pa.array(
+                np.arange(SORT_EXPORT_OFFSET + 1, SORT_EXPORT_OFFSET + 1 + t.num_rows, dtype=np.int64)
+            ),
+            "o_orderkey": t.column("o_orderkey"),
+            "o_orderdate": t.column("o_orderdate"),
+            "cents": pa.array(cents, pa.int64()),
+        }
+    )
+
+
+SQL_SORTED_EXPORT = f"""
+SELECT CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rank,
+       o_orderkey, o_orderdate,
+       CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+FROM orders
+ORDER BY o_orderdate, o_orderkey
+LIMIT 10 OFFSET {SORT_EXPORT_OFFSET}
+"""
+
+
+def q_bpe_merge_step(sf_dir: str):
+    """One BPE training iteration: find the globally most frequent
+    adjacent token pair (ties to the lexicographically smallest) and
+    apply the merge corpus-wide with greedy left-to-right semantics —
+    RE2's non-overlapping replacement IS the BPE greedy rule, so the
+    merge is one vectorized regex kernel per batch.
+
+    Scale shape: pair counting reuses the bigram Counter-partial /
+    bucket-exchange shape with per-bucket top-1 candidates (<= 256
+    rows to the driver); the merge pass is map_batches with the chosen
+    pair broadcast as a compiled constant."""
+    import collections
+
+    from don_crawler_ray.functions.dedup import fnv1a64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for t in batch.column("text").to_pylist():
+            toks = t.split()
+            c.update(zip(toks, toks[1:]))
+        pairs = list(c.keys())
+        return pa.table(
+            {
+                "w1": pa.array([p[0] for p in pairs], pa.string()),
+                "w2": pa.array([p[1] for p in pairs], pa.string()),
+                "cnt": pa.array([c[p] for p in pairs], pa.int64()),
+                "_bucket": pa.array(
+                    np.array([fnv1a64(a + "\x00" + b) % 256 for a, b in pairs], np.int32)
+                ),
+            }
+        )
+
+    def bucket_top1(group: pa.Table) -> pa.Table:
+        agg = (
+            group.select(["w1", "w2", "cnt"])
+            .group_by(["w1", "w2"])
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["w1", "w2", "cnt"])
+        )
+        idx = pc.sort_indices(
+            agg,
+            sort_keys=[("cnt", "descending"), ("w1", "ascending"), ("w2", "ascending")],
+        )[:1]
+        return agg.take(idx)
+
+    cands = pa.Table.from_pylist(
+        ds.map_batches(bi_partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_top1, batch_format="pyarrow")
+        .take_all()
+    )
+    idx = pc.sort_indices(
+        cands,
+        sort_keys=[("cnt", "descending"), ("w1", "ascending"), ("w2", "ascending")],
+    )[:1]
+    top = cands.take(idx)
+    w1 = top.column("w1")[0].as_py()
+    w2 = top.column("w2")[0].as_py()
+    pattern = rf"\b{w1} {w2}\b"  # corpus tokens are alphanumeric (no regex metachars)
+    merged = f"{w1}_{w2}"
+
+    def apply_merge(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        new = pc.replace_substring_regex(txt, pattern=pattern, replacement=merged)
+        before = pc.count_substring(txt, " ").to_numpy(zero_copy_only=False).astype(np.int64)
+        after = pc.count_substring(new, " ").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(before)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pair": pa.array([merged] * n, pa.string()),
+                "n_merges": pa.array(before - after, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(apply_merge, batch_format="pyarrow")
+
+
+SQL_BPE_MERGE = """
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk FROM documents),
+pairs AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2
+  FROM toks, unnest(range(1, len(tk))) AS u(i)),
+big AS (SELECT w1, w2, count(*) AS cnt FROM pairs GROUP BY 1, 2),
+top1 AS (SELECT w1, w2 FROM big ORDER BY cnt DESC, w1, w2 LIMIT 1),
+m AS (
+  SELECT d.doc_id, d.text,
+         regexp_replace(d.text, '\\b' || t.w1 || ' ' || t.w2 || '\\b',
+                        t.w1 || '_' || t.w2, 'g') AS nt,
+         t.w1 || '_' || t.w2 AS pair
+  FROM documents d CROSS JOIN top1 t)
+SELECT doc_id, pair,
+       CAST((length(text) - length(replace(text, ' ', '')))
+          - (length(nt) - length(replace(nt, ' ', ''))) AS BIGINT) AS n_merges
+FROM m
+"""
+
+
+def q_percent_rank_orders(sf_dir: str):
+    """PERCENT_RANK per customer over order price cents: tie-aware
+    rank (equal cents share a rank), then the exact single division
+    ``(rank - 1) / (n - 1)`` (0 for singleton groups) — both engines
+    divide the same small ints, so doubles match bit-for-bit.
+
+    Scale shape: the rank_orders bucket kernel plus one extra
+    run-length pass over (key, cents) to propagate tie-group starts —
+    still zero per-key Python."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        key = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": pa.array(key),
+                "o_orderkey": batch.column("o_orderkey"),
+                "cents": pa.array(cents),
+                "_bucket": _bucket_col(key),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        key = group.column("o_custkey").to_numpy(zero_copy_only=False)
+        okey = group.column("o_orderkey").to_numpy(zero_copy_only=False)
+        cents = group.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, cents, key))
+        key, okey, cents = key[order], okey[order], cents[order]
+        _, seg_starts, seg_len = _segments(key)
+        n = np.repeat(seg_len, seg_len)
+        i = np.arange(len(key), dtype=np.int64) - np.repeat(seg_starts, seg_len)
+        # tie-aware rank: index (within segment) of the first row with
+        # this cents value, +1
+        tie_change = np.ones(len(key), bool)
+        tie_change[1:] = (key[1:] != key[:-1]) | (cents[1:] != cents[:-1])
+        tie_starts = np.flatnonzero(tie_change)
+        tie_len = np.diff(np.append(tie_starts, len(key)))
+        rank = np.repeat(i[tie_starts], tie_len) + 1
+        pr = np.where(n == 1, 0.0, (rank - 1).astype(np.float64) / (n - 1).astype(np.float64))
+        return pa.table(
+            {
+                "o_custkey": pa.array(key, pa.int64()),
+                "o_orderkey": pa.array(okey, pa.int64()),
+                "pr": pa.array(pr, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+SQL_PERCENT_RANK = """
+SELECT o_custkey, o_orderkey,
+       percent_rank() OVER (PARTITION BY o_custkey
+                            ORDER BY CAST(round(o_totalprice * 100.0) AS BIGINT)) AS pr
+FROM orders
+"""
+
+QUERIES.update(
+    {
+        "sorted_export": q_sorted_export,
+        "bpe_merge_step": q_bpe_merge_step,
+        "percent_rank_orders": q_percent_rank_orders,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "sorted_export": SQL_SORTED_EXPORT,
+        "bpe_merge_step": SQL_BPE_MERGE,
+        "percent_rank_orders": SQL_PERCENT_RANK,
     }
 )
