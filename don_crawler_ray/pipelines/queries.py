@@ -7370,3 +7370,86 @@ ORACLE_SQL.update(
         "percent_rank_orders": SQL_PERCENT_RANK,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Source/sink format breadth: JSONL and CSV round trips through Ray
+# Data's native writers/readers (S-family analogs beyond parquet).
+# ---------------------------------------------------------------------------
+
+
+def _format_roundtrip(sf_dir: str, write_attr: str, read_fn_name: str):
+    """Write documents via the given Dataset writer, read back via the
+    matching reader, aggregate per lang — proves the format path end
+    to end (streamed block-by-block both ways; only the 3 needed
+    columns ride)."""
+    import shutil
+    import tempfile
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    out = tempfile.mkdtemp(prefix=f"don_{read_fn_name}_")
+    try:
+        ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+        getattr(ds, write_attr)(out)
+        back = getattr(ray.data, read_fn_name)(out)
+
+        def part(batch: pa.Table) -> pa.Table:
+            slim = pa.table(
+                {
+                    "lang": pc.cast(batch.column("lang"), pa.string()),
+                    "n_chars": pc.cast(batch.column("n_chars"), pa.int64()),
+                }
+            )
+            agg = slim.group_by("lang").aggregate([("n_chars", "count"), ("n_chars", "sum")])
+            return agg.rename_columns(["lang", "p_n", "p_chars"])
+
+        agg = (
+            back.map_batches(part, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("p_n", alias_name="n_docs"), Sum("p_chars", alias_name="sum_chars"))
+        )
+        t = pa.Table.from_pylist(agg.take_all())
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return pa.table(
+        {
+            "lang": t.column("lang"),
+            "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+            "sum_chars": pc.cast(t.column("sum_chars"), pa.int64()),
+        }
+    )
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL sink + source round trip (the interchange format every
+    corpus pipeline must read): `write_json` -> `read_json` ->
+    per-lang combiner aggregate."""
+    return _format_roundtrip(sf_dir, "write_json", "read_json")
+
+
+def q_csv_roundtrip(sf_dir: str):
+    """CSV sink + source round trip: `write_csv` -> `read_csv` ->
+    per-lang combiner aggregate."""
+    return _format_roundtrip(sf_dir, "write_csv", "read_csv")
+
+
+SQL_FORMAT_ROUNDTRIP = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1
+"""
+
+QUERIES.update(
+    {
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "csv_roundtrip": q_csv_roundtrip,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "jsonl_roundtrip": SQL_FORMAT_ROUNDTRIP,
+        "csv_roundtrip": SQL_FORMAT_ROUNDTRIP,
+    }
+)
