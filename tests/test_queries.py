@@ -833,3 +833,58 @@ class TestWindowJoinFingerprintOps:
         ).groupby("o_custkey").cents.sum()
         last = out.sort_values(["o_custkey", "o_orderdate", "o_orderkey"]).groupby("o_custkey").cum_cents.last()
         assert last.to_dict() == want.to_dict()
+
+
+class TestWindowTieEdges:
+    """Tie and singleton edge cases the sf fixtures never hit (order
+    cents are globally unique there): equal-cents groups must share a
+    percent_rank, and NTILE/rank must behave on 1-row partitions."""
+
+    def _orders(self, tmp_path, prices, custkeys):
+        import pyarrow.parquet as pq
+
+        n = len(prices)
+        pq.write_table(
+            pa.table(
+                {
+                    "o_custkey": pa.array(custkeys, pa.int64()),
+                    "o_orderkey": pa.array(list(range(1, n + 1)), pa.int64()),
+                    "o_orderdate": pa.array(
+                        np.arange(n, dtype=np.int64).view("datetime64[D]").astype("datetime64[us]")
+                    ),
+                    "o_totalprice": pa.array(prices, pa.float64()),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        return str(tmp_path)
+
+    def test_percent_rank_ties_and_singletons(self, ray_session, tmp_path):
+        import duckdb
+
+        # cust 1: 4 orders with a 3-way tie; cust 2: singleton
+        sf = self._orders(tmp_path, [5.0, 5.0, 5.0, 9.0, 3.0], [1, 1, 1, 1, 2])
+        out = _to_pandas(entrymod.queries()["percent_rank_orders"](sf))
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM read_parquet('{tmp_path}/orders.parquet')"
+        )
+        want = con.execute(entrymod.oracle_sql()["percent_rank_orders"]).fetchdf()
+        compare(out, want, "percent_rank_ties")
+        got = out.set_index("o_orderkey").pr
+        assert got[1] == got[2] == got[3] == 0.0  # tied lowest share rank 1
+        assert got[4] == 1.0
+        assert got[5] == 0.0  # singleton partition
+
+    def test_ntile_and_rank_singletons(self, ray_session, tmp_path):
+        import duckdb
+
+        sf = self._orders(tmp_path, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0], [1, 1, 1, 2, 3, 3])
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM read_parquet('{tmp_path}/orders.parquet')"
+        )
+        for name in ("ntile_orders", "rank_orders", "running_total"):
+            out = _to_pandas(entrymod.queries()[name](sf))
+            want = con.execute(entrymod.oracle_sql()[name]).fetchdf()
+            compare(out, want, name)
