@@ -4250,13 +4250,20 @@ def q_hll_users(sf_dir: str):
     )
 
 
-def _build_hll_sql() -> str:
+def _build_hll_sql(daily: bool = False) -> str:
     """FNV-1a of the id's decimal string + ONE splitmix64 finalizer mix
     (32-bit-limb multiplies — a 64x64 product overflows HUGEINT), then
     top-10-bit bucket and trailing-zero rho by exact modulo tests.
-    Bit-identical to ``sketch.hll_bucket_rho``."""
+    Bit-identical to ``sketch.hll_bucket_rho``. With ``daily`` the
+    registers are grouped per event day (the GROUP BY sketch form)."""
     m64 = 1 << 64
     c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    g = "day, " if daily else ""
+    u_cte = (
+        "SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events"
+        if daily
+        else "SELECT DISTINCT user_id FROM events"
+    )
 
     def mulmod(z, c):
         zh = f"(CAST({z} AS HUGEINT) >> 32)"
@@ -4267,9 +4274,9 @@ def _build_hll_sql() -> str:
         )
 
     return f"""
-WITH u AS (SELECT DISTINCT user_id FROM events),
+WITH u AS ({u_cte}),
 h AS (
-  SELECT user_id,
+  SELECT {g}user_id,
     list_reduce(
       list_prepend(CAST(1469598103934665603 AS UBIGINT),
         list_transform(regexp_extract_all(CAST(user_id AS VARCHAR), '.'),
@@ -4278,17 +4285,17 @@ h AS (
                        % {m64} AS UBIGINT)
     ) AS hv
   FROM u),
-ma AS (SELECT user_id, CAST((CAST(hv AS HUGEINT) + {c1}) % {m64} AS UBIGINT) AS z FROM h),
-mb AS (SELECT user_id, {mulmod('xor(z, z >> 30)', c2)} AS z FROM ma),
-mc AS (SELECT user_id, {mulmod('xor(z, z >> 27)', c3)} AS z FROM mb),
-md AS (SELECT user_id, xor(z, z >> 31) AS hv FROM mc),
+ma AS (SELECT {g}user_id, CAST((CAST(hv AS HUGEINT) + {c1}) % {m64} AS UBIGINT) AS z FROM h),
+mb AS (SELECT {g}user_id, {mulmod('xor(z, z >> 30)', c2)} AS z FROM ma),
+mc AS (SELECT {g}user_id, {mulmod('xor(z, z >> 27)', c3)} AS z FROM mb),
+md AS (SELECT {g}user_id, xor(z, z >> 31) AS hv FROM mc),
 br AS (
-  SELECT CAST(hv >> 54 AS BIGINT) AS bucket,
+  SELECT {g}CAST(hv >> 54 AS BIGINT) AS bucket,
          CAST(len(list_filter(range(1, 55),
                 k -> (hv & ((CAST(1 AS UBIGINT) << 54) - 1))
                        % (CAST(1 AS UBIGINT) << k) = 0)) + 1 AS BIGINT) AS rho
   FROM md)
-SELECT bucket, max(rho) AS rho FROM br GROUP BY bucket
+SELECT {g}bucket, max(rho) AS rho FROM br GROUP BY {g}bucket
 """
 
 
@@ -7333,7 +7340,10 @@ def q_percent_rank_orders(sf_dir: str):
         tie_starts = np.flatnonzero(tie_change)
         tie_len = np.diff(np.append(tie_starts, len(key)))
         rank = np.repeat(i[tie_starts], tie_len) + 1
-        pr = np.where(n == 1, 0.0, (rank - 1).astype(np.float64) / (n - 1).astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pr = np.where(
+                n == 1, 0.0, (rank - 1).astype(np.float64) / (n - 1).astype(np.float64)
+            )
         return pa.table(
             {
                 "o_custkey": pa.array(key, pa.int64()),
@@ -7451,5 +7461,675 @@ ORACLE_SQL.update(
     {
         "jsonl_roundtrip": SQL_FORMAT_ROUNDTRIP,
         "csv_roundtrip": SQL_FORMAT_ROUNDTRIP,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Batch H: corpus-curation + OLAP operators (round 3, session 3)
+# ---------------------------------------------------------------------------
+
+CHUNK_WINDOW = 120
+CHUNK_STRIDE = 90
+
+
+def q_chunk_documents(sf_dir: str):
+    """Context-window chunking: every document split into fixed
+    CHUNK_WINDOW-char windows advancing by CHUNK_STRIDE (30-char
+    overlap) — the pre-tokenization pass that turns a raw corpus into
+    training sequences. Pure Arrow explode: ONE vectorized
+    ``utf8_slice_codeunits`` call per chunk INDEX (<= ceil(max_len /
+    stride) kernel calls per batch, each over the whole batch), never
+    a per-row Python slice; chunk counts are closed-form so there is
+    no second pass and no shuffle at all — the op streams."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    W, S = CHUNK_WINDOW, CHUNK_STRIDE
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_chunks = (lens + S - 1) // S  # starts 0, S, 2S, ... < len
+        parts = []
+        for i in range(int(n_chunks.max(initial=0))):
+            m = n_chunks > i
+            sub = pc.utf8_slice_codeunits(texts, start=i * S, stop=i * S + W)
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(doc[m], pa.int64()),
+                        "chunk_id": pa.array(np.full(int(m.sum()), i, np.int64)),
+                        "chunk_text": pc.cast(sub, pa.string()).filter(pa.array(m)),
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                    "chunk_len": pa.array([], pa.int64()),
+                }
+            )
+        out = pa.concat_tables(parts)
+        return out.append_column(
+            "chunk_len", pc.cast(pc.utf8_length(out.column("chunk_text")), pa.int64())
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH e AS (
+  SELECT doc_id, text,
+         unnest(range((length(text)+{CHUNK_STRIDE - 1})//{CHUNK_STRIDE})) AS chunk_id
+  FROM documents)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       substr(text, CAST(chunk_id*{CHUNK_STRIDE}+1 AS BIGINT), {CHUNK_WINDOW}) AS chunk_text,
+       CAST(length(substr(text, CAST(chunk_id*{CHUNK_STRIDE}+1 AS BIGINT), {CHUNK_WINDOW}))
+            AS BIGINT) AS chunk_len
+FROM e
+"""
+
+
+REDACT_PATTERN = r"\b(customer|value|key)\b"
+REDACT_TOKEN = "<REDACTED>"
+
+
+def q_redact_terms(sf_dir: str):
+    """Deny-list redaction — the PII-scrub operator shape (emails /
+    phone numbers in production; this fixture corpus is digit-free, so
+    the deny-list is three vocabulary terms): global regex replace +
+    per-doc hit counts. Arrow's ``replace_substring_regex`` and
+    DuckDB's ``regexp_replace(..., 'g')`` are both RE2, so the
+    scrubbed TEXT is oracle-compared byte-for-byte, not just the
+    counts. Two vectorized RE2 kernel calls per batch, zero Python
+    loops, zero shuffles."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "scrubbed": pc.cast(
+                    pc.replace_substring_regex(
+                        texts, pattern=REDACT_PATTERN, replacement=REDACT_TOKEN
+                    ),
+                    pa.string(),
+                ),
+                "n_hits": pc.cast(
+                    pc.count_substring_regex(texts, pattern=REDACT_PATTERN), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+SQL_REDACT_TERMS = rf"""
+SELECT doc_id,
+       regexp_replace(text, '{REDACT_PATTERN}', '{REDACT_TOKEN}', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(text, '{REDACT_PATTERN}')) AS BIGINT) AS n_hits
+FROM documents
+"""
+
+
+def q_lag_events(sf_dir: str):
+    """LAG window: per-event gap (microseconds) since the same user's
+    previous event, -1 for each user's first — inter-arrival times,
+    the feature column behind rate/anomaly detection. One bucket
+    exchange + one sort per bucket + a vectorized diff with the gap
+    reset at user boundaries (no per-user Python)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def kernel(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[
+                    ("user_id", "ascending"),
+                    ("ts", "ascending"),
+                    ("event_id", "ascending"),
+                ],
+            )
+        )
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            g.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        eid = g.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        new_user, _, _ = _segments(uid)
+        gap = np.diff(ts, prepend=ts[:1])
+        gap[new_user] = -1
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "gap_us": pa.array(gap, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_int_bucket_stage("user_id"), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+SQL_LAG_EVENTS = """
+SELECT event_id, user_id,
+       CAST(coalesce(epoch_us(ts - lag(ts) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id)), -1) AS BIGINT) AS gap_us
+FROM events
+"""
+
+
+def q_neardup_survivors(sf_dir: str):
+    """The dedup OUTPUT table: documents KEPT after near-dup
+    clustering — each cluster's canonical (minimum doc_id) member plus
+    every singleton. Rides the memoized exact-Jaccard pair table and
+    the converged components from ``q_dedup_clusters``; the survivor
+    id set is broadcast (sorted array + searchsorted membership) into
+    a streaming filter over the documents read — the big side never
+    leaves Dataset land."""
+    clusters = q_dedup_clusters(sf_dir)
+    doc = clusters.column("doc_id").to_numpy(zero_copy_only=False)
+    rep = clusters.column("rep").to_numpy(zero_copy_only=False)
+    keep = np.sort(doc[doc == rep])
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.clip(np.searchsorted(keep, ids), 0, len(keep) - 1)
+        out = batch.filter(pa.array(keep[idx] == ids))
+        return pa.table(
+            {
+                "doc_id": pc.cast(out.column("doc_id"), pa.int64()),
+                "lang": pc.cast(out.column("lang"), pa.string()),
+                "n_chars": pc.cast(out.column("n_chars"), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(survivors, batch_format="pyarrow")
+
+
+SQL_NEARDUP_SURVIVORS = f"""
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN ({SQL_DEDUP_CLUSTERS}) c ON d.doc_id = c.doc_id
+WHERE c.rep = c.doc_id
+"""
+
+
+def q_hll_users_daily(sf_dir: str):
+    """Per-day HLL registers — the GROUP BY form of the mergeable
+    distinct sketch (approximate DAU without a count(DISTINCT)
+    all-to-all). Each batch emits (day, bucket) -> max-rho partials
+    packed into one int64 key (day_idx * 1024 + bucket, <= days x 1024
+    rows per batch whatever the batch size); a native Max groupby
+    merges them — max is order-free, so any merge tree agrees. The
+    oracle re-derives every register per day bit-for-bit."""
+    from ray.data.aggregate import Max
+
+    from don_crawler_ray.functions.sketch import HLL_P, hll_bucket_rho
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = (
+            batch.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        day = ts // DAY_US
+        packed = np.unique(day * (1 << 40) + uid)  # distinct (day, uid)
+        d, u = packed >> 40, packed & ((1 << 40) - 1)
+        bucket, rho = hll_bucket_rho(u, HLL_P)
+        key = d * 1024 + bucket
+        uk, inv = np.unique(key, return_inverse=True)
+        mx = np.zeros(len(uk), np.int64)
+        np.maximum.at(mx, inv, rho)
+        return pa.table(
+            {"key": pa.array(uk, pa.int64()), "p_rho": pa.array(mx, pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Max("p_rho", alias_name="rho"))
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    key = pc.cast(t.column("key"), pa.int64()).to_numpy(zero_copy_only=False)
+    rho = pc.cast(t.column("rho"), pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.argsort(key)
+    key, rho = key[order], rho[order]
+    return pa.table(
+        {
+            "day": pa.array(((key // 1024) * DAY_US).view("datetime64[us]")),
+            "bucket": pa.array(key % 1024, pa.int64()),
+            "rho": pa.array(rho, pa.int64()),
+        }
+    )
+
+
+SQL_HLL_USERS_DAILY = _build_hll_sql(daily=True)
+
+
+def q_argmax_orders(sf_dir: str):
+    """ARG-MAX aggregate (``max_by``): each customer's single most
+    expensive order — orderkey + exact cents, ties broken to the
+    lowest orderkey. Per-batch pre-reduce keeps only each key's best
+    candidate row (the combiner), then one bucket exchange + one sort;
+    the first row of every key run is the answer — no per-key
+    Python."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def _best_rows(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("o_custkey", "ascending"),
+                ("cents", "descending"),
+                ("o_orderkey", "ascending"),
+            ],
+        )
+        g = t.take(idx)
+        ck = g.column("o_custkey").to_numpy(zero_copy_only=False)
+        _, starts, _len = _segments(ck)
+        return g.take(pa.array(starts))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        slim = pa.table(
+            {
+                "o_custkey": pc.cast(batch.column("o_custkey"), pa.int64()),
+                "o_orderkey": pc.cast(batch.column("o_orderkey"), pa.int64()),
+                "cents": pa.array(cents),
+            }
+        )
+        best = _best_rows(slim)
+        ck = best.column("o_custkey").to_numpy(zero_copy_only=False)
+        return best.append_column("_bucket", pa.array((ck % 256).astype(np.int32)))
+
+    def kernel(group: pa.Table) -> pa.Table:
+        best = _best_rows(group.select(["o_custkey", "o_orderkey", "cents"]))
+        return best.rename_columns(["o_custkey", "best_order", "best_cents"])
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+SQL_ARGMAX_ORDERS = """
+SELECT o_custkey, o_orderkey AS best_order,
+       CAST(round(o_totalprice * 100.0) AS BIGINT) AS best_cents
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY o_custkey
+        ORDER BY round(o_totalprice * 100.0) DESC, o_orderkey) AS rn
+      FROM orders)
+WHERE rn = 1
+"""
+
+
+def q_cube_orders(sf_dir: str):
+    """GROUP BY CUBE (status x priority): all four grouping sets of
+    order counts + exact-cents totals — the OLAP generalization of the
+    rollup operator. One partial-agg pass shrinks the input to <=
+    |status x priority| rows per batch; the three coarser grouping
+    sets are re-aggregated from the tiny converged base cube on the
+    driver — exact integers, so re-aggregation is lossless. NULL
+    grouping cells use the 'ALL' sentinel."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        slim = pa.table(
+            {
+                "status": pc.cast(batch.column("o_orderstatus"), pa.string()),
+                "priority": pc.cast(batch.column("o_orderpriority"), pa.string()),
+                "cents": pa.array(cents),
+            }
+        )
+        agg = slim.group_by(["status", "priority"]).aggregate(
+            [("cents", "count"), ("cents", "sum")]
+        )
+        return agg.rename_columns(["status", "priority", "p_n", "p_cents"])
+
+    agg = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby(["status", "priority"])
+        .aggregate(Sum("p_n", alias_name="n_orders"), Sum("p_cents", alias_name="cents"))
+    )
+    base = pa.Table.from_pylist(agg.take_all())
+    base = pa.table(
+        {
+            "status": pc.cast(base.column("status"), pa.string()),
+            "priority": pc.cast(base.column("priority"), pa.string()),
+            "n_orders": pc.cast(base.column("n_orders"), pa.int64()),
+            "cents": pc.cast(base.column("cents"), pa.int64()),
+        }
+    )
+
+    def _set(keys: list[str]) -> pa.Table:
+        if keys:
+            g = base.group_by(keys).aggregate([("n_orders", "sum"), ("cents", "sum")])
+            g = g.rename_columns(keys + ["n_orders", "cents"])
+        else:
+            g = pa.table(
+                {
+                    "n_orders": pa.array(
+                        [pc.sum(base.column("n_orders")).as_py()], pa.int64()
+                    ),
+                    "cents": pa.array([pc.sum(base.column("cents")).as_py()], pa.int64()),
+                }
+            )
+        cols = {}
+        for k in ("status", "priority"):
+            if k in keys:
+                cols[k] = g.column(k)
+            else:
+                cols[k] = pa.array(["ALL"] * g.num_rows, pa.string())
+        cols["n_orders"] = g.column("n_orders")
+        cols["cents"] = g.column("cents")
+        return pa.table(cols)
+
+    return pa.concat_tables(
+        [_set(["status", "priority"]), _set(["status"]), _set(["priority"]), _set([])]
+    )
+
+
+SQL_CUBE_ORDERS = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+SNAPSHOT_T1 = np.datetime64("2024-01-11T00:00:00", "us")
+SNAPSHOT_T2 = np.datetime64("2024-01-21T00:00:00", "us")
+
+
+def q_snapshot_diff(sf_dir: str):
+    """CDC-style snapshot diff: each user's LAST event value (exact
+    cents) as of cutoff T1 vs cutoff T2, classified added / changed /
+    same — the change-detection pass an incremental pipeline runs
+    between crawl rounds. One filtered read (ts <= T2 pushdown), one
+    bucket exchange, one sort; per-user last-at-T1 falls out of a
+    reduceat over the <=T1 prefix counts — no per-user Python."""
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(f"{sf_dir}/events.parquet")
+    # pushdown: rows after T2 never leave storage
+    import ray
+
+    t = dset.to_table(
+        columns=["user_id", "ts", "event_id", "value"],
+        filter=pads.field("ts") <= pa.scalar(SNAPSHOT_T2, pa.timestamp("us")),
+    )
+    ds = ray.data.from_arrow(t).repartition(16)
+
+    T1 = SNAPSHOT_T1.astype(np.int64)
+
+    def kernel(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[
+                    ("user_id", "ascending"),
+                    ("ts", "ascending"),
+                    ("event_id", "ascending"),
+                ],
+            )
+        )
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            g.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        cents = np.rint(
+            g.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        _, starts, lens = _segments(uid)
+        if len(starts) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "status": pa.array([], pa.string()),
+                    "old_cents": pa.array([], pa.int64()),
+                    "new_cents": pa.array([], pa.int64()),
+                }
+            )
+        in1 = (ts <= T1).astype(np.int64)
+        cnt1 = np.add.reduceat(in1, starts)
+        last2 = starts + lens - 1
+        new_cents = cents[last2]
+        has_old = cnt1 > 0
+        old_idx = np.where(has_old, starts + cnt1 - 1, 0)
+        old_cents = np.where(has_old, cents[old_idx], -1)
+        status = np.where(
+            ~has_old, "added", np.where(old_cents != new_cents, "changed", "same")
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "status": pa.array(status, pa.string()),
+                "old_cents": pa.array(old_cents, pa.int64()),
+                "new_cents": pa.array(new_cents, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_int_bucket_stage("user_id"), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH e2 AS (
+  SELECT user_id, ts, event_id, CAST(round(value * 100.0) AS BIGINT) AS cents
+  FROM events WHERE ts <= TIMESTAMP '2024-01-21 00:00:00'),
+l2 AS (
+  SELECT user_id, cents FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM e2)
+  WHERE rn = 1),
+l1 AS (
+  SELECT user_id, cents FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM e2 WHERE ts <= TIMESTAMP '2024-01-11 00:00:00')
+  WHERE rn = 1)
+SELECT l2.user_id,
+       CASE WHEN l1.user_id IS NULL THEN 'added'
+            WHEN l1.cents <> l2.cents THEN 'changed'
+            ELSE 'same' END AS status,
+       coalesce(l1.cents, -1) AS old_cents,
+       l2.cents AS new_cents
+FROM l2 LEFT JOIN l1 ON l2.user_id = l1.user_id
+"""
+
+
+BUDGET_TOTAL = 10_000
+
+
+def q_budget_alloc(sf_dir: str):
+    """Proportional budget allocation (Hamilton largest-remainder):
+    split a global budget of 10,000 slots across nations in proportion
+    to their order counts — the per-host crawl-budget assignment
+    pattern (politeness budgets per host, ST3 analog), integer-exact
+    so every summation order agrees. Distributed part: broadcast
+    custkey->nation probe (sorted array + searchsorted) + per-batch
+    partial counts; the allocation itself runs over the 25-row nation
+    aggregate on the driver."""
+    from ray.data.aggregate import Sum
+
+    cust = _read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nk = cust.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ck, kind="stable")
+    ck_sorted, nk_sorted = ck[order], nk[order]
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.clip(np.searchsorted(ck_sorted, ok), 0, len(ck_sorted) - 1)
+        nat = nk_sorted[idx]
+        uniq, counts = np.unique(nat, return_counts=True)
+        return pa.table(
+            {
+                "nation": pa.array(uniq, pa.int64()),
+                "p_n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("nation")
+        .aggregate(Sum("p_n", alias_name="n_orders"))
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    nation = pc.cast(t.column("nation"), pa.int64()).to_numpy(zero_copy_only=False)
+    n = pc.cast(t.column("n_orders"), pa.int64()).to_numpy(zero_copy_only=False)
+    o = np.argsort(nation)
+    nation, n = nation[o], n[o]
+    total = int(n.sum())
+    base = (BUDGET_TOTAL * n) // total
+    rem = (BUDGET_TOTAL * n) % total
+    extra = BUDGET_TOTAL - int(base.sum())
+    rank = np.lexsort((nation, -rem))  # rem desc, nation asc
+    budget = base.copy()
+    budget[rank[:extra]] += 1
+    return pa.table(
+        {
+            "nation": pa.array(nation, pa.int64()),
+            "n_orders": pa.array(n, pa.int64()),
+            "budget": pa.array(budget, pa.int64()),
+        }
+    )
+
+
+SQL_BUDGET_ALLOC = f"""
+WITH cnt AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS t FROM cnt),
+base AS (
+  SELECT nation, n_orders,
+         ({BUDGET_TOTAL} * n_orders) // t AS base,
+         row_number() OVER (
+           ORDER BY ({BUDGET_TOTAL} * n_orders) % t DESC, nation) AS rk
+  FROM cnt, tot),
+need AS (SELECT {BUDGET_TOTAL} - sum(base) AS extra FROM base)
+SELECT nation, n_orders,
+       CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT) AS budget
+FROM base, need
+"""
+
+
+def q_lang_gini_by_source(sf_dir: str):
+    """Per-source language-diversity score: Gini impurity of each
+    source's language mix, 1 - sum_i(n_i/N)^2 = (N^2 - sum n_i^2)/N^2
+    — the corpus-curation diagnostic behind mixture rebalancing. All
+    counting is exact integers (per-batch (source, lang) partials ->
+    one tiny groupby); the single final division is one double op, so
+    engine and oracle agree bit-for-bit."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        slim = pa.table(
+            {
+                "source": pc.cast(batch.column("source"), pa.string()),
+                "lang": pc.cast(batch.column("lang"), pa.string()),
+            }
+        )
+        agg = slim.group_by(["source", "lang"]).aggregate([("lang", "count")])
+        return agg.rename_columns(["source", "lang", "p_n"])
+
+    agg = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    src = t.column("source").to_pylist()
+    n = pc.cast(t.column("n"), pa.int64()).to_numpy(zero_copy_only=False)
+    acc: dict[str, list[int]] = {}
+    for s, cnt in zip(src, n):
+        got = acc.setdefault(s, [0, 0])
+        got[0] += int(cnt)
+        got[1] += int(cnt) * int(cnt)
+    sources = sorted(acc)
+    tot = np.array([acc[s][0] for s in sources], np.int64)
+    sq = np.array([acc[s][1] for s in sources], np.int64)
+    gini = (tot * tot - sq).astype(np.float64) / (tot * tot).astype(np.float64)
+    return pa.table(
+        {
+            "source": pa.array(sources, pa.string()),
+            "n_docs": pa.array(tot, pa.int64()),
+            "gini": pa.array(gini, pa.float64()),
+        }
+    )
+
+
+SQL_LANG_GINI = """
+WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2),
+s AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot, CAST(sum(n * n) AS BIGINT) AS sq
+      FROM c GROUP BY 1)
+SELECT source, tot AS n_docs,
+       CAST(tot * tot - sq AS DOUBLE) / CAST(tot * tot AS DOUBLE) AS gini
+FROM s
+"""
+
+
+QUERIES.update(
+    {
+        "chunk_documents": q_chunk_documents,
+        "redact_terms": q_redact_terms,
+        "lag_events": q_lag_events,
+        "neardup_survivors": q_neardup_survivors,
+        "hll_users_daily": q_hll_users_daily,
+        "argmax_orders": q_argmax_orders,
+        "cube_orders": q_cube_orders,
+        "snapshot_diff": q_snapshot_diff,
+        "budget_alloc": q_budget_alloc,
+        "lang_gini_by_source": q_lang_gini_by_source,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "chunk_documents": SQL_CHUNK_DOCUMENTS,
+        "redact_terms": SQL_REDACT_TERMS,
+        "lag_events": SQL_LAG_EVENTS,
+        "neardup_survivors": SQL_NEARDUP_SURVIVORS,
+        "hll_users_daily": SQL_HLL_USERS_DAILY,
+        "argmax_orders": SQL_ARGMAX_ORDERS,
+        "cube_orders": SQL_CUBE_ORDERS,
+        "snapshot_diff": SQL_SNAPSHOT_DIFF,
+        "budget_alloc": SQL_BUDGET_ALLOC,
+        "lang_gini_by_source": SQL_LANG_GINI,
     }
 )

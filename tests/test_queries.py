@@ -888,3 +888,141 @@ class TestWindowTieEdges:
             out = _to_pandas(entrymod.queries()[name](sf))
             want = con.execute(entrymod.oracle_sql()[name]).fetchdf()
             compare(out, want, name)
+
+
+class TestBatchHContracts:
+    """Semantic contracts for the batch-H operators — properties the
+    oracle hash-compare can't express (reconstruction, quota
+    invariants, estimator accuracy)."""
+
+    def test_chunk_documents_reconstruction(self, ray_session):
+        from don_crawler_ray.pipelines.queries import CHUNK_STRIDE, CHUNK_WINDOW
+
+        out = _to_pandas(entrymod.queries()["chunk_documents"](SF_DIR))
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        by_doc = {d: g.sort_values("chunk_id") for d, g in out.groupby("doc_id")}
+        for _, row in docs.head(50).iterrows():
+            g = by_doc[row.doc_id]
+            text = row.text
+            want_n = (len(text) + CHUNK_STRIDE - 1) // CHUNK_STRIDE
+            assert len(g) == want_n, row.doc_id
+            # chunk i is exactly text[i*S : i*S+W]
+            for i, chunk in zip(g.chunk_id, g.chunk_text):
+                assert chunk == text[i * CHUNK_STRIDE : i * CHUNK_STRIDE + CHUNK_WINDOW]
+            # stride-overlap identity: chunk i's head repeats chunk
+            # i-1's tail (window - stride chars) whenever i-1 was full
+            ov = CHUNK_WINDOW - CHUNK_STRIDE
+            chunks = g.chunk_text.tolist()
+            for i in range(1, len(chunks)):
+                if len(chunks[i - 1]) == CHUNK_WINDOW:
+                    assert chunks[i - 1][-ov:].startswith(chunks[i][:ov][: len(chunks[i - 1][-ov:])])
+
+    def test_redact_terms_no_residue(self, ray_session):
+        import re
+
+        from don_crawler_ray.pipelines.queries import REDACT_PATTERN
+
+        out = _to_pandas(entrymod.queries()["redact_terms"](SF_DIR))
+        pat = re.compile(REDACT_PATTERN)
+        assert len(out) == 500
+        assert int(out.n_hits.sum()) > 0  # the deny-list actually fires
+        for s in out.scrubbed:
+            assert pat.search(s) is None
+
+    def test_lag_events_semantics(self, ray_session):
+        out = _to_pandas(entrymod.queries()["lag_events"](SF_DIR))
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_id", "user_id", "ts"])
+        assert len(out) == len(ev)
+        # exactly one -1 per user; all other gaps >= 0
+        firsts = out[out.gap_us == -1]
+        assert set(firsts.user_id) == set(ev.user_id.unique())
+        assert len(firsts) == ev.user_id.nunique()
+        assert (out[out.gap_us != -1].gap_us >= 0).all()
+
+    def test_neardup_survivors_partition(self, ray_session):
+        surv = _to_pandas(entrymod.queries()["neardup_survivors"](SF_DIR))
+        clusters = _to_pandas(entrymod.queries()["dedup_clusters"](SF_DIR))
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+        kept = set(surv.doc_id)
+        # survivors are exactly the cluster representatives
+        assert kept == set(clusters[clusters.doc_id == clusters.rep].doc_id)
+        # every dropped doc's representative survives
+        dropped = clusters[~clusters.doc_id.isin(kept)]
+        assert dropped.rep.isin(kept).all()
+        assert kept | set(dropped.doc_id) == set(docs.doc_id)
+
+    def test_hll_users_daily_estimates(self, ray_session):
+        from don_crawler_ray.functions.sketch import HLL_P, hll_estimate
+
+        out = _to_pandas(entrymod.queries()["hll_users_daily"](SF_DIR))
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["ts", "user_id"])
+        ev["day"] = ev.ts.dt.floor("D")
+        true_dau = ev.groupby("day").user_id.nunique()
+        for day, g in out.groupby("day"):
+            est = hll_estimate(g.bucket.to_numpy(), g.rho.to_numpy(), HLL_P)
+            truth = int(true_dau.loc[day])
+            assert abs(est - truth) <= max(3, 0.25 * truth), (day, est, truth)
+
+    def test_argmax_orders_semantics(self, ray_session):
+        out = _to_pandas(entrymod.queries()["argmax_orders"](SF_DIR)).set_index("o_custkey")
+        orders = pd.read_parquet(
+            f"{SF_DIR}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+        )
+        orders["cents"] = (orders.o_totalprice * 100.0).round().astype("int64")
+        want = orders.sort_values(
+            ["o_custkey", "cents", "o_orderkey"], ascending=[True, False, True]
+        ).groupby("o_custkey").first()
+        assert len(out) == len(want)
+        assert (out.best_order == want.o_orderkey).all()
+        assert (out.best_cents == want.cents).all()
+
+    def test_cube_orders_consistency(self, ray_session):
+        out = _to_pandas(entrymod.queries()["cube_orders"](SF_DIR))
+        base = out[(out.status != "ALL") & (out.priority != "ALL")]
+        grand = out[(out.status == "ALL") & (out.priority == "ALL")]
+        assert len(grand) == 1
+        assert int(grand.n_orders.iloc[0]) == int(base.n_orders.sum())
+        assert int(grand.cents.iloc[0]) == int(base.cents.sum())
+        by_status = out[(out.status != "ALL") & (out.priority == "ALL")].set_index("status")
+        roll = base.groupby("status")[["n_orders", "cents"]].sum()
+        assert (by_status.n_orders == roll.n_orders).all()
+        assert (by_status.cents == roll.cents).all()
+
+    def test_snapshot_diff_semantics(self, ray_session):
+        out = _to_pandas(entrymod.queries()["snapshot_diff"](SF_DIR)).set_index("user_id")
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+        ev["cents"] = (ev.value * 100.0).round().astype("int64")
+        t1, t2 = pd.Timestamp("2024-01-11"), pd.Timestamp("2024-01-21")
+        e2 = ev[ev.ts <= t2].sort_values(["ts", "event_id"])
+        last2 = e2.groupby("user_id").cents.last()
+        last1 = e2[e2.ts <= t1].groupby("user_id").cents.last()
+        assert set(out.index) == set(last2.index)
+        for uid in out.index:
+            new = int(last2.loc[uid])
+            assert int(out.loc[uid, "new_cents"]) == new
+            if uid not in last1.index:
+                assert out.loc[uid, "status"] == "added"
+                assert int(out.loc[uid, "old_cents"]) == -1
+            else:
+                old = int(last1.loc[uid])
+                assert int(out.loc[uid, "old_cents"]) == old
+                assert out.loc[uid, "status"] == ("same" if old == new else "changed")
+
+    def test_budget_alloc_quota(self, ray_session):
+        from don_crawler_ray.pipelines.queries import BUDGET_TOTAL
+
+        out = _to_pandas(entrymod.queries()["budget_alloc"](SF_DIR))
+        assert int(out.budget.sum()) == BUDGET_TOTAL
+        total = int(out.n_orders.sum())
+        base = (BUDGET_TOTAL * out.n_orders) // total
+        # Hamilton quota property: base <= budget <= base + 1
+        assert ((out.budget == base) | (out.budget == base + 1)).all()
+
+    def test_lang_gini_bounds(self, ray_session):
+        out = _to_pandas(entrymod.queries()["lang_gini_by_source"](SF_DIR))
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["source", "lang"])
+        assert ((out.gini >= 0) & (out.gini < 1)).all()
+        for _, row in out.iterrows():
+            grp = docs[docs.source == row.source]
+            p = grp.lang.value_counts(normalize=True).to_numpy()
+            assert abs(row.gini - (1.0 - float((p * p).sum()))) < 1e-9
