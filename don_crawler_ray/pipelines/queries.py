@@ -8133,3 +8133,304 @@ ORACLE_SQL.update(
         "lang_gini_by_source": SQL_LANG_GINI,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Batch I: sampling / star-join / set-difference / distinct-on
+# ---------------------------------------------------------------------------
+
+SAMPLE_PER_GROUP_K = 5
+
+
+def q_sample_per_group(sf_dir: str):
+    """Deterministic uniform sample per group: the K docs per language
+    with the smallest splitmix64(doc_id) — hash-rank sampling, the
+    seeded per-stratum subsample a corpus-QA pipeline pulls for human
+    review. Per-batch partial top-K per lang (a combiner: <= K x langs
+    rows leave each batch) + driver merge of <= K x langs x blocks
+    candidates; the oracle re-derives the mix bit-for-bit."""
+    from don_crawler_ray.functions.dedup import _mix64
+
+    K = SAMPLE_PER_GROUP_K
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        # order-preserving signed view of the uint64 mix (uint64 rows
+        # round-trip take_all as Python ints and overflow from_pylist)
+        hv = (_mix64(doc.astype(np.uint64)) ^ np.uint64(1 << 63)).astype(np.int64)
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        out_d, out_l, out_h = [], [], []
+        for lg in np.unique(lang):
+            m = lang == lg
+            order = np.lexsort((doc[m], hv[m]))[:K]
+            out_d.append(doc[m][order])
+            out_l.extend([lg] * len(order))
+            out_h.append(hv[m][order])
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                "lang": pa.array(out_l, pa.string()),
+                "hv": pa.array(np.concatenate(out_h), pa.int64()),
+            }
+        )
+
+    cand = pa.Table.from_pylist(
+        ds.map_batches(partial, batch_format="pyarrow").take_all()
+    )
+    doc = cand.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    hv = cand.column("hv").to_numpy(zero_copy_only=False).astype(np.int64)
+    lang = np.asarray(cand.column("lang").to_pylist(), dtype=object)
+    out = []
+    for lg in sorted(set(lang)):
+        m = lang == lg
+        order = np.lexsort((doc[m], hv[m]))[:K]
+        out.append(
+            pa.table(
+                {
+                    "lang": pa.array([lg] * len(order), pa.string()),
+                    "doc_id": pa.array(doc[m][order], pa.int64()),
+                    "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+                }
+            )
+        )
+    return pa.concat_tables(out)
+
+
+def _build_sample_sql() -> str:
+    """splitmix64(doc_id) re-derived with the 32-bit-limb mulmod chain
+    (same contract as the HLL/MinHash oracles), then a per-lang
+    hash-rank window."""
+    m64 = 1 << 64
+    c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(z, c):
+        zh = f"(CAST({z} AS HUGEINT) >> 32)"
+        zl = f"(CAST({z} AS HUGEINT) & 4294967295)"
+        return (
+            f"CAST(((({zh} * {c}) % 4294967296) * 4294967296 + {zl} * {c})"
+            f" % {m64} AS UBIGINT)"
+        )
+
+    return f"""
+WITH ma AS (SELECT doc_id, lang,
+            CAST((CAST(doc_id AS HUGEINT) + {c1}) % {m64} AS UBIGINT) AS z FROM documents),
+mb AS (SELECT doc_id, lang, {mulmod('xor(z, z >> 30)', c2)} AS z FROM ma),
+mc AS (SELECT doc_id, lang, {mulmod('xor(z, z >> 27)', c3)} AS z FROM mb),
+md AS (SELECT doc_id, lang, xor(z, z >> 31) AS hv FROM mc),
+r AS (SELECT doc_id, lang,
+        row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn FROM md)
+SELECT lang, doc_id, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= {SAMPLE_PER_GROUP_K}
+"""
+
+
+SQL_SAMPLE_PER_GROUP = _build_sample_sql()
+
+
+def q_enrich_lineitem(sf_dir: str):
+    """Star-schema enrichment: lineitem joined against TWO broadcast
+    dimensions at once (part -> brand, supplier -> nation) inside one
+    map_batches, then revenue cents per (brand, nation) — the
+    denormalize-then-aggregate pass every warehouse pipeline runs.
+    Both dims ride as sorted key arrays + searchsorted probes (no
+    shuffle; the fact table streams once)."""
+    from ray.data.aggregate import Sum
+
+    part = _read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    supp = _read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    po = np.argsort(pk, kind="stable")
+    pk_sorted = pk[po]
+    brand_sorted = np.asarray(part.column("p_brand").to_pylist(), dtype=object)[po]
+    sk = supp.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    so = np.argsort(sk, kind="stable")
+    sk_sorted = sk[so]
+    nat_sorted = supp.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)[so]
+
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    def part_fn(batch: pa.Table) -> pa.Table:
+        lp = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ls = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        # revenue in exact 1e-6 units: price is exact cents*1, discount
+        # has <= 2 decimals -> price*100 * (100 - disc*100) is integral
+        rev = np.rint(price * 100.0).astype(np.int64) * (
+            100 - np.rint(disc * 100.0).astype(np.int64)
+        )
+        brand = brand_sorted[np.searchsorted(pk_sorted, lp)]
+        nation = nat_sorted[np.searchsorted(sk_sorted, ls)]
+        slim = pa.table(
+            {
+                "brand": pa.array(brand.tolist(), pa.string()),
+                "nation": pa.array(nation, pa.int64()),
+                "rev": pa.array(rev, pa.int64()),
+            }
+        )
+        agg = slim.group_by(["brand", "nation"]).aggregate([("rev", "count"), ("rev", "sum")])
+        return agg.rename_columns(["brand", "nation", "p_n", "p_rev"])
+
+    agg = (
+        ds.map_batches(part_fn, batch_format="pyarrow")
+        .groupby(["brand", "nation"])
+        .aggregate(Sum("p_n", alias_name="n_lines"), Sum("p_rev", alias_name="rev_e6"))
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    return pa.table(
+        {
+            "brand": pc.cast(t.column("brand"), pa.string()),
+            "nation": pc.cast(t.column("nation"), pa.int64()),
+            "n_lines": pc.cast(t.column("n_lines"), pa.int64()),
+            "rev_e6": pc.cast(t.column("rev_e6"), pa.int64()),
+        }
+    )
+
+
+SQL_ENRICH_LINEITEM = """
+SELECT p.p_brand AS brand, CAST(s.s_nationkey AS BIGINT) AS nation,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l.l_extendedprice * 100.0) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100.0) AS BIGINT))) AS BIGINT) AS rev_e6
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY 1, 2
+"""
+
+
+RETIRED_CUTOFF = "2001-06-01 00:00:00"
+
+
+def q_retired_parts(sf_dir: str):
+    """Set difference (EXCEPT): parts shipped before the cutoff with NO
+    shipment at-or-after it — the retired-SKU / dead-URL detection
+    pass. Per-batch partials emit at most one (part, early, late) row
+    per distinct part; a Sum groupby merges the flags; the filter is a
+    tiny post-aggregate predicate. No distinct-shuffle of raw rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_shipdate"])
+    cut = np.datetime64("2001-06-01T00:00:00", "us").astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            batch.column("l_shipdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        early = ts < cut
+        uniq, inv = np.unique(key, return_inverse=True)
+        e = np.zeros(len(uniq), np.int64)
+        l = np.zeros(len(uniq), np.int64)
+        np.add.at(e, inv, early.astype(np.int64))
+        np.add.at(l, inv, (~early).astype(np.int64))
+        return pa.table(
+            {
+                "l_partkey": pa.array(uniq, pa.int64()),
+                "p_early": pa.array(e, pa.int64()),
+                "p_late": pa.array(l, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("p_early", alias_name="n_early"), Sum("p_late", alias_name="n_late"))
+    )
+
+    def flt(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater(batch.column("n_early"), 0), pc.equal(batch.column("n_late"), 0)
+        )
+        out = batch.filter(m)
+        return pa.table(
+            {
+                "l_partkey": pc.cast(out.column("l_partkey"), pa.int64()),
+                "n_shipments": pc.cast(out.column("n_early"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(flt, batch_format="pyarrow")
+
+
+SQL_RETIRED_PARTS = f"""
+SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_shipments
+FROM lineitem WHERE l_shipdate < TIMESTAMP '{RETIRED_CUTOFF}'
+  AND l_partkey NOT IN (SELECT l_partkey FROM lineitem
+                        WHERE l_shipdate >= TIMESTAMP '{RETIRED_CUTOFF}')
+GROUP BY 1
+"""
+
+
+def q_distinct_on_events(sf_dir: str):
+    """DISTINCT ON (user, event_type): each user's FIRST event of every
+    type — (ts, event_id)-ordered, the top-1-per-composite-key
+    operator. One bucket exchange on user + one sort; composite-key
+    runs found by OR-ing the two segment masks — no per-key Python."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
+
+    def kernel(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[
+                    ("user_id", "ascending"),
+                    ("event_type", "ascending"),
+                    ("ts", "ascending"),
+                    ("event_id", "ascending"),
+                ],
+            )
+        )
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        n = len(uid)
+        change = np.ones(n, dtype=bool)
+        change[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+        firsts = np.flatnonzero(change)
+        out = g.take(pa.array(firsts))
+        return pa.table(
+            {
+                "user_id": pc.cast(out.column("user_id"), pa.int64()),
+                "event_type": pc.cast(out.column("event_type"), pa.string()),
+                "first_ts": out.column("ts"),
+                "event_id": pc.cast(out.column("event_id"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_int_bucket_stage("user_id"), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+SQL_DISTINCT_ON = """
+SELECT user_id, event_type, ts AS first_ts, event_id
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+QUERIES.update(
+    {
+        "sample_per_group": q_sample_per_group,
+        "enrich_lineitem": q_enrich_lineitem,
+        "retired_parts": q_retired_parts,
+        "distinct_on_events": q_distinct_on_events,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "sample_per_group": SQL_SAMPLE_PER_GROUP,
+        "enrich_lineitem": SQL_ENRICH_LINEITEM,
+        "retired_parts": SQL_RETIRED_PARTS,
+        "distinct_on_events": SQL_DISTINCT_ON,
+    }
+)

@@ -1026,3 +1026,52 @@ class TestBatchHContracts:
             grp = docs[docs.source == row.source]
             p = grp.lang.value_counts(normalize=True).to_numpy()
             assert abs(row.gini - (1.0 - float((p * p).sum()))) < 1e-9
+
+
+class TestBatchIContracts:
+    """Semantic contracts for the batch-I operators."""
+
+    def test_sample_per_group_is_uniform_rank(self, ray_session):
+        from don_crawler_ray.functions.dedup import _mix64
+        from don_crawler_ray.pipelines.queries import SAMPLE_PER_GROUP_K
+
+        out = _to_pandas(entrymod.queries()["sample_per_group"](SF_DIR))
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang"])
+        assert (out.groupby("lang").size() <= SAMPLE_PER_GROUP_K).all()
+        for lang, g in docs.groupby("lang"):
+            ids = g.doc_id.to_numpy().astype(np.int64)
+            hv = _mix64(ids.astype(np.uint64))
+            want = ids[np.lexsort((ids, hv))][:SAMPLE_PER_GROUP_K]
+            got = out[out.lang == lang].sort_values("rank").doc_id.to_numpy()
+            assert (got == want).all(), lang
+
+    def test_enrich_lineitem_totals(self, ray_session):
+        out = _to_pandas(entrymod.queries()["enrich_lineitem"](SF_DIR))
+        li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_extendedprice", "l_discount"])
+        rev = ((li.l_extendedprice * 100.0).round().astype("int64")
+               * (100 - (li.l_discount * 100.0).round().astype("int64")))
+        assert int(out.n_lines.sum()) == len(li)  # every line lands in a cell
+        assert int(out.rev_e6.sum()) == int(rev.sum())
+
+    def test_retired_parts_never_ship_late(self, ray_session):
+        out = _to_pandas(entrymod.queries()["retired_parts"](SF_DIR))
+        li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_partkey", "l_shipdate"])
+        cut = pd.Timestamp("2001-06-01")
+        last = li.groupby("l_partkey").l_shipdate.max()
+        assert set(out.l_partkey) == set(last[last < cut].index)
+        assert len(out) > 0  # non-vacuous at this fixture
+
+    def test_distinct_on_events_first_per_pair(self, ray_session):
+        out = _to_pandas(entrymod.queries()["distinct_on_events"](SF_DIR))
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+        want = (
+            ev.sort_values(["user_id", "event_type", "ts", "event_id"])
+            .groupby(["user_id", "event_type"])
+            .first()
+            .reset_index()
+        )
+        got = out.sort_values(["user_id", "event_type"], ignore_index=True)
+        want = want.sort_values(["user_id", "event_type"], ignore_index=True)
+        assert len(got) == len(want)
+        assert (got.event_id.to_numpy() == want.event_id.to_numpy()).all()
+        assert (got.first_ts.to_numpy() == want.ts.to_numpy()).all()
