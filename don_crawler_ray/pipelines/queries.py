@@ -7483,41 +7483,7 @@ def q_chunk_documents(sf_dir: str):
     a per-row Python slice; chunk counts are closed-form so there is
     no second pass and no shuffle at all — the op streams."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    W, S = CHUNK_WINDOW, CHUNK_STRIDE
-
-    def explode(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text")
-        doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        lens = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
-        n_chunks = (lens + S - 1) // S  # starts 0, S, 2S, ... < len
-        parts = []
-        for i in range(int(n_chunks.max(initial=0))):
-            m = n_chunks > i
-            sub = pc.utf8_slice_codeunits(texts, start=i * S, stop=i * S + W)
-            parts.append(
-                pa.table(
-                    {
-                        "doc_id": pa.array(doc[m], pa.int64()),
-                        "chunk_id": pa.array(np.full(int(m.sum()), i, np.int64)),
-                        "chunk_text": pc.cast(sub, pa.string()).filter(pa.array(m)),
-                    }
-                )
-            )
-        if not parts:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "chunk_id": pa.array([], pa.int64()),
-                    "chunk_text": pa.array([], pa.string()),
-                    "chunk_len": pa.array([], pa.int64()),
-                }
-            )
-        out = pa.concat_tables(parts)
-        return out.append_column(
-            "chunk_len", pc.cast(pc.utf8_length(out.column("chunk_text")), pa.int64())
-        )
-
-    return ds.map_batches(explode, batch_format="pyarrow")
+    return ds.map_batches(_chunk_explode_fn(), batch_format="pyarrow")
 
 
 SQL_CHUNK_DOCUMENTS = f"""
@@ -8441,3 +8407,99 @@ ORACLE_SQL.update(
         "distinct_on_events": SQL_DISTINCT_ON,
     }
 )
+
+
+def _chunk_explode_fn(W: int = CHUNK_WINDOW, S: int = CHUNK_STRIDE):
+    """The chunk_documents explode kernel as a reusable stage (one
+    vectorized utf8 slice per chunk INDEX)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_chunks = (lens + S - 1) // S
+        parts = []
+        for i in range(int(n_chunks.max(initial=0))):
+            m = n_chunks > i
+            sub = pc.utf8_slice_codeunits(texts, start=i * S, stop=i * S + W)
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(doc[m], pa.int64()),
+                        "chunk_id": pa.array(np.full(int(m.sum()), i, np.int64)),
+                        "chunk_text": pc.cast(sub, pa.string()).filter(pa.array(m)),
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                    "chunk_len": pa.array([], pa.int64()),
+                }
+            )
+        out = pa.concat_tables(parts)
+        return out.append_column(
+            "chunk_len", pc.cast(pc.utf8_length(out.column("chunk_text")), pa.int64())
+        )
+
+    return explode
+
+
+def q_curation_pipeline(sf_dir: str):
+    """The flagship webtext-curation COMPOSITE: language filter +
+    quality gate + near-dup dedup + context-window chunking fused into
+    ONE streaming Dataset chain — the end-to-end pass that turns a raw
+    crawl corpus into training sequences. Stages reuse the production
+    kernels: vectorized Arrow predicate filter, broadcast survivor
+    membership (cluster representatives from the converged exact-
+    Jaccard components), and the per-chunk-index utf8 slice explode.
+    The documents read streams exactly once; nothing but the O(docs)
+    survivor id array ever sits on the driver (documented contract —
+    at 10^10 docs the membership filter becomes a keyed semi-join)."""
+    clusters = q_dedup_clusters(sf_dir)
+    doc = clusters.column("doc_id").to_numpy(zero_copy_only=False)
+    rep = clusters.column("rep").to_numpy(zero_copy_only=False)
+    keep = np.sort(doc[doc == rep])
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(batch.column("lang"), "en"),
+            pc.greater_equal(batch.column("n_chars"), 100),
+        )
+        out = batch.filter(m)
+        ids = out.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keep):
+            idx = np.clip(np.searchsorted(keep, ids), 0, len(keep) - 1)
+            out = out.filter(pa.array(keep[idx] == ids))
+        return out.select(["doc_id", "text"])
+
+    return ds.map_batches(gate, batch_format="pyarrow").map_batches(
+        _chunk_explode_fn(), batch_format="pyarrow"
+    )
+
+
+SQL_CURATION_PIPELINE = f"""
+WITH surv AS (
+  SELECT c.doc_id FROM ({SQL_DEDUP_CLUSTERS}) c WHERE c.rep = c.doc_id),
+base AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN surv s ON d.doc_id = s.doc_id
+  WHERE d.lang = 'en' AND d.n_chars >= 100),
+e AS (
+  SELECT doc_id, text,
+         unnest(range((length(text)+{CHUNK_STRIDE - 1})//{CHUNK_STRIDE})) AS chunk_id
+  FROM base)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       substr(text, CAST(chunk_id*{CHUNK_STRIDE}+1 AS BIGINT), {CHUNK_WINDOW}) AS chunk_text,
+       CAST(length(substr(text, CAST(chunk_id*{CHUNK_STRIDE}+1 AS BIGINT), {CHUNK_WINDOW}))
+            AS BIGINT) AS chunk_len
+FROM e
+"""
+
+QUERIES.update({"curation_pipeline": q_curation_pipeline})
+ORACLE_SQL.update({"curation_pipeline": SQL_CURATION_PIPELINE})

@@ -1075,3 +1075,22 @@ class TestBatchIContracts:
         assert len(got) == len(want)
         assert (got.event_id.to_numpy() == want.event_id.to_numpy()).all()
         assert (got.first_ts.to_numpy() == want.ts.to_numpy()).all()
+
+
+class TestCurationPipeline:
+    def test_curation_pipeline_composition(self, ray_session):
+        """The composite equals its stages composed independently:
+        en + quality + near-dup-survivor docs, then chunk counts."""
+        from don_crawler_ray.pipelines.queries import CHUNK_STRIDE
+
+        out = _to_pandas(entrymod.queries()["curation_pipeline"](SF_DIR))
+        surv = _to_pandas(entrymod.queries()["neardup_survivors"](SF_DIR))
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+        want_docs = set(
+            docs[(docs.lang == "en") & (docs.n_chars >= 100)].doc_id
+        ) & set(surv.doc_id)
+        assert set(out.doc_id) == want_docs
+        n_by_doc = out.groupby("doc_id").size()
+        chars = docs.set_index("doc_id").n_chars
+        for d, n in n_by_doc.items():
+            assert n == (chars.loc[d] + CHUNK_STRIDE - 1) // CHUNK_STRIDE
