@@ -8503,3 +8503,149 @@ FROM e
 
 QUERIES.update({"curation_pipeline": q_curation_pipeline})
 ORACLE_SQL.update({"curation_pipeline": SQL_CURATION_PIPELINE})
+
+
+def q_table_checksum(sf_dir: str):
+    """Order-independent table checksum — the cross-system integrity
+    primitive (verify a 100-TB copy without sorting either side): per
+    row, a uint64 content signature (md5(text) top-8-bytes) and a
+    uint64 key signature (splitmix64(doc_id)); the checksum is each
+    column's wrapping mod-2^64 sum, so ANY partitioning / order / merge
+    tree yields the identical value. Per-batch partials emit one row;
+    the driver folds them with the same wrapping add."""
+    import hashlib
+
+    from don_crawler_ray.functions.dedup import _mix64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        sigs = np.array(
+            [
+                int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+                for t in batch.column("text").to_pylist()
+            ],
+            np.uint64,
+        )
+        with np.errstate(over="ignore"):
+            text_sum = np.add.reduce(sigs, dtype=np.uint64)
+            id_sum = np.add.reduce(_mix64(doc), dtype=np.uint64)
+        return pa.table(
+            {
+                "p_n": pa.array([len(doc)], pa.int64()),
+                "p_text": pa.array([text_sum], pa.uint64()),
+                "p_id": pa.array([id_sum], pa.uint64()),
+            }
+        )
+
+    n, tsum, isum = 0, np.uint64(0), np.uint64(0)
+    with np.errstate(over="ignore"):
+        for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+            n += int(row["p_n"])
+            tsum = np.uint64(tsum + np.uint64(row["p_text"]))
+            isum = np.uint64(isum + np.uint64(row["p_id"]))
+    return pa.table(
+        {
+            "n_rows": pa.array([n], pa.int64()),
+            "text_checksum": pa.array([tsum], pa.uint64()),
+            "id_checksum": pa.array([isum], pa.uint64()),
+        }
+    )
+
+
+def _build_checksum_sql() -> str:
+    m64 = 1 << 64
+    c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(z, c):
+        zh = f"(CAST({z} AS HUGEINT) >> 32)"
+        zl = f"(CAST({z} AS HUGEINT) & 4294967295)"
+        return (
+            f"CAST(((({zh} * {c}) % 4294967296) * 4294967296 + {zl} * {c})"
+            f" % {m64} AS UBIGINT)"
+        )
+
+    return f"""
+WITH ma AS (SELECT doc_id, text,
+            CAST((CAST(doc_id AS HUGEINT) + {c1}) % {m64} AS UBIGINT) AS z FROM documents),
+mb AS (SELECT doc_id, text, {mulmod('xor(z, z >> 30)', c2)} AS z FROM ma),
+mc AS (SELECT doc_id, text, {mulmod('xor(z, z >> 27)', c3)} AS z FROM mb),
+md AS (SELECT doc_id, text, xor(z, z >> 31) AS idsig FROM mc),
+sig AS (SELECT idsig,
+               TRY_CAST(('0x' || substr(md5(text), 1, 16)) AS UBIGINT) AS textsig
+        FROM md)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(textsig AS HUGEINT)) % {m64} AS UBIGINT) AS text_checksum,
+       CAST(sum(CAST(idsig AS HUGEINT)) % {m64} AS UBIGINT) AS id_checksum
+FROM sig
+"""
+
+
+SQL_TABLE_CHECKSUM = _build_checksum_sql()
+
+
+def q_unpivot_lineitem(sf_dir: str):
+    """UNPIVOT (wide -> long): lineitem's four numeric measures melted
+    into (measure, n, sum) rows in exact hundredths — the reshape that
+    feeds generic per-measure profiling. Each batch emits 4 partial
+    rows (one per measure, already reduced); the driver folds <= 4 x
+    blocks integers."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, ns, sums = [], [], []
+        for m in MEASURES:
+            v = np.rint(
+                batch.column(m).to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            names.append(m)
+            ns.append(len(v))
+            sums.append(int(v.sum()))
+        return pa.table(
+            {
+                "measure": pa.array(names, pa.string()),
+                "p_n": pa.array(ns, pa.int64()),
+                "p_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+    acc: dict[str, list[int]] = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        got = acc.setdefault(row["measure"], [0, 0])
+        got[0] += int(row["p_n"])
+        got[1] += int(row["p_sum"])
+    names = sorted(acc)
+    return pa.table(
+        {
+            "measure": pa.array(names, pa.string()),
+            "n": pa.array([acc[m][0] for m in names], pa.int64()),
+            "sum_e2": pa.array([acc[m][1] for m in names], pa.int64()),
+        }
+    )
+
+
+SQL_UNPIVOT_LINEITEM = """
+WITH long AS (
+  SELECT 'l_quantity' AS measure, CAST(round(l_quantity * 100.0) AS BIGINT) AS v FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', CAST(round(l_extendedprice * 100.0) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', CAST(round(l_discount * 100.0) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'l_tax', CAST(round(l_tax * 100.0) AS BIGINT) FROM lineitem)
+SELECT measure, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sum_e2
+FROM long GROUP BY 1
+"""
+
+QUERIES.update(
+    {"table_checksum": q_table_checksum, "unpivot_lineitem": q_unpivot_lineitem}
+)
+ORACLE_SQL.update(
+    {"table_checksum": SQL_TABLE_CHECKSUM, "unpivot_lineitem": SQL_UNPIVOT_LINEITEM}
+)

@@ -1094,3 +1094,77 @@ class TestCurationPipeline:
         chars = docs.set_index("doc_id").n_chars
         for d, n in n_by_doc.items():
             assert n == (chars.loc[d] + CHUNK_STRIDE - 1) // CHUNK_STRIDE
+
+
+class TestBatchJContracts:
+    def test_table_checksum_order_free(self, ray_session):
+        """The checksum is invariant to row order and partitioning —
+        recompute it from a shuffled pandas read and from the query."""
+        import hashlib
+
+        from don_crawler_ray.functions.dedup import _mix64
+
+        out = _to_pandas(entrymod.queries()["table_checksum"](SF_DIR))
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        docs = docs.sample(frac=1.0, random_state=3)  # scramble order
+        sigs = np.array(
+            [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") for t in docs.text],
+            np.uint64,
+        )
+        with np.errstate(over="ignore"):
+            tsum = np.add.reduce(sigs, dtype=np.uint64)
+            isum = np.add.reduce(_mix64(docs.doc_id.to_numpy().astype(np.uint64)), dtype=np.uint64)
+        assert int(out.n_rows.iloc[0]) == len(docs)
+        assert np.uint64(out.text_checksum.iloc[0]) == tsum
+        assert np.uint64(out.id_checksum.iloc[0]) == isum
+
+    def test_unpivot_totals(self, ray_session):
+        out = _to_pandas(entrymod.queries()["unpivot_lineitem"](SF_DIR)).set_index("measure")
+        li = pd.read_parquet(
+            f"{SF_DIR}/lineitem.parquet",
+            columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        )
+        for m in li.columns:
+            assert int(out.loc[m, "n"]) == len(li)
+            assert int(out.loc[m, "sum_e2"]) == int((li[m] * 100.0).round().astype("int64").sum())
+
+    def test_chunk_explode_unicode_property(self, ray_session):
+        """utf8_slice_codeunits slices CODE POINTS — property-check the
+        explode kernel against Python string slicing on multi-byte
+        text (the fixture is ASCII, so this is the only place the
+        unicode contract is exercised)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from don_crawler_ray.pipelines.queries import (
+            CHUNK_STRIDE,
+            CHUNK_WINDOW,
+            _chunk_explode_fn,
+        )
+
+        explode = _chunk_explode_fn()
+
+        @settings(max_examples=50, deadline=None)
+        @given(st.lists(st.text(min_size=0, max_size=400), min_size=1, max_size=8))
+        def prop(texts):
+            batch = pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+            out = explode(batch)
+            got = {}
+            for d, i, c in zip(
+                out.column("doc_id").to_pylist(),
+                out.column("chunk_id").to_pylist(),
+                out.column("chunk_text").to_pylist(),
+            ):
+                got[(d, i)] = c
+            for d, t in enumerate(texts):
+                n = (len(t) + CHUNK_STRIDE - 1) // CHUNK_STRIDE
+                assert sum(1 for k in got if k[0] == d) == n
+                for i in range(n):
+                    assert got[(d, i)] == t[i * CHUNK_STRIDE : i * CHUNK_STRIDE + CHUNK_WINDOW]
+
+        prop()
