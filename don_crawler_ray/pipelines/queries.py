@@ -8649,3 +8649,58 @@ QUERIES.update(
 ORACLE_SQL.update(
     {"table_checksum": SQL_TABLE_CHECKSUM, "unpivot_lineitem": SQL_UNPIVOT_LINEITEM}
 )
+
+
+def q_source_concentration(sf_dir: str):
+    """Corpus concentration (Lorenz curve): sources ranked by document
+    count with each rank's CUMULATIVE share of the corpus — the
+    how-top-heavy-is-my-crawl diagnostic behind source-cap policies.
+    Counting is the standard combiner aggregate; ranking and the
+    cumulative sum run on the driver over the tiny per-source table
+    (exact ints; each share is one double division)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by("source").aggregate([("source", "count")])
+        return agg.rename_columns(["source", "p_n"])
+
+    agg = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("p_n", alias_name="n_docs"))
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    src = np.asarray(t.column("source").to_pylist(), dtype=object)
+    n = pc.cast(t.column("n_docs"), pa.int64()).to_numpy(zero_copy_only=False)
+    # rank: n desc, source asc (deterministic)
+    order = np.lexsort((src, -n))
+    src, n = src[order], n[order]
+    total = int(n.sum())
+    cum = np.cumsum(n)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(n) + 1), pa.int64()),
+            "source": pa.array(src.tolist(), pa.string()),
+            "n_docs": pa.array(n, pa.int64()),
+            "cum_share": pa.array(cum.astype(np.float64) / np.float64(total), pa.float64()),
+        }
+    )
+
+
+SQL_SOURCE_CONCENTRATION = """
+WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM c),
+r AS (SELECT source, n_docs,
+        row_number() OVER (ORDER BY n_docs DESC, source) AS rank,
+        CAST(sum(n_docs) OVER (ORDER BY n_docs DESC, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM c)
+SELECT CAST(r.rank AS BIGINT) AS rank, r.source, r.n_docs,
+       CAST(r.cum AS DOUBLE) / CAST(tot.t AS DOUBLE) AS cum_share
+FROM r, tot
+"""
+
+QUERIES.update({"source_concentration": q_source_concentration})
+ORACLE_SQL.update({"source_concentration": SQL_SOURCE_CONCENTRATION})

@@ -1168,3 +1168,10 @@ class TestBatchJContracts:
                     assert got[(d, i)] == t[i * CHUNK_STRIDE : i * CHUNK_STRIDE + CHUNK_WINDOW]
 
         prop()
+
+
+def test_source_concentration_monotone(ray_session):
+    out = _to_pandas(entrymod.queries()["source_concentration"](SF_DIR))
+    assert (out.sort_values("rank").cum_share.diff().dropna() > 0).all()
+    assert abs(out.cum_share.max() - 1.0) < 1e-12
+    assert (out.sort_values("rank").n_docs.diff().dropna() <= 0).all()
