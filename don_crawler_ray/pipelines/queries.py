@@ -8704,3 +8704,178 @@ FROM r, tot
 
 QUERIES.update({"source_concentration": q_source_concentration})
 ORACLE_SQL.update({"source_concentration": SQL_SOURCE_CONCENTRATION})
+
+
+def q_events_per_user_histogram(sf_dir: str):
+    """Aggregate-of-aggregate: the distribution of per-user event
+    counts (how many users did N things) — the engagement histogram.
+    Per-batch partial counts per user -> bucket exchange (each user
+    wholly in one bucket) -> per-bucket Arrow group-sum to user totals
+    THEN a per-bucket histogram partial, so the driver merges <=
+    buckets x distinct-count rows, never one row per user."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, counts = np.unique(uid, return_counts=True)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq, pa.int64()),
+                "p_n": pa.array(counts.astype(np.int64), pa.int64()),
+                "_bucket": pa.array((uniq % 256).astype(np.int32)),
+            }
+        )
+
+    def bucket_hist(group: pa.Table) -> pa.Table:
+        totals = (
+            group.select(["user_id", "p_n"])
+            .group_by("user_id")
+            .aggregate([("p_n", "sum")])
+            .column("p_n_sum")
+            .to_numpy(zero_copy_only=False)
+        )
+        vals, cnts = np.unique(totals, return_counts=True)
+        return pa.table(
+            {
+                "n_events": pa.array(vals.astype(np.int64), pa.int64()),
+                "p_users": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    acc: dict[int, int] = {}
+    for row in (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_hist, batch_format="pyarrow")
+        .take_all()
+    ):
+        acc[int(row["n_events"])] = acc.get(int(row["n_events"]), 0) + int(row["p_users"])
+    keys = sorted(acc)
+    return pa.table(
+        {
+            "n_events": pa.array(keys, pa.int64()),
+            "n_users": pa.array([acc[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+SQL_EVENTS_PER_USER_HISTOGRAM = """
+WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1)
+SELECT n AS n_events, CAST(count(*) AS BIGINT) AS n_users FROM c GROUP BY 1
+"""
+
+
+def q_text_normalize(sf_dir: str):
+    """Text normalization (the canonicalization pass before exact
+    dedup / fingerprinting): lowercase + collapse runs of whitespace
+    to one space + trim — three vectorized Arrow kernels per batch,
+    output text compared byte-for-byte against the SQL (Arrow and
+    DuckDB both run RE2 for the collapse; after the collapse only
+    plain spaces can lead/trail, so the space-only trim agrees)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch.column("text"))
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pc.utf8_trim(t, characters=" ")
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "norm_text": pc.cast(t, pa.string()),
+                "n_chars_norm": pc.cast(pc.utf8_length(t), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+SQL_TEXT_NORMALIZE = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS norm_text,
+       CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS BIGINT)
+         AS n_chars_norm
+FROM documents
+"""
+
+
+def q_order_gap_stats(sf_dir: str):
+    """Reorder-interval stats: per customer, the number of orders and
+    the total gap in whole days between consecutive orders (date,
+    orderkey)-ordered — the repeat-purchase cadence feature. Exact
+    integers only (the mean is the consumer's one division away);
+    customers with a single order are excluded. One bucket exchange +
+    one sort; per-segment gap sums via reduceat."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    DAY_US = 86_400_000_000
+
+    def kernel(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[
+                    ("o_custkey", "ascending"),
+                    ("o_orderdate", "ascending"),
+                    ("o_orderkey", "ascending"),
+                ],
+            )
+        )
+        ck = g.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        date = (
+            g.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        new_cust, starts, lens = _segments(ck)
+        if len(starts) == 0:
+            return pa.table(
+                {
+                    "o_custkey": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "sum_gap_days": pa.array([], pa.int64()),
+                }
+            )
+        gaps = np.diff(date, prepend=date[:1]) // DAY_US
+        gaps[new_cust] = 0
+        sums = np.add.reduceat(gaps, starts)
+        keep = lens >= 2
+        return pa.table(
+            {
+                "o_custkey": pa.array(ck[starts][keep], pa.int64()),
+                "n_orders": pa.array(lens[keep].astype(np.int64), pa.int64()),
+                "sum_gap_days": pa.array(sums[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_int_bucket_stage("o_custkey"), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+SQL_ORDER_GAP_STATS = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         lag(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders)
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(coalesce(sum(datediff('day', prev, o_orderdate)), 0) AS BIGINT) AS sum_gap_days
+FROM o GROUP BY 1 HAVING count(*) >= 2
+"""
+
+QUERIES.update(
+    {
+        "events_per_user_histogram": q_events_per_user_histogram,
+        "text_normalize": q_text_normalize,
+        "order_gap_stats": q_order_gap_stats,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "events_per_user_histogram": SQL_EVENTS_PER_USER_HISTOGRAM,
+        "text_normalize": SQL_TEXT_NORMALIZE,
+        "order_gap_stats": SQL_ORDER_GAP_STATS,
+    }
+)

@@ -1175,3 +1175,33 @@ def test_source_concentration_monotone(ray_session):
     assert (out.sort_values("rank").cum_share.diff().dropna() > 0).all()
     assert abs(out.cum_share.max() - 1.0) < 1e-12
     assert (out.sort_values("rank").n_docs.diff().dropna() <= 0).all()
+
+
+class TestBatchKContracts:
+    def test_events_per_user_histogram_total(self, ray_session):
+        out = _to_pandas(entrymod.queries()["events_per_user_histogram"](SF_DIR))
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id"])
+        assert int(out.n_users.sum()) == ev.user_id.nunique()
+        assert int((out.n_events * out.n_users).sum()) == len(ev)
+
+    def test_text_normalize_idempotent(self, ray_session):
+        out = _to_pandas(entrymod.queries()["text_normalize"](SF_DIR))
+        import re
+        for s in out.norm_text.head(100):
+            assert s == s.lower()
+            assert "  " not in s
+            assert s == s.strip(" ")
+            assert re.search(r"[\t\n\r\f]", s) is None
+
+    def test_order_gap_stats_semantics(self, ray_session):
+        out = _to_pandas(entrymod.queries()["order_gap_stats"](SF_DIR)).set_index("o_custkey")
+        orders = pd.read_parquet(
+            f"{SF_DIR}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_orderdate"]
+        ).sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        for ck, g in orders.groupby("o_custkey"):
+            if len(g) < 2:
+                assert ck not in out.index
+                continue
+            gaps = g.o_orderdate.diff().dropna().dt.days.sum()
+            assert int(out.loc[ck, "n_orders"]) == len(g)
+            assert int(out.loc[ck, "sum_gap_days"]) == int(gaps)
