@@ -8966,3 +8966,107 @@ FROM events
 
 QUERIES.update({"global_running_sum": q_global_running_sum})
 ORACLE_SQL.update({"global_running_sum": SQL_GLOBAL_RUNNING_SUM})
+
+
+def q_exact_median_lineitem(sf_dir: str):
+    """EXACT global median WITHOUT a global sort — distributed k-th
+    selection by iterative histogram refinement: each round is ONE
+    streaming pass emitting a 1024-bucket count histogram over the
+    current [lo, hi) candidate range; the driver keeps the bucket
+    containing the k-th element and recurses. Integer cents shrink the
+    range ~1024x per round, so 2 rounds + one exact bincount pass
+    resolve any 64-bit range — O(passes) scans, O(1024) driver rows,
+    zero shuffles (the all-to-all a `.sort()` would pay is the whole
+    point of avoiding). k = (n+1)//2, the lower middle, matching
+    DuckDB's quantile_disc(0.5)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def cents_of(batch: pa.Table) -> np.ndarray:
+        return np.rint(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+
+    def minmax_pass(batch: pa.Table) -> pa.Table:
+        c = cents_of(batch)
+        if len(c) == 0:
+            return pa.table(
+                {"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "lo": pa.array([int(c.min())], pa.int64()),
+                "hi": pa.array([int(c.max())], pa.int64()),
+                "n": pa.array([len(c)], pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(minmax_pass, batch_format="pyarrow").take_all()
+    lo = min(int(r["lo"]) for r in rows)
+    hi = max(int(r["hi"]) for r in rows) + 1  # half-open
+    n = sum(int(r["n"]) for r in rows)
+    k = (n + 1) // 2  # 1-indexed rank of the lower middle
+
+    B = 1024
+    while hi - lo > 65536:
+        width = (hi - lo + B - 1) // B
+        cur_lo, cur_w = lo, width
+
+        def hist_pass(batch: pa.Table, _lo=cur_lo, _w=cur_w) -> pa.Table:
+            c = cents_of(batch)
+            c = c[(c >= _lo) & (c < _lo + _w * B)]
+            counts = np.bincount((c - _lo) // _w, minlength=B)
+            nz = np.flatnonzero(counts)
+            return pa.table(
+                {
+                    "b": pa.array(nz.astype(np.int64), pa.int64()),
+                    "cnt": pa.array(counts[nz].astype(np.int64), pa.int64()),
+                }
+            )
+
+        counts = np.zeros(B, np.int64)
+        for r in ds.map_batches(hist_pass, batch_format="pyarrow").take_all():
+            counts[int(r["b"])] += int(r["cnt"])
+        cum = np.cumsum(counts)
+        b = int(np.searchsorted(cum, k))  # first bucket with cum >= k
+        k -= int(cum[b - 1]) if b else 0  # rank within the bucket
+        lo = cur_lo + b * cur_w
+        hi = min(lo + cur_w, hi)
+
+    fin_lo, fin_hi = lo, hi
+
+    def exact_pass(batch: pa.Table, _lo=fin_lo, _hi=fin_hi) -> pa.Table:
+        c = cents_of(batch)
+        c = c[(c >= _lo) & (c < _hi)]
+        counts = np.bincount(c - _lo, minlength=_hi - _lo)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "v": pa.array((nz + _lo).astype(np.int64), pa.int64()),
+                "cnt": pa.array(counts[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    acc: dict[int, int] = {}
+    for r in ds.map_batches(exact_pass, batch_format="pyarrow").take_all():
+        acc[int(r["v"])] = acc.get(int(r["v"]), 0) + int(r["cnt"])
+    vals = np.array(sorted(acc), np.int64)
+    cnts = np.array([acc[v] for v in vals], np.int64)
+    median = int(vals[int(np.searchsorted(np.cumsum(cnts), k))])
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "median_cents": pa.array([median], pa.int64()),
+        }
+    )
+
+
+SQL_EXACT_MEDIAN = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(quantile_disc(CAST(round(l_extendedprice * 100.0) AS BIGINT), 0.5)
+            AS BIGINT) AS median_cents
+FROM lineitem
+"""
+
+QUERIES.update({"exact_median_lineitem": q_exact_median_lineitem})
+ORACLE_SQL.update({"exact_median_lineitem": SQL_EXACT_MEDIAN})

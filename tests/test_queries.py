@@ -1219,3 +1219,25 @@ def test_global_running_sum_parallel_invariance(ray_session):
     )
     want = np.cumsum(cents)
     assert (out.cum_cents.to_numpy() == want).all()
+
+
+def test_exact_median_selection(ray_session):
+    out = _to_pandas(entrymod.queries()["exact_median_lineitem"](SF_DIR))
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_extendedprice"])
+    cents = np.sort((li.l_extendedprice * 100.0).round().astype("int64").to_numpy())
+    k = (len(cents) + 1) // 2
+    assert int(out.n.iloc[0]) == len(cents)
+    assert int(out.median_cents.iloc[0]) == int(cents[k - 1])
+
+
+def test_quantile_disc_rank_rule():
+    """Pin the k = (n+1)//2 lower-middle rule to DuckDB's
+    quantile_disc(0.5) on odd AND even counts."""
+    import duckdb
+
+    for vals in ([5, 1, 9], [5, 1, 9, 7], [2], [3, 3, 1, 8, 8, 8]):
+        got = duckdb.sql(
+            f"SELECT quantile_disc(x, 0.5) FROM (SELECT unnest({vals}) AS x)"
+        ).fetchone()[0]
+        want = sorted(vals)[(len(vals) + 1) // 2 - 1]
+        assert got == want, vals
