@@ -9070,3 +9070,213 @@ FROM lineitem
 
 QUERIES.update({"exact_median_lineitem": q_exact_median_lineitem})
 ORACLE_SQL.update({"exact_median_lineitem": SQL_EXACT_MEDIAN})
+
+
+# ---------------------------------------------------------------------------
+# Batch L: rebalancing sampler / interval anti-join / incremental maintenance
+# ---------------------------------------------------------------------------
+
+FRACTION_RATES = {"en": 10}  # percent kept per lang; others keep 50%
+FRACTION_DEFAULT = 50
+
+
+def q_fraction_sample_by_lang(sf_dir: str):
+    """Rebalancing downsample: per-language KEEP RATES applied with the
+    deterministic splitmix64(doc_id) coin (en kept at 10%, every other
+    language at 50%) — the majority-language downweighting pass of
+    corpus mixing. One vectorized filter per batch, zero shuffles,
+    reproducible at any parallelism; the oracle re-derives the coin."""
+    from don_crawler_ray.functions.dedup import _mix64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        coin = (_mix64(doc.astype(np.uint64)) % np.uint64(100)).astype(np.int64)
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        rate = np.full(len(doc), FRACTION_DEFAULT, np.int64)
+        for lg, r in FRACTION_RATES.items():
+            rate[lang == lg] = r
+        out = batch.filter(pa.array(coin < rate))
+        return pa.table(
+            {
+                "doc_id": pc.cast(out.column("doc_id"), pa.int64()),
+                "lang": pc.cast(out.column("lang"), pa.string()),
+            }
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _build_fraction_sql() -> str:
+    m64 = 1 << 64
+    c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(z, c):
+        zh = f"(CAST({z} AS HUGEINT) >> 32)"
+        zl = f"(CAST({z} AS HUGEINT) & 4294967295)"
+        return (
+            f"CAST(((({zh} * {c}) % 4294967296) * 4294967296 + {zl} * {c})"
+            f" % {m64} AS UBIGINT)"
+        )
+
+    rate = f"CASE WHEN lang = 'en' THEN {FRACTION_RATES['en']} ELSE {FRACTION_DEFAULT} END"
+    return f"""
+WITH ma AS (SELECT doc_id, lang,
+            CAST((CAST(doc_id AS HUGEINT) + {c1}) % {m64} AS UBIGINT) AS z FROM documents),
+mb AS (SELECT doc_id, lang, {mulmod('xor(z, z >> 30)', c2)} AS z FROM ma),
+mc AS (SELECT doc_id, lang, {mulmod('xor(z, z >> 27)', c3)} AS z FROM mb),
+md AS (SELECT doc_id, lang, xor(z, z >> 31) AS hv FROM mc)
+SELECT doc_id, lang FROM md WHERE CAST(hv % 100 AS BIGINT) < {rate}
+"""
+
+
+SQL_FRACTION_SAMPLE = _build_fraction_sql()
+
+
+ABANDON_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def q_abandoned_views(sf_dir: str):
+    """Interval ANTI-join within a key: view events with NO purchase by
+    the same user inside the following hour — the abandonment /
+    unattributed-action detector. One bucket exchange on user; inside
+    each bucket every user's rows pack into (dense-user-code << 43) +
+    ts-offset ints, so the no-purchase-within-window test is two
+    vectorized searchsorted probes against the bucket's sorted
+    purchase array — no correlated per-row scan."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+
+    def kernel(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            group.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        eid = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        if len(uid) == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()), "user_id": pa.array([], pa.int64())}
+            )
+        base = int(ts.min())
+        off = ts - base  # < ~2^42 for a month-scale fixture window
+        _, codes = np.unique(uid, return_inverse=True)
+        packed = codes.astype(np.int64) * (1 << 43) + off
+        is_p = et == "purchase"
+        pp = np.sort(packed[is_p])
+        is_v = et == "view"
+        pv = packed[is_v]
+        lo = np.searchsorted(pp, pv + 1, side="left")  # strictly after
+        hi = np.searchsorted(pp, pv + ABANDON_WINDOW_US, side="right")
+        # window may cross into the next user's code range only if the
+        # user's offsets exceed 2^43 - 1h; month-scale offsets (~2^42)
+        # cannot, so hi probes stay within the same user's run
+        abandoned = hi == lo
+        return pa.table(
+            {
+                "event_id": pa.array(eid[is_v][abandoned], pa.int64()),
+                "user_id": pa.array(uid[is_v][abandoned], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_int_bucket_stage("user_id"), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+SQL_ABANDONED_VIEWS = """
+SELECT v.event_id, v.user_id
+FROM events v
+WHERE v.event_type = 'view' AND NOT EXISTS (
+  SELECT 1 FROM events p
+  WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+    AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+"""
+
+
+IVM_T1 = "2024-01-16 00:00:00"
+IVM_T2 = "2024-01-26 00:00:00"
+
+
+def q_incremental_daily_counts(sf_dir: str):
+    """Incremental view maintenance: the daily-count aggregate as of T1
+    plus the DELTA over (T1, T2] merged into the refreshed aggregate —
+    the update path that avoids recomputing a materialized aggregate
+    from scratch when a new data increment lands. Both passes are
+    pushdown-filtered reads (the base pass never rescans the
+    increment and vice versa); the merge is an exact integer add over
+    the day-sized driver table. Oracle: the from-scratch aggregate at
+    T2 — equality IS the maintenance-invariant check."""
+    import pyarrow.dataset as pads
+    import ray
+
+    t1 = np.datetime64("2024-01-16T00:00:00", "us")
+    t2 = np.datetime64("2024-01-26T00:00:00", "us")
+    DAY_US = 86_400_000_000
+
+    def day_counts(filt) -> dict[int, int]:
+        dset = pads.dataset(f"{sf_dir}/events.parquet")
+        t = dset.to_table(columns=["ts"], filter=filt)
+        ds = ray.data.from_arrow(t).repartition(8)
+
+        def part(batch: pa.Table) -> pa.Table:
+            ts = (
+                batch.column("ts")
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .astype(np.int64)
+            )
+            day, cnt = np.unique(ts // DAY_US, return_counts=True)
+            return pa.table(
+                {
+                    "day": pa.array(day, pa.int64()),
+                    "p_n": pa.array(cnt.astype(np.int64), pa.int64()),
+                }
+            )
+
+        acc: dict[int, int] = {}
+        for r in ds.map_batches(part, batch_format="pyarrow").take_all():
+            acc[int(r["day"])] = acc.get(int(r["day"]), 0) + int(r["p_n"])
+        return acc
+
+    f = pads.field("ts")
+    base = day_counts(f <= pa.scalar(t1, pa.timestamp("us")))
+    delta = day_counts(
+        (f > pa.scalar(t1, pa.timestamp("us"))) & (f <= pa.scalar(t2, pa.timestamp("us")))
+    )
+    for d, n in delta.items():
+        base[d] = base.get(d, 0) + n
+    days = sorted(base)
+    return pa.table(
+        {
+            "day": pa.array(np.array(days, np.int64) * DAY_US, pa.timestamp("us")),
+            "n_events": pa.array([base[d] for d in days], pa.int64()),
+        }
+    )
+
+
+SQL_INCREMENTAL_DAILY = f"""
+SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n_events
+FROM events WHERE ts <= TIMESTAMP '{IVM_T2}'
+GROUP BY 1
+"""
+
+QUERIES.update(
+    {
+        "fraction_sample_by_lang": q_fraction_sample_by_lang,
+        "abandoned_views": q_abandoned_views,
+        "incremental_daily_counts": q_incremental_daily_counts,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "fraction_sample_by_lang": SQL_FRACTION_SAMPLE,
+        "abandoned_views": SQL_ABANDONED_VIEWS,
+        "incremental_daily_counts": SQL_INCREMENTAL_DAILY,
+    }
+)

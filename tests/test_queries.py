@@ -1241,3 +1241,47 @@ def test_quantile_disc_rank_rule():
         ).fetchone()[0]
         want = sorted(vals)[(len(vals) + 1) // 2 - 1]
         assert got == want, vals
+
+
+class TestBatchLContracts:
+    def test_fraction_sample_rates(self, ray_session):
+        out = _to_pandas(entrymod.queries()["fraction_sample_by_lang"](SF_DIR))
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang"])
+        got = out.groupby("lang").size()
+        tot = docs.groupby("lang").size()
+        # en downsampled hard; every other lang near its 50% rate
+        assert got.get("en", 0) / tot["en"] < 0.25
+        for lg in tot.index:
+            if lg == "en":
+                continue
+            assert 0.25 < got.get(lg, 0) / tot[lg] < 0.75, lg
+
+    def test_abandoned_views_semantics(self, ray_session):
+        out = _to_pandas(entrymod.queries()["abandoned_views"](SF_DIR))
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+        views = ev[ev.event_type == "view"]
+        purch = ev[ev.event_type == "purchase"]
+        abandoned = set()
+        for _, v in views.iterrows():
+            p = purch[
+                (purch.user_id == v.user_id)
+                & (purch.ts > v.ts)
+                & (purch.ts <= v.ts + pd.Timedelta(hours=1))
+            ]
+            if p.empty:
+                abandoned.add(v.event_id)
+        assert set(out.event_id) == abandoned
+        assert len(abandoned) < len(views)  # some views DO convert
+
+    def test_incremental_equals_scratch(self, ray_session):
+        """The maintenance invariant: base-at-T1 + delta == scratch-at-T2."""
+        out = _to_pandas(entrymod.queries()["incremental_daily_counts"](SF_DIR))
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["ts"])
+        want = (
+            ev[ev.ts <= pd.Timestamp("2024-01-26")]
+            .assign(day=lambda d: d.ts.dt.floor("D"))
+            .groupby("day")
+            .size()
+        )
+        got = out.set_index("day").n_events
+        assert (got.sort_index() == want.sort_index()).all()
