@@ -9280,3 +9280,139 @@ ORACLE_SQL.update(
         "incremental_daily_counts": SQL_INCREMENTAL_DAILY,
     }
 )
+
+
+DEBOUNCE_WINDOW_US = 6 * 3600 * 1_000_000  # 6 hours
+
+
+def q_debounce_events(sf_dir: str):
+    """Stream debounce: collapse repeated (user, event_type) events
+    inside each 6-hour tumbling window to the window's FIRST — the
+    duplicate-suppression pass for noisy clickstreams. Fully
+    vectorized: the window id is integer division of the timestamp, so
+    this is first-per-(user, type, window) via one sort + a composite
+    change mask; one bucket exchange on user."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+
+    def kernel(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[
+                    ("user_id", "ascending"),
+                    ("event_type", "ascending"),
+                    ("ts", "ascending"),
+                    ("event_id", "ascending"),
+                ],
+            )
+        )
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        ts = (
+            g.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        win = ts // DEBOUNCE_WINDOW_US
+        n = len(uid)
+        change = np.ones(n, dtype=bool)
+        change[1:] = (
+            (uid[1:] != uid[:-1]) | (et[1:] != et[:-1]) | (win[1:] != win[:-1])
+        )
+        out = g.take(pa.array(np.flatnonzero(change)))
+        return pa.table(
+            {
+                "event_id": pc.cast(out.column("event_id"), pa.int64()),
+                "user_id": pc.cast(out.column("user_id"), pa.int64()),
+                "event_type": pc.cast(out.column("event_type"), pa.string()),
+                "ts": out.column("ts"),
+            }
+        )
+
+    return (
+        ds.map_batches(_int_bucket_stage("user_id"), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+SQL_DEBOUNCE_EVENTS = f"""
+SELECT event_id, user_id, event_type, ts
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type,
+                     CAST(epoch_us(ts) // {DEBOUNCE_WINDOW_US} AS BIGINT)
+        ORDER BY ts, event_id) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def q_user_event_types(sf_dir: str):
+    """collect_set: each user's sorted distinct event types as one CSV
+    value — the bounded per-key set aggregation (the set is bounded by
+    the event-type vocabulary, so the row stays small at any scale).
+    Per-batch partials emit distinct (user, type) pairs only; the
+    bucket kernel dedups pair runs and joins each user's run once."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        key = np.char.add(np.char.add(uid.astype(str), "|"), et.astype(str))
+        _, first = np.unique(key, return_index=True)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[first], pa.int64()),
+                "event_type": pa.array(et[first].tolist(), pa.string()),
+                "_bucket": pa.array((uid[first] % 256).astype(np.int32)),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[("user_id", "ascending"), ("event_type", "ascending")],
+            )
+        )
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        n = len(uid)
+        change = np.ones(n, dtype=bool)
+        change[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+        uid, et = uid[change], et[change]
+        _, starts, lens = _segments(uid)
+        users, csvs, counts = [], [], []
+        for s, ln in zip(starts, lens):  # one join per USER in the bucket
+            users.append(int(uid[s]))
+            csvs.append(",".join(et[s : s + ln]))
+            counts.append(int(ln))
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "event_types": pa.array(csvs, pa.string()),
+                "n_types": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+SQL_USER_EVENT_TYPES = """
+SELECT user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY 1
+"""
+
+QUERIES.update(
+    {"debounce_events": q_debounce_events, "user_event_types": q_user_event_types}
+)
+ORACLE_SQL.update(
+    {"debounce_events": SQL_DEBOUNCE_EVENTS, "user_event_types": SQL_USER_EVENT_TYPES}
+)

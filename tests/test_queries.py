@@ -1285,3 +1285,27 @@ class TestBatchLContracts:
         )
         got = out.set_index("day").n_events
         assert (got.sort_index() == want.sort_index()).all()
+
+
+class TestBatchMContracts:
+    def test_debounce_keeps_first_and_suppresses(self, ray_session):
+        from don_crawler_ray.pipelines.queries import DEBOUNCE_WINDOW_US
+
+        out = _to_pandas(entrymod.queries()["debounce_events"](SF_DIR))
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+        assert len(out) < len(ev)  # non-vacuous: something was suppressed
+        ev["win"] = ev.ts.astype("int64") // 1000 // (DEBOUNCE_WINDOW_US // 1000)
+        want = (
+            ev.sort_values(["user_id", "event_type", "ts", "event_id"])
+            .groupby(["user_id", "event_type", "win"])
+            .first()
+        )
+        assert set(out.event_id) == set(want.event_id)
+
+    def test_user_event_types_sorted_sets(self, ray_session):
+        out = _to_pandas(entrymod.queries()["user_event_types"](SF_DIR)).set_index("user_id")
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id", "event_type"])
+        for uid, g in ev.groupby("user_id"):
+            want = sorted(set(g.event_type))
+            assert out.loc[uid, "event_types"] == ",".join(want)
+            assert int(out.loc[uid, "n_types"]) == len(want)
