@@ -9416,3 +9416,85 @@ QUERIES.update(
 ORACLE_SQL.update(
     {"debounce_events": SQL_DEBOUNCE_EVENTS, "user_event_types": SQL_USER_EVENT_TYPES}
 )
+
+
+def q_basket_pairs(sf_dir: str):
+    """Market-basket co-occurrence: for every unordered pair of event
+    types, how many users did BOTH — the support table behind
+    association rules. Distinct (user, type) partials -> bucket
+    exchange on user -> per-user pair explode (bounded by the type
+    vocabulary, <= C(|types|, 2) pairs per user) -> per-bucket Counter
+    partials -> driver merge of <= buckets x pair-vocabulary rows."""
+    import itertools
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        key = np.char.add(np.char.add(uid.astype(str), "|"), et.astype(str))
+        _, first = np.unique(key, return_index=True)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[first], pa.int64()),
+                "event_type": pa.array(et[first].tolist(), pa.string()),
+                "_bucket": pa.array((uid[first] % 256).astype(np.int32)),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[("user_id", "ascending"), ("event_type", "ascending")],
+            )
+        )
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        n = len(uid)
+        change = np.ones(n, dtype=bool)
+        change[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+        uid, et = uid[change], et[change]
+        _, starts, lens = _segments(uid)
+        acc: dict[tuple[str, str], int] = {}
+        for s, ln in zip(starts, lens):
+            for a, b in itertools.combinations(et[s : s + ln], 2):
+                acc[(a, b)] = acc.get((a, b), 0) + 1
+        keys = sorted(acc)
+        return pa.table(
+            {
+                "type_a": pa.array([k[0] for k in keys], pa.string()),
+                "type_b": pa.array([k[1] for k in keys], pa.string()),
+                "p_n": pa.array([acc[k] for k in keys], pa.int64()),
+            }
+        )
+
+    acc: dict[tuple[str, str], int] = {}
+    for r in (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+        .take_all()
+    ):
+        k = (r["type_a"], r["type_b"])
+        acc[k] = acc.get(k, 0) + int(r["p_n"])
+    keys = sorted(acc)
+    return pa.table(
+        {
+            "type_a": pa.array([k[0] for k in keys], pa.string()),
+            "type_b": pa.array([k[1] for k in keys], pa.string()),
+            "n_users": pa.array([acc[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+SQL_BASKET_PAIRS = """
+WITH p AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM p a JOIN p b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+QUERIES.update({"basket_pairs": q_basket_pairs})
+ORACLE_SQL.update({"basket_pairs": SQL_BASKET_PAIRS})

@@ -1309,3 +1309,16 @@ class TestBatchMContracts:
             want = sorted(set(g.event_type))
             assert out.loc[uid, "event_types"] == ",".join(want)
             assert int(out.loc[uid, "n_types"]) == len(want)
+
+
+def test_basket_pairs_support(ray_session):
+    out = _to_pandas(entrymod.queries()["basket_pairs"](SF_DIR))
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id", "event_type"])
+    sets = ev.groupby("user_id").event_type.agg(lambda s: frozenset(s))
+    import itertools
+    want = {}
+    for types in sets:
+        for a, b in itertools.combinations(sorted(types), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    got = {(r.type_a, r.type_b): int(r.n_users) for r in out.itertuples()}
+    assert got == want
