@@ -9498,3 +9498,109 @@ GROUP BY 1, 2
 
 QUERIES.update({"basket_pairs": q_basket_pairs})
 ORACLE_SQL.update({"basket_pairs": SQL_BASKET_PAIRS})
+
+
+def q_doc_corpus_fit(sf_dir: str):
+    """Broadcast-MODEL scoring — the batched-inference shape with a
+    real model: phase 1 trains the 'model' (the corpus's full bigram
+    count table, bounded by vocabulary^2, collected once); phase 2
+    broadcasts it and scores every document with a vectorized lookup —
+    mean global frequency of the document's bigram OCCURRENCES, the
+    integer-exact stand-in for an LM fluency score (a log-prob would
+    differ in libm ULPs across engines; the mean is exact ints + one
+    double division). This is the pattern a stub-free model-scoring
+    stage uses: train/load once, ship via broadcast, per-batch
+    vectorized inference."""
+    import collections
+
+    from don_crawler_ray.functions.dedup import fnv1a64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for t in batch.column("text").to_pylist():
+            toks = t.split()
+            c.update(zip(toks, toks[1:]))
+        pairs = list(c.keys())
+        return pa.table(
+            {
+                "w1": pa.array([p[0] for p in pairs], pa.string()),
+                "w2": pa.array([p[1] for p in pairs], pa.string()),
+                "cnt": pa.array([c[p] for p in pairs], pa.int64()),
+                "_bucket": pa.array(
+                    np.array([fnv1a64(a + "\x00" + b) % 256 for a, b in pairs], np.int32)
+                ),
+            }
+        )
+
+    def bucket_sum(group: pa.Table) -> pa.Table:
+        return (
+            group.select(["w1", "w2", "cnt"])
+            .group_by(["w1", "w2"])
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["w1", "w2", "cnt"])
+        )
+
+    model_rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_sum, batch_format="pyarrow")
+        .take_all()
+    )
+    keys = np.array([r["w1"] + "\x00" + r["w2"] for r in model_rows], dtype=object)
+    vals = np.array([int(r["cnt"]) for r in model_rows], np.int64)
+    order = np.argsort(keys)
+    keys, vals = keys[order], vals[order]
+
+    def score(batch: pa.Table) -> pa.Table:
+        out_id, out_nb, out_tot = [], [], []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = t.split()
+            if len(toks) < 2:
+                continue
+            bgs = np.array(
+                [a + "\x00" + b for a, b in zip(toks, toks[1:])], dtype=object
+            )
+            idx = np.searchsorted(keys, bgs)  # every bigram exists by construction
+            out_id.append(did)
+            out_nb.append(len(bgs))
+            out_tot.append(int(vals[idx].sum()))
+        nb = np.array(out_nb, np.int64)
+        tot = np.array(out_tot, np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_bigrams": pa.array(nb, pa.int64()),
+                "fit": pa.array(tot.astype(np.float64) / nb.astype(np.float64), pa.float64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+SQL_DOC_CORPUS_FIT = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+  FROM toks WHERE len(t) >= 2),
+db AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM pos),
+gc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM db GROUP BY 1, 2),
+s AS (
+  SELECT db.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(gc.c) AS BIGINT) AS tot
+  FROM db JOIN gc USING (w1, w2) GROUP BY 1)
+SELECT doc_id, n_bigrams,
+       CAST(tot AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS fit
+FROM s
+"""
+
+QUERIES.update({"doc_corpus_fit": q_doc_corpus_fit})
+ORACLE_SQL.update({"doc_corpus_fit": SQL_DOC_CORPUS_FIT})

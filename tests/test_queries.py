@@ -1322,3 +1322,22 @@ def test_basket_pairs_support(ray_session):
             want[(a, b)] = want.get((a, b), 0) + 1
     got = {(r.type_a, r.type_b): int(r.n_users) for r in out.itertuples()}
     assert got == want
+
+
+def test_doc_corpus_fit_recompute(ray_session):
+    out = _to_pandas(entrymod.queries()["doc_corpus_fit"](SF_DIR)).set_index("doc_id")
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    from collections import Counter
+    gc = Counter()
+    for t in docs.text:
+        toks = t.split()
+        gc.update(zip(toks, toks[1:]))
+    for _, row in docs.head(60).iterrows():
+        toks = row.text.split()
+        bgs = list(zip(toks, toks[1:]))
+        if not bgs:
+            assert row.doc_id not in out.index
+            continue
+        tot = sum(gc[b] for b in bgs)
+        assert int(out.loc[row.doc_id, "n_bigrams"]) == len(bgs)
+        assert out.loc[row.doc_id, "fit"] == tot / len(bgs)
