@@ -9604,3 +9604,107 @@ FROM s
 
 QUERIES.update({"doc_corpus_fit": q_doc_corpus_fit})
 ORACLE_SQL.update({"doc_corpus_fit": SQL_DOC_CORPUS_FIT})
+
+
+def _pareto_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Boolean mask of the 2-D maxima (skyline) of integer points:
+    point i survives iff no j has ``x_j >= x_i and y_j >= y_i`` with at
+    least one strict. Duplicate points are mutually non-dominating and
+    all survive. O(n log n): scan x groups in descending order tracking
+    the best y seen at strictly larger x — within a group only the
+    group-max y can survive (equal x, larger y dominates)."""
+    n = len(x)
+    mask = np.zeros(n, dtype=bool)
+    if n == 0:
+        return mask
+    order = np.lexsort((-y, -x))
+    xs, ys = x[order], y[order]
+    starts = np.flatnonzero(np.r_[True, xs[1:] != xs[:-1]])
+    best_y = np.int64(np.iinfo(np.int64).min)
+    for gi, s in enumerate(starts):
+        e = starts[gi + 1] if gi + 1 < len(starts) else n
+        gmax = ys[s]  # groups sorted y-desc
+        if gmax > best_y:
+            sel = order[s:e][ys[s:e] == gmax]
+            mask[sel] = True
+            best_y = gmax
+    return mask
+
+
+def q_pareto_docs(sf_dir: str):
+    """Skyline / Pareto-front query (Börzsönyi et al., ICDE 2001): per
+    language, the documents not dominated on (token count, distinct
+    token count) — the curation shape "keep the documents on the
+    efficient frontier of length vs lexical richness".
+
+    Distributed shape: the skyline operator's local-prune algebra — the
+    global front is a subset of the union of per-block fronts, so each
+    batch emits only its own per-lang front (tiny) and the driver runs
+    the same exact sweep once over the merged candidates. No shuffle,
+    no full materialization; at 100 TB the exchanged rows are bounded
+    by blocks x langs x front size. Integer dims, so bit-exact vs
+    SQL's NOT EXISTS dominance oracle."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"]).repartition(16)
+
+    def local_front(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        langs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        n_tok = np.empty(len(ids), np.int64)
+        n_dis = np.empty(len(ids), np.int64)
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            toks = t.split()
+            n_tok[i] = len(toks)
+            n_dis[i] = len(set(toks))
+        keep = np.zeros(len(ids), dtype=bool)
+        for lg in np.unique(langs):
+            sel = np.flatnonzero(langs == lg)
+            keep[sel[_pareto_mask(n_tok[sel], n_dis[sel])]] = True
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "lang": pa.array(langs[keep].tolist(), pa.string()),
+                "n_tok": pa.array(n_tok[keep], pa.int64()),
+                "n_distinct": pa.array(n_dis[keep], pa.int64()),
+            }
+        )
+
+    cand = pa.Table.from_pylist(
+        ds.map_batches(local_front, batch_format="pyarrow").take_all()
+    )
+    ids = cand.column("doc_id").to_numpy(zero_copy_only=False)
+    langs = np.asarray(cand.column("lang").to_pylist(), dtype=object)
+    n_tok = cand.column("n_tok").to_numpy(zero_copy_only=False)
+    n_dis = cand.column("n_distinct").to_numpy(zero_copy_only=False)
+    keep = np.zeros(len(ids), dtype=bool)
+    for lg in np.unique(langs):
+        sel = np.flatnonzero(langs == lg)
+        keep[sel[_pareto_mask(n_tok[sel], n_dis[sel])]] = True
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "lang": pa.array(langs[keep].tolist(), pa.string()),
+            "n_tok": pa.array(n_tok[keep], pa.int64()),
+            "n_distinct": pa.array(n_dis[keep], pa.int64()),
+        }
+    )
+
+
+SQL_PARETO_DOCS = r"""
+WITH m AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'),
+                                            x -> x <> ''))) AS BIGINT) AS n_distinct
+  FROM documents)
+SELECT doc_id, lang, n_tok, n_distinct
+FROM m b
+WHERE NOT EXISTS (
+  SELECT 1 FROM m a
+  WHERE a.lang = b.lang
+    AND a.n_tok >= b.n_tok AND a.n_distinct >= b.n_distinct
+    AND (a.n_tok > b.n_tok OR a.n_distinct > b.n_distinct))
+"""
+
+QUERIES.update({"pareto_docs": q_pareto_docs})
+ORACLE_SQL.update({"pareto_docs": SQL_PARETO_DOCS})

@@ -1341,3 +1341,39 @@ def test_doc_corpus_fit_recompute(ray_session):
         tot = sum(gc[b] for b in bgs)
         assert int(out.loc[row.doc_id, "n_bigrams"]) == len(bgs)
         assert out.loc[row.doc_id, "fit"] == tot / len(bgs)
+
+
+def test_pareto_docs_brute_force(ray_session):
+    out = _to_pandas(entrymod.queries()["pareto_docs"](SF_DIR))
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang", "text"])
+    docs["n_tok"] = docs.text.str.split().map(len)
+    docs["n_distinct"] = docs.text.str.split().map(lambda t: len(set(t)))
+    want = set()
+    for lg, grp in docs.groupby("lang"):
+        pts = grp[["doc_id", "n_tok", "n_distinct"]].to_numpy()
+        for did, x, y in pts:
+            dominated = any(
+                (a >= x and b >= y and (a > x or b > y)) for _, a, b in pts
+            )
+            if not dominated:
+                want.add((int(did), lg, int(x), int(y)))
+    got = {(int(r.doc_id), r.lang, int(r.n_tok), int(r.n_distinct)) for r in out.itertuples()}
+    assert got == want
+
+
+def test_pareto_mask_edge_cases():
+    import numpy as np
+
+    from don_crawler_ray.pipelines.queries import _pareto_mask
+
+    # empty, singleton, all-duplicates (mutually non-dominating)
+    assert _pareto_mask(np.array([], np.int64), np.array([], np.int64)).tolist() == []
+    assert _pareto_mask(np.array([5], np.int64), np.array([3], np.int64)).tolist() == [True]
+    dup = _pareto_mask(np.array([2, 2, 2], np.int64), np.array([7, 7, 7], np.int64))
+    assert dup.tolist() == [True, True, True]
+    # strict chain: only the maximum survives
+    chain = _pareto_mask(np.array([1, 2, 3], np.int64), np.array([1, 2, 3], np.int64))
+    assert chain.tolist() == [False, False, True]
+    # anticorrelated: everything survives
+    anti = _pareto_mask(np.array([1, 2, 3], np.int64), np.array([3, 2, 1], np.int64))
+    assert anti.tolist() == [True, True, True]
