@@ -9708,3 +9708,97 @@ WHERE NOT EXISTS (
 
 QUERIES.update({"pareto_docs": q_pareto_docs})
 ORACLE_SQL.update({"pareto_docs": SQL_PARETO_DOCS})
+
+
+HRW_SHARDS = 8
+
+
+def q_hrw_shards(sf_dir: str):
+    """Rendezvous (highest-random-weight) sharding of the order keys —
+    the consistent shard-ownership kernel a resizable crawl fleet uses
+    for frontier/seen-set placement (Thaler & Ravishankar 1998): owner
+    of key k among K shards is ``argmax_s splitmix64(k ^ splitmix64(s))``
+    (the weight depends only on (k, s), never on K). Unlike
+    ``hash(k) % K``, growing K to K+1 moves only ~1/(K+1) of the keys,
+    and every moved key lands on the NEW shard (pytest-pinned).
+
+    Pure vectorized per-batch map — no shuffle, no state; ties (2^-64)
+    break to the lowest shard id on both sides. The oracle re-derives
+    the mix with the 32-bit-limb mulmod chain shared with the
+    HLL/MinHash/sample oracles."""
+    from don_crawler_ray.functions.dedup import _mix64
+
+    K = HRW_SHARDS
+    ds = _read(sf_dir, "orders", columns=["o_orderkey"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        keys = (
+            batch.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        owner = hrw_owner(keys, K)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "shard": pa.array(owner, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def hrw_owner(keys: np.ndarray, n_shards: int) -> np.ndarray:
+    """Vectorized HRW owner: argmax over shards of
+    ``splitmix64(key XOR splitmix64(s))`` — the weight depends only on
+    (key, shard id), never on n_shards, which is what makes resizing
+    move only the keys the new shard wins. First max wins -> lowest
+    shard on the impossible tie, matching the SQL
+    ``ORDER BY hv DESC, s``."""
+    from don_crawler_ray.functions.dedup import _mix64
+
+    with np.errstate(over="ignore"):
+        ku = keys.astype(np.uint64)
+        salts = _mix64(np.arange(n_shards, dtype=np.uint64))
+        weights = np.stack([_mix64(ku ^ salts[s]) for s in range(n_shards)], axis=0)
+    return np.argmax(weights, axis=0).astype(np.int64)
+
+
+def _build_hrw_sql(k: int = HRW_SHARDS) -> str:
+    m64 = 1 << 64
+    c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(z, c):
+        zh = f"(CAST({z} AS HUGEINT) >> 32)"
+        zl = f"(CAST({z} AS HUGEINT) & 4294967295)"
+        return (
+            f"CAST(((({zh} * {c}) % 4294967296) * 4294967296 + {zl} * {c})"
+            f" % {m64} AS UBIGINT)"
+        )
+
+    import numpy as np
+
+    from don_crawler_ray.functions.dedup import _mix64
+
+    salts = _mix64(np.arange(k, dtype=np.uint64))
+    values = ", ".join(f"({s}, {int(salts[s])})" for s in range(k))
+    return f"""
+WITH ks AS (
+  SELECT o_orderkey, s, salt
+  FROM orders CROSS JOIN (VALUES {values}) AS t(s, salt)),
+ma AS (SELECT o_orderkey, s,
+       CAST((CAST(xor(CAST(o_orderkey AS UBIGINT), CAST(salt AS UBIGINT))
+                  AS HUGEINT) + {c1}) % {m64} AS UBIGINT) AS z
+       FROM ks),
+mb AS (SELECT o_orderkey, s, {mulmod('xor(z, z >> 30)', c2)} AS z FROM ma),
+mc AS (SELECT o_orderkey, s, {mulmod('xor(z, z >> 27)', c3)} AS z FROM mb),
+md AS (SELECT o_orderkey, s, xor(z, z >> 31) AS hv FROM mc),
+r AS (SELECT o_orderkey, s,
+        row_number() OVER (PARTITION BY o_orderkey ORDER BY hv DESC, s) AS rn
+      FROM md)
+SELECT o_orderkey, CAST(s AS BIGINT) AS shard FROM r WHERE rn = 1
+"""
+
+
+SQL_HRW_SHARDS = _build_hrw_sql()
+
+QUERIES.update({"hrw_shards": q_hrw_shards})
+ORACLE_SQL.update({"hrw_shards": SQL_HRW_SHARDS})

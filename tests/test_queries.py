@@ -1377,3 +1377,37 @@ def test_pareto_mask_edge_cases():
     # anticorrelated: everything survives
     anti = _pareto_mask(np.array([1, 2, 3], np.int64), np.array([3, 2, 1], np.int64))
     assert anti.tolist() == [True, True, True]
+
+
+def test_hrw_minimal_movement():
+    """The rendezvous-sharding contract: growing K=8 -> 9 moves roughly
+    1/9 of keys, and every moved key lands on the NEW shard."""
+    import numpy as np
+
+    from don_crawler_ray.pipelines.queries import hrw_owner
+
+    keys = np.arange(1, 20_001, dtype=np.int64)
+    o8 = hrw_owner(keys, 8)
+    o9 = hrw_owner(keys, 9)
+    assert set(np.unique(o8)) <= set(range(8))
+    moved = o8 != o9
+    frac = moved.mean()
+    assert 0.05 < frac < 0.20, frac  # expect ~1/9 = 0.111
+    assert set(np.unique(o9[moved])) == {8}  # movers go only to the new shard
+
+
+def test_hrw_shards_recompute(ray_session):
+    import numpy as np
+
+    from don_crawler_ray.pipelines.queries import HRW_SHARDS, hrw_owner
+
+    out = _to_pandas(entrymod.queries()["hrw_shards"](SF_DIR)).set_index("o_orderkey")
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_orderkey"])
+    keys = orders.o_orderkey.to_numpy().astype(np.int64)
+    want = hrw_owner(keys, HRW_SHARDS)
+    got = out.loc[keys, "shard"].to_numpy()
+    assert (got == want).all()
+    # every shard is populated and the split is roughly balanced
+    counts = np.bincount(want, minlength=HRW_SHARDS)
+    assert (counts > 0).all()
+    assert counts.max() < 2.5 * counts.min()
