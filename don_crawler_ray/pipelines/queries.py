@@ -1012,7 +1012,9 @@ def q_minhash_pairs(sf_dir: str):
             verify_bcast, batch_format="pyarrow"
         )
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # coalesce blocks to the join partition count (the JoinOperator
+    # pays per-(block, partition) shuffle sends — see q_hash_join_orders)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(8)
     j1 = pairs_ds.join(
         docs, join_type="inner", num_partitions=8, on=("a",), right_on=("doc_id",)
     ).rename_columns({"text": "text_a"})
@@ -3814,7 +3816,9 @@ def _attach_pair_texts(sf_dir: str, pairs_ds, n_pairs: int):
 
         return ray.data.from_arrow(pairs_tbl).map_batches(attach, batch_format="pyarrow")
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # coalesce blocks to the join partition count (the JoinOperator
+    # pays per-(block, partition) shuffle sends — see q_hash_join_orders)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(8)
     j1 = pairs_ds.join(
         docs, join_type="inner", num_partitions=8, on=("a",), right_on=("doc_id",)
     ).rename_columns({"text": "text_a"})
