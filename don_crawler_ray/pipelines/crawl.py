@@ -213,6 +213,95 @@ def load_rounds_table(schedule_dir: str, rounds: list[int]) -> pa.Table:
 _MEMBERSHIP_BYTES_PER_KEY = 12  # uint64 combined key + int32 round
 
 
+def _schedule_fragment_paths(schedule_dir: str) -> list[str]:
+    return sorted(
+        os.path.join(schedule_dir, f)
+        for f in os.listdir(schedule_dir)
+        if f.endswith(".parquet")
+    )
+
+
+def build_chunk_membership(
+    schedule_dir: str,
+    rounds: list[int],
+    n_buckets: int = 32,
+    fragments_per_task: int = 8,
+):
+    """Distributed replacement for ``load_rounds_table`` +
+    ``make_rounds_membership`` + ``make_raw_prefilter_keys``: the
+    schedule's fragments are read, keyed and RADIX-BUCKETED by the top
+    bits of the (well-mixed) combined key inside Ray tasks; one task per
+    bucket then sorts its bucket. Because the radix respects key order,
+    concatenating the sorted buckets in bucket order yields the globally
+    sorted array — the driver's work is a memcpy of the chunk's output
+    (budget-bounded), never an O(rows log rows) sort. The serial build
+    cost ~3-5 s per 4.4M-row chunk on the bench box and scales linearly
+    with the 1 GiB membership budget; at a 10^10-row schedule it is the
+    fetch phase's Amdahl ceiling, so it runs in the cluster instead.
+
+    Deterministic at any parallelism: fragment paths are sorted, each
+    bucket concatenates its pieces in fragment order, and the per-bucket
+    argsort is stable — byte-identical to the driver-side build.
+
+    Returns ``(n_rows, member_keys, member_rounds, raw_keys)`` with
+    ``member_keys``/``raw_keys`` sorted and ``member_rounds`` aligned to
+    ``member_keys``.
+    """
+    import ray
+
+    from don_crawler_ray.stages.fetch import _schedule_keys, combine_key
+
+    assert n_buckets >= 2 and (n_buckets & (n_buckets - 1)) == 0
+    _require_raw_hash(pads.dataset(schedule_dir), schedule_dir)
+    paths = _schedule_fragment_paths(schedule_dir)
+    shift = np.uint64(64 - int(np.log2(n_buckets)))
+
+    @ray.remote(num_returns=n_buckets)
+    def _read_bucketed(frag_paths: list[str], wanted: list[int]):
+        t = pads.dataset(frag_paths).to_table(
+            columns=["url_hash", "raw_hash", "warc_ts", "round"],
+            filter=(pads.field("status") == "scheduled")
+            & (pads.field("round").isin(wanted)),
+        )
+        rnds = t.column("round").to_numpy(zero_copy_only=False).astype(np.int32)
+        keys = _schedule_keys(t)
+        rh = t.column("raw_hash").to_numpy(zero_copy_only=False)
+        ts = (
+            t.column("warc_ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        raw = combine_key(rh, ts)
+        kb = (keys >> shift).astype(np.int64)
+        rb = (raw >> shift).astype(np.int64)
+        return tuple(
+            (keys[kb == b], rnds[kb == b], raw[rb == b]) for b in range(n_buckets)
+        )
+
+    @ray.remote
+    def _sort_bucket(*pieces):
+        keys = np.concatenate([p[0] for p in pieces])
+        rnds = np.concatenate([p[1] for p in pieces])
+        raw = np.concatenate([p[2] for p in pieces])
+        order = np.argsort(keys, kind="stable")
+        return keys[order], rnds[order], np.sort(raw)
+
+    piece_refs: list[list] = []  # [task][bucket]
+    for i in range(0, len(paths), fragments_per_task):
+        refs = _read_bucketed.remote(paths[i : i + fragments_per_task], rounds)
+        piece_refs.append(list(refs) if n_buckets > 1 else [refs])
+    sorted_refs = [
+        _sort_bucket.remote(*[task_refs[b] for task_refs in piece_refs])
+        for b in range(n_buckets)
+    ]
+    buckets = ray.get(sorted_refs)
+    member_keys = np.concatenate([b[0] for b in buckets])
+    member_rounds = np.concatenate([b[1] for b in buckets])
+    raw_keys = np.concatenate([b[2] for b in buckets])
+    return len(member_keys), member_keys, member_rounds, raw_keys
+
+
 def plan_round_chunks(
     schedule_dir: str, pending: list[int], membership_byte_budget: int
 ) -> list[list[int]]:
@@ -247,22 +336,33 @@ def plan_round_chunks(
 
 def run_fetch_rounds(
     frontier_path: str,
-    rounds_table: pa.Table,
+    rounds_table: pa.Table | None,
     out_dir: str,
     extract_concurrency: int | tuple | None = None,
     batch_size: int = 2048,
     scanner="auto",
+    membership: tuple | None = None,
 ) -> None:
     """Fetch+extract EVERY pending round in ONE page-store scan; output
     lands hive-partitioned as ``out_dir/round=<N>/``. The per-round
     loop used to rescan the whole frontier once per round — O(rounds x
     full scan); this is O(1 scan) with the round looked up from the
-    broadcast key array."""
+    broadcast key array.
+
+    ``membership``: optional precomputed ``(n_rows, member_keys,
+    member_rounds, raw_keys)`` from ``build_chunk_membership`` (the
+    distributed build); when absent the arrays are built driver-side
+    from ``rounds_table``."""
     import ray
 
     from don_crawler_ray.stages.fetch import make_raw_prefilter, make_raw_prefilter_keys
 
-    keys, rounds = make_rounds_membership(rounds_table)
+    if membership is not None:
+        n_scheduled, keys, rounds, raw_keys = membership
+    else:
+        n_scheduled = rounds_table.num_rows
+        keys, rounds = make_rounds_membership(rounds_table)
+        raw_keys = None
     members_ref = ray.put(keys)
     rounds_ref = ray.put(rounds)
     ds = _read_frontier(frontier_path, FETCH_COLUMNS)
@@ -270,8 +370,10 @@ def run_fetch_rounds(
     # (budgeted rounds / incremental crawls), drop non-members with one
     # raw-url FNV per row BEFORE the RFC 3986 canonicalize; above the
     # threshold the extra hash pass costs more than it saves.
-    if rounds_table.num_rows < 0.5 * _frontier_row_count(frontier_path):
-        raw_ref = ray.put(make_raw_prefilter_keys(rounds_table))
+    if n_scheduled < 0.5 * _frontier_row_count(frontier_path):
+        if raw_keys is None:
+            raw_keys = make_raw_prefilter_keys(rounds_table)
+        raw_ref = ray.put(raw_keys)
         ds = ds.map_batches(make_raw_prefilter(raw_ref), batch_format="pyarrow")
     ds = ds.map_batches(canonicalize_stage, batch_format="pyarrow")
     ds = ds.map_batches(
@@ -467,15 +569,16 @@ def run_crawl(
         # kill mid-run loses at most one chunk of fetch work.
         for chunk in plan_round_chunks(schedule_dir, pending, membership_byte_budget):
             t_round = _t()
-            rounds_table = load_rounds_table(schedule_dir, chunk)
-            if rounds_table.num_rows:
+            membership = build_chunk_membership(schedule_dir, chunk)
+            if membership[0]:
                 run_fetch_rounds(
                     frontier_path,
-                    rounds_table,
+                    None,
                     out_dir,
                     extract_concurrency=extract_concurrency,
                     batch_size=batch_size,
                     scanner=scanner,
+                    membership=membership,
                 )
             phases["fetch"] = phases.get("fetch", 0.0) + round(_t() - t_round, 2)
 
