@@ -63,10 +63,10 @@ SLIM_COLUMNS = ["url", "warc_ts"]
 FETCH_COLUMNS = ["url", "warc_ts", "html"]
 
 
-def _read_frontier(frontier_path: str, columns):
+def _read_frontier(frontier_path: str, columns, **read_kwargs):
     import ray
 
-    return ray.data.read_parquet(frontier_path, columns=columns)
+    return ray.data.read_parquet(frontier_path, columns=columns, **read_kwargs)
 
 
 def tune_data_context() -> None:
@@ -355,7 +355,11 @@ def run_fetch_rounds(
     from ``rounds_table``."""
     import ray
 
-    from don_crawler_ray.stages.fetch import make_raw_prefilter, make_raw_prefilter_keys
+    from don_crawler_ray.stages.fetch import (
+        make_fetch_extract_fn,
+        make_raw_prefilter,
+        make_raw_prefilter_keys,
+    )
 
     if membership is not None:
         n_scheduled, keys, rounds, raw_keys = membership
@@ -365,28 +369,47 @@ def run_fetch_rounds(
         raw_keys = None
     members_ref = ray.put(keys)
     rounds_ref = ray.put(rounds)
-    ds = _read_frontier(frontier_path, FETCH_COLUMNS)
+    # Read-task sizing: at real scale the 128 MiB block target dominates
+    # (rows/90k for ~1.5 KiB pages); on small inputs that quantizes to
+    # ~2 task-waves per core, idling most of the pool on the last wave —
+    # floor the task count at 4x cluster CPUs so the tail wave is short.
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    frontier_rows = _frontier_row_count(frontier_path)
+    n_blocks = max(4 * n_cpus, -(-frontier_rows // 90_000))
+    ds = _read_frontier(frontier_path, FETCH_COLUMNS, override_num_blocks=n_blocks)
     # When the scheduled set covers a minority of the page store
     # (budgeted rounds / incremental crawls), drop non-members with one
     # raw-url FNV per row BEFORE the RFC 3986 canonicalize; above the
     # threshold the extra hash pass costs more than it saves.
-    if n_scheduled < 0.5 * _frontier_row_count(frontier_path):
+    if n_scheduled < 0.5 * frontier_rows:
         if raw_keys is None:
             raw_keys = make_raw_prefilter_keys(rounds_table)
         raw_ref = ray.put(raw_keys)
         ds = ds.map_batches(make_raw_prefilter(raw_ref), batch_format="pyarrow")
     ds = ds.map_batches(canonicalize_stage, batch_format="pyarrow")
-    ds = ds.map_batches(
-        FetchExtractActor,
-        fn_constructor_kwargs={
-            "members_ref": members_ref,
-            "rounds_ref": rounds_ref,
-            "scanner": scanner,
-        },
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=extract_concurrency or default_extract_concurrency(),
-    )
+    if extract_concurrency is not None:
+        # explicit pool sizing: keep the stateful actor-pool stage
+        ds = ds.map_batches(
+            FetchExtractActor,
+            fn_constructor_kwargs={
+                "members_ref": members_ref,
+                "rounds_ref": rounds_ref,
+                "scanner": scanner,
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=extract_concurrency,
+        )
+    else:
+        # default: task-pool extract so read -> canonicalize -> extract
+        # -> write FUSE into one task per block (no inter-stage object
+        # store hops, no actor cold start); broadcast state resolves
+        # zero-copy per process (make_fetch_extract_fn)
+        ds = ds.map_batches(
+            make_fetch_extract_fn(members_ref, rounds_ref, scanner=scanner),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     os.makedirs(out_dir, exist_ok=True)
     # zstd, not the parquet default snappy: extracted web text compresses
     # ~3.6x better at the same encode cost, and the saved IO is the
@@ -401,20 +424,34 @@ def _round_dir_hashes(out_dir: str, rnd: int) -> np.ndarray:
     set — matching the reference's cache-only-after-successful-clone
     semantics (git/clone_repository.go:37-58; ADVICE r01 item 3): a URL
     scheduled but absent from the page store stays unseen and is
-    retried on the next incremental crawl."""
+    retried on the next incremental crawl.
+
+    Files are read in parallel Ray tasks (one per output file) — the
+    serial per-file loop was a driver-side Amdahl term in the commit
+    phase that grew with output file count. Concat order is sorted file
+    order either way, so the seen set is byte-identical."""
     round_dir = os.path.join(out_dir, f"round={rnd}")
-    parts = []
-    if os.path.isdir(round_dir):
-        for name in sorted(os.listdir(round_dir)):
-            if name.endswith(".parquet"):
-                parts.append(
-                    pq.read_table(os.path.join(round_dir, name), columns=["url_hash"])
-                    .column("url_hash")
-                    .to_numpy(zero_copy_only=False)
-                )
-    if not parts:
+    if not os.path.isdir(round_dir):
         return np.empty(0, dtype=np.uint64)
-    return np.concatenate(parts).astype(np.uint64)
+    paths = [
+        os.path.join(round_dir, name)
+        for name in sorted(os.listdir(round_dir))
+        if name.endswith(".parquet")
+    ]
+    if not paths:
+        return np.empty(0, dtype=np.uint64)
+    import ray
+
+    @ray.remote
+    def _hash_col(path: str) -> np.ndarray:
+        return (
+            pq.read_table(path, columns=["url_hash"])
+            .column("url_hash")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+
+    return np.concatenate(ray.get([_hash_col.remote(p) for p in paths]))
 
 
 def run_crawl(

@@ -253,6 +253,34 @@ _OUTPUT_COLUMNS = [
     "text", "description", "text_len",
 ]
 
+_EXTRACT_CACHE: dict = {}
+
+
+def make_fetch_extract_fn(members_ref, rounds_ref=None, scanner="html"):
+    """Task-pool variant of ``FetchExtractActor``: a plain function so
+    the streaming executor FUSES read -> canonicalize -> extract ->
+    write into one task per block — page bytes never touch the object
+    store between stages, and there is no actor-pool cold start or
+    autoscale ramp. The broadcast membership arrays resolve through the
+    per-process ``_resolve_array`` cache as zero-copy read-only views of
+    the object store (same sharing as the actor's ``__init__`` fetch);
+    the scanner builds once per process via ``_EXTRACT_CACHE``. Output
+    is identical to the actor path (shared ``__call__`` body)."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        key = (id(type(scanner)), scanner if isinstance(scanner, str) else id(scanner))
+        worker = _EXTRACT_CACHE.get(key)
+        if worker is None:
+            worker = FetchExtractActor(
+                np.empty(0, np.uint64), rounds_ref=None, scanner=scanner
+            )
+            _EXTRACT_CACHE[key] = worker
+        worker.members = _resolve_array(members_ref)
+        worker.rounds = None if rounds_ref is None else _resolve_array(rounds_ref)
+        return worker(batch)
+
+    return _fn
+
 
 def _empty_extract_table(batch: pa.Table) -> pa.Table:
     out = batch.drop_columns(["html"])
