@@ -183,24 +183,44 @@ class SeenShard:
     final seen set is byte-reproducible.
     """
 
+    DELTA_LIMIT = 1 << 18
+
     def __init__(self, shard_id: int = 0, capacity: int = 1 << 16):
         self.shard_id = shard_id
         self.filter = CuckooFilter(capacity)
-        self.exact: set[int] = set()
+        # exact store, LSM-style: a sorted uint64 BASE array (8 B/key —
+        # a Python int set costs ~60 B/key, which at a 10^9-key shard is
+        # the difference between 8 GB and 60 GB of actor heap) plus a
+        # small DELTA set absorbing per-batch inserts so check_and_add
+        # isn't O(base) per call; the delta folds into the base when it
+        # passes DELTA_LIMIT or a read needs the merged view.
+        self.base = np.empty(0, dtype=np.uint64)
+        self.delta: set[int] = set()
         self.dedup_hits = 0
-        # sorted-exact cache for vectorized contains(); `exact` only
-        # grows, so a length check detects staleness
-        self._sorted_cache: np.ndarray | None = None
+
+    def _size(self) -> int:
+        return len(self.base) + len(self.delta)
+
+    def _in_base(self, h: np.ndarray) -> np.ndarray:
+        if not len(self.base):
+            return np.zeros(len(h), dtype=bool)
+        idx = np.clip(np.searchsorted(self.base, h), 0, len(self.base) - 1)
+        return self.base[idx] == h
+
+    def _fold_delta(self) -> None:
+        if self.delta:
+            d = np.fromiter(self.delta, dtype=np.uint64, count=len(self.delta))
+            self.base = np.union1d(self.base, d)
+            self.delta.clear()
 
     def _maybe_grow(self, incoming: int) -> None:
         """Rebuild the filter at 2x when load would exceed ~90% — an
         overfull cuckoo filter degrades to 500-kick eviction storms
         (250us per failed insert)."""
-        need = len(self.exact) + incoming
+        need = self._size() + incoming
         while need > int(self.filter.n_buckets * 4 * 0.90):
             bigger = CuckooFilter(max(need * 2, self.filter.n_buckets * 8))
-            arr = np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact))
-            arr.sort()
+            arr = self.sorted_hashes()
             failed = bigger.insert_many(arr)
             for hv in arr[failed].tolist():
                 bigger.insert(hv)
@@ -209,44 +229,48 @@ class SeenShard:
     def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
         h = np.asarray(hashes, dtype=np.uint64)
         self._maybe_grow(len(h))
-        new_mask = np.ones(len(h), dtype=bool)
-        exact = self.exact
+        new_mask = ~self._in_base(h)
+        delta = self.delta
         insert = self.filter.insert
-        for j, hv in enumerate(h.tolist()):
-            if hv in exact:
+        # per-key work only for keys NOT in the sorted base (first sight
+        # or recent): delta membership + within-batch duplicate order
+        for j in np.flatnonzero(new_mask).tolist():
+            hv = int(h[j])
+            if hv in delta:
                 new_mask[j] = False
-                continue
-            exact.add(hv)
-            insert(hv)
+            else:
+                delta.add(hv)
+                insert(hv)
         self.dedup_hits += int((~new_mask).sum())
+        if len(delta) > self.DELTA_LIMIT:
+            self._fold_delta()
         return new_mask
 
     def add_many(self, hashes: np.ndarray) -> int:
-        """Bulk commit path (round ingest): set-union at C speed + cuckoo
-        inserts for the genuinely-new keys only. Returns new-key count.
-        Unlike ``check_and_add`` no per-key mask is produced — the crawl
-        commit doesn't need one."""
-        h = np.asarray(hashes, dtype=np.uint64)
-        incoming = set(h.tolist())
-        new = incoming - self.exact
+        """Bulk commit path (round ingest): sorted-unique the batch,
+        drop already-seen keys vectorized, merge the rest into the base
+        (one C-speed union — no Python-object churn). Returns new-key
+        count. Unlike ``check_and_add`` no per-key mask is produced —
+        the crawl commit doesn't need one."""
+        h = np.unique(np.asarray(hashes, dtype=np.uint64))
+        self._fold_delta()
+        new = h[~self._in_base(h)]
         self._maybe_grow(len(new))
-        self.exact |= new
-        new_sorted = np.fromiter(new, dtype=np.uint64, count=len(new))
-        new_sorted.sort()
-        failed = self.filter.insert_many(new_sorted)
-        for hv in new_sorted[failed].tolist():  # eviction path, rare
+        self.base = np.union1d(self.base, new)
+        failed = self.filter.insert_many(new)
+        for hv in new[failed].tolist():  # eviction path, rare
             self.filter.insert(hv)
-        self.dedup_hits += len(incoming) - len(new)
+        self.dedup_hits += len(h) - len(new)
         return len(new)
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
         """Vectorized membership: cuckoo pre-pass, then false-positive
         verification of the maybe-hits by searchsorted against the
-        cached sorted exact array (rebuilt lazily after mutations)."""
+        merged sorted exact array."""
         h = np.asarray(hashes, dtype=np.uint64)
         maybe = self.filter.contains_many(h)
         out = np.zeros(len(h), dtype=bool)
-        if maybe.any() and self.exact:
+        if maybe.any() and self._size():
             se = self.sorted_hashes()
             cand = h[maybe]
             idx = np.clip(np.searchsorted(se, cand), 0, len(se) - 1)
@@ -256,17 +280,14 @@ class SeenShard:
     def stats(self) -> dict:
         return {
             "shard_id": self.shard_id,
-            "size": len(self.exact),
+            "size": self._size(),
             "filter_count": self.filter.count,
             "dedup_hits": self.dedup_hits,
         }
 
     def sorted_hashes(self) -> np.ndarray:
-        if self._sorted_cache is None or len(self._sorted_cache) != len(self.exact):
-            arr = np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact))
-            arr.sort()
-            self._sorted_cache = arr
-        return self._sorted_cache
+        self._fold_delta()
+        return self.base
 
     # --- checkpointing (ST6 analog) ---------------------------------------
 
@@ -295,7 +316,7 @@ class SeenShard:
         self.filter = CuckooFilter.from_state(
             {"table": data["table"], "count": data["count"], "cursor": data["cursor"]}
         )
-        self.exact = set(data["exact"].tolist())
+        self.base = np.asarray(data["exact"], dtype=np.uint64)  # stored sorted
+        self.delta = set()
         self.dedup_hits = int(data["dedup_hits"])
-        self._sorted_cache = None
         return True
