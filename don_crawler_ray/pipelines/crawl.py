@@ -10,12 +10,15 @@ Ray-Data restatement of the reference's ``crawl`` lifecycle
       -> groupby(host_key, salt).map_groups(...)    # THE shuffle: dedup +
                                                     # robots + budget + rank
       -> write_parquet(schedule/)                   # slim decisions
-    per round r:
+    per round chunk:
+      membership = radix-parallel sorted keys       # built IN Ray tasks
       read_parquet(frontier, columns=url,ts,html)   # page store
-        -> map_batches(canonicalize)                # recompute keys (cheap)
-        -> map_batches(membership filter)           # broadcast semi-join
-        -> map_batches(ExtractActor, concurrency)   # actor pool, drops html
-        -> write_parquet(out/round=r/)              # partitioned output
+        -> map_batches(canonicalize)                # recompute keys
+        -> map_batches(fetch_extract fn)            # broadcast semi-join +
+                                                    # extract; fuses with
+                                                    # read and write into
+                                                    # ONE task per block
+        -> write_parquet(out/round=N/)              # partitioned output
       commit: seen shards += round hashes; snapshot; manifest update
 
 Checkpoint/resume (north rule): the manifest is written LAST after each
@@ -165,19 +168,6 @@ def build_schedule(
     return grouped, hot_hosts
 
 
-def schedule_counters(schedule_dir: str) -> dict:
-    """Tiny aggregate over the schedule's status column (column-pruned
-    read; per-file partial counts merged driver-side)."""
-    dataset = pads.dataset(schedule_dir)
-    counts: dict[str, int] = {}
-    for frag in dataset.get_fragments():
-        t = frag.to_table(columns=["status"])
-        vc = pc.value_counts(t.column("status"))
-        for row in vc.to_pylist():
-            counts[row["values"]] = counts.get(row["values"], 0) + row["counts"]
-    return counts
-
-
 def _require_raw_hash(dataset: pads.Dataset, schedule_dir: str) -> None:
     """A schedule written before the three-part fetch key gained
     ``raw_hash`` cannot drive a resume — fail with the remedy instead
@@ -302,8 +292,53 @@ def build_chunk_membership(
     return len(member_keys), member_keys, member_rounds, raw_keys
 
 
+def schedule_fragment_stats(schedule_dir: str) -> tuple[int, dict, dict]:
+    """One parallel metadata pass over the schedule: returns
+    ``(max_round, status_counts, scheduled_round_counts)``.
+
+    These three aggregates each used to be a driver-side column read —
+    at a 10^10-row schedule the ``round`` column alone is 40 GB of
+    driver heap. Ray tasks now scan fragment groups and return tiny
+    count dicts; the driver merges dictionaries."""
+    import ray
+
+    paths = _schedule_fragment_paths(schedule_dir)
+
+    @ray.remote
+    def _frag_stats(frag_paths: list[str]):
+        t = pads.dataset(frag_paths).to_table(columns=["status", "round"])
+        status_counts = {
+            r["values"]: r["counts"]
+            for r in pc.value_counts(t.column("status")).to_pylist()
+        }
+        sched = t.filter(pc.equal(t.column("status"), "scheduled"))
+        round_counts = {
+            r["values"]: r["counts"]
+            for r in pc.value_counts(sched.column("round")).to_pylist()
+        }
+        mx = pc.max(t.column("round")).as_py() if t.num_rows else None
+        return mx, status_counts, round_counts
+
+    group = 8
+    parts = ray.get(
+        [_frag_stats.remote(paths[i : i + group]) for i in range(0, len(paths), group)]
+    )
+    max_round = max((p[0] for p in parts if p[0] is not None), default=None)
+    status_counts: dict = {}
+    round_counts: dict = {}
+    for _, sc, rc in parts:
+        for k, v in sc.items():
+            status_counts[k] = status_counts.get(k, 0) + v
+        for k, v in rc.items():
+            round_counts[k] = round_counts.get(k, 0) + v
+    return max_round, status_counts, round_counts
+
+
 def plan_round_chunks(
-    schedule_dir: str, pending: list[int], membership_byte_budget: int
+    schedule_dir: str,
+    pending: list[int],
+    membership_byte_budget: int,
+    round_counts: dict | None = None,
 ) -> list[list[int]]:
     """Group pending rounds into chunks whose broadcast key arrays stay
     under ``membership_byte_budget`` — the driver and each fetch actor
@@ -311,14 +346,20 @@ def plan_round_chunks(
     round-membership scale fix, VERDICT r01 item 3). Rounds are budget-
     bounded by construction, so chunk count ~= total_keys x 12B /
     budget; each chunk costs one page-store scan — the budget trades
-    scans against broadcast size explicitly."""
-    counts: dict[int, int] = {}
-    t = pads.dataset(schedule_dir).to_table(
-        columns=["round"],
-        filter=(pads.field("status") == "scheduled") & (pads.field("round").isin(pending)),
-    )
-    for row in pc.value_counts(t.column("round")).to_pylist():
-        counts[row["values"]] = row["counts"]
+    scans against broadcast size explicitly. Pass ``round_counts`` from
+    ``schedule_fragment_stats`` to reuse its parallel pass; without it
+    the counts come from a driver-side pushdown read."""
+    if round_counts is not None:
+        counts = {k: v for k, v in round_counts.items() if k in set(pending)}
+    else:
+        counts = {}
+        t = pads.dataset(schedule_dir).to_table(
+            columns=["round"],
+            filter=(pads.field("status") == "scheduled")
+            & (pads.field("round").isin(pending)),
+        )
+        for row in pc.value_counts(t.column("round")).to_pylist():
+            counts[row["values"]] = row["counts"]
     chunks: list[list[int]] = []
     cur: list[int] = []
     cur_bytes = 0
@@ -565,7 +606,11 @@ def run_crawl(
         phases["schedule"] = round(_t() - t_start, 2)
 
     counters = dict(manifest.get("counters") or {})
-    sc = schedule_counters(schedule_dir)
+    # ONE parallel metadata pass serves the status counters, the max
+    # round, and the per-round chunk planning (each was a driver-side
+    # column read before — 40+ GB of driver heap at a 10^10-row
+    # schedule).
+    max_round_present, sc, round_counts = schedule_fragment_stats(schedule_dir)
     counters["scheduled"] = sc.get("scheduled", 0)
     counters["robots_denied"] = sc.get("robots_denied", 0)
     counters["dedup_hit"] = sc.get("dedup_hit", 0)
@@ -581,10 +626,6 @@ def run_crawl(
     )
 
     # --- rounds ------------------------------------------------------------
-    sched = pads.dataset(schedule_dir)
-    max_round_present = pc.max(
-        sched.to_table(columns=["round"]).column("round")
-    ).as_py()
     n_rounds = (max_round_present or 0) + 1
     if max_rounds is not None:
         n_rounds = min(n_rounds, max_rounds)
@@ -604,7 +645,9 @@ def run_crawl(
         # broadcasts only its own key array (<= membership_byte_budget)
         # and costs one page-store scan; commits land per chunk so a
         # kill mid-run loses at most one chunk of fetch work.
-        for chunk in plan_round_chunks(schedule_dir, pending, membership_byte_budget):
+        for chunk in plan_round_chunks(
+            schedule_dir, pending, membership_byte_budget, round_counts=round_counts
+        ):
             t_round = _t()
             membership = build_chunk_membership(schedule_dir, chunk)
             if membership[0]:
