@@ -202,6 +202,10 @@ def load_rounds_table(schedule_dir: str, rounds: list[int]) -> pa.Table:
 
 _MEMBERSHIP_BYTES_PER_KEY = 12  # uint64 combined key + int32 round
 
+# below this compressed schedule size the parallel task fan-out costs
+# more than doing the work on the driver (both paths are byte-identical)
+_SMALL_SCHEDULE_BYTES = 64 << 20
+
 
 def _schedule_fragment_paths(schedule_dir: str) -> list[str]:
     return sorted(
@@ -244,6 +248,14 @@ def build_chunk_membership(
     assert n_buckets >= 2 and (n_buckets & (n_buckets - 1)) == 0
     _require_raw_hash(pads.dataset(schedule_dir), schedule_dir)
     paths = _schedule_fragment_paths(schedule_dir)
+    if sum(os.path.getsize(p) for p in paths) < _SMALL_SCHEDULE_BYTES:
+        # tiny schedule: task fan-out costs more than the serial build
+        # (the arrays are verified identical between the two paths)
+        from don_crawler_ray.stages.fetch import make_raw_prefilter_keys
+
+        rt = load_rounds_table(schedule_dir, rounds)
+        keys, rnds = make_rounds_membership(rt)
+        return rt.num_rows, keys, rnds, make_raw_prefilter_keys(rt)
     shift = np.uint64(64 - int(np.log2(n_buckets)))
 
     @ray.remote(num_returns=n_buckets)
@@ -303,6 +315,23 @@ def schedule_fragment_stats(schedule_dir: str) -> tuple[int, dict, dict]:
     import ray
 
     paths = _schedule_fragment_paths(schedule_dir)
+
+    def _frag_stats_local(frag_paths: list[str]):
+        t = pads.dataset(frag_paths).to_table(columns=["status", "round"])
+        status_counts = {
+            r["values"]: r["counts"]
+            for r in pc.value_counts(t.column("status")).to_pylist()
+        }
+        sched = t.filter(pc.equal(t.column("status"), "scheduled"))
+        round_counts = {
+            r["values"]: r["counts"]
+            for r in pc.value_counts(sched.column("round")).to_pylist()
+        }
+        mx = pc.max(t.column("round")).as_py() if t.num_rows else None
+        return mx, status_counts, round_counts
+
+    if sum(os.path.getsize(p) for p in paths) < _SMALL_SCHEDULE_BYTES:
+        return _frag_stats_local(paths)
 
     @ray.remote
     def _frag_stats(frag_paths: list[str]):
@@ -481,10 +510,8 @@ def _round_dir_hashes(out_dir: str, rnd: int) -> np.ndarray:
     ]
     if not paths:
         return np.empty(0, dtype=np.uint64)
-    import ray
 
-    @ray.remote
-    def _hash_col(path: str) -> np.ndarray:
+    def _hash_col_local(path: str) -> np.ndarray:
         return (
             pq.read_table(path, columns=["url_hash"])
             .column("url_hash")
@@ -492,6 +519,11 @@ def _round_dir_hashes(out_dir: str, rnd: int) -> np.ndarray:
             .astype(np.uint64)
         )
 
+    if sum(os.path.getsize(p) for p in paths) < _SMALL_SCHEDULE_BYTES:
+        return np.concatenate([_hash_col_local(p) for p in paths])
+    import ray
+
+    _hash_col = ray.remote(_hash_col_local)
     return np.concatenate(ray.get([_hash_col.remote(p) for p in paths]))
 
 
