@@ -289,6 +289,61 @@ class TestMembershipChunks:
         assert np.array_equal(seen_set_hashes(base), seen_set_hashes(chunked))
         assert c["fetched"] == t_base.num_rows
 
+    def test_distributed_membership_matches_driver_build(
+        self, ray_session, frontier_tiny, politeness_cfg, tmp_path, monkeypatch
+    ):
+        """The radix-parallel membership build must be byte-identical to
+        the serial driver build (keys, aligned rounds, raw prefilter
+        keys) — forced onto the distributed path by zeroing the
+        small-schedule threshold."""
+        import don_crawler_ray.pipelines.crawl as crawl_mod
+        from don_crawler_ray.pipelines.crawl import (
+            build_chunk_membership,
+            load_rounds_table,
+        )
+        from don_crawler_ray.stages.fetch import (
+            make_raw_prefilter_keys,
+            make_rounds_membership,
+        )
+
+        out_dir = str(tmp_path / "sched_dist")
+        run_crawl(frontier_tiny, out_dir, politeness_cfg, n_seen_shards=2, n_salts=4)
+        schedule_dir = os.path.join(out_dir, "schedule")
+        rt = load_rounds_table(schedule_dir, [0])
+        keys_d, rounds_d = make_rounds_membership(rt)
+        raw_d = make_raw_prefilter_keys(rt)
+
+        monkeypatch.setattr(crawl_mod, "_SMALL_SCHEDULE_BYTES", 0)
+        n, keys, rounds, raw = build_chunk_membership(
+            schedule_dir, [0], n_buckets=4, fragments_per_task=1
+        )
+        assert n == rt.num_rows
+        assert np.array_equal(keys, keys_d)
+        assert np.array_equal(rounds, rounds_d)
+        assert np.array_equal(raw, raw_d)
+
+    def test_fragment_stats_match_serial(
+        self, ray_session, frontier_tiny, politeness_cfg, tmp_path, monkeypatch
+    ):
+        """schedule_fragment_stats' distributed path must agree with its
+        serial body (and with direct pushdown reads)."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        import don_crawler_ray.pipelines.crawl as crawl_mod
+        from don_crawler_ray.pipelines.crawl import schedule_fragment_stats
+
+        out_dir = str(tmp_path / "sched_stats")
+        run_crawl(frontier_tiny, out_dir, politeness_cfg, n_seen_shards=2, n_salts=4)
+        schedule_dir = os.path.join(out_dir, "schedule")
+        serial = schedule_fragment_stats(schedule_dir)
+        monkeypatch.setattr(crawl_mod, "_SMALL_SCHEDULE_BYTES", 0)
+        dist = schedule_fragment_stats(schedule_dir)
+        assert serial == dist
+        t = pads.dataset(schedule_dir).to_table(columns=["status", "round"])
+        assert serial[0] == pc.max(t.column("round")).as_py()
+        assert sum(serial[1].values()) == t.num_rows
+
     def test_plan_round_chunks_budget(self, ray_session, frontier_tiny, politeness_cfg, tmp_path):
         from don_crawler_ray.pipelines.crawl import plan_round_chunks
 
