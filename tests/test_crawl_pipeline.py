@@ -367,6 +367,38 @@ class TestMembershipChunks:
         assert all(len(chunk) == 1 for chunk in tiny)
 
 
+def test_task_fn_matches_actor_path(ray_session, frontier_tiny):
+    """The fused task-pool extract fn must produce the same table as the
+    stateful actor path for the same membership arrays (it shares the
+    actor's __call__ body; this pins the per-process cache plumbing)."""
+    import pyarrow as pa
+
+    from don_crawler_ray.stages.canonicalize import canonicalize_stage
+    from don_crawler_ray.stages.fetch import (
+        FetchExtractActor,
+        _schedule_keys,
+        make_fetch_extract_fn,
+    )
+
+    batch = canonicalize_stage(
+        pq.read_table(frontier_tiny, columns=["url", "warc_ts", "html"]).slice(0, 200)
+    )
+    # schedule half the rows across two fake rounds
+    sched = batch.slice(0, 100).select(["url_hash", "raw_hash", "warc_ts"])
+    keys = _schedule_keys(sched)
+    order = np.argsort(keys, kind="stable")
+    rounds = (np.arange(100) % 2).astype(np.int32)
+    import ray
+
+    members_ref = ray.put(keys[order])
+    rounds_ref = ray.put(rounds[order])
+
+    actor_out = FetchExtractActor(members_ref, rounds_ref, scanner="auto")(batch)
+    fn_out = make_fetch_extract_fn(members_ref, rounds_ref, scanner="auto")(batch)
+    assert actor_out.num_rows == 100
+    assert actor_out.equals(fn_out)
+
+
 class TestFetchTieBreak:
     """Two distinct raw URLs canonicalizing to the same canonical URL
     with an identical warc_ts must yield ONE output row (the raw-hash
