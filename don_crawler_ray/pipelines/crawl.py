@@ -40,6 +40,7 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
+from don_crawler_ray.registry import portable_scanner
 from don_crawler_ray.stages.canonicalize import (
     canonicalize_slim_stage,
     canonicalize_stage,
@@ -464,7 +465,9 @@ def run_fetch_rounds(
             fn_constructor_kwargs={
                 "members_ref": members_ref,
                 "rounds_ref": rounds_ref,
-                "scanner": scanner,
+                # driver-registered plug-in names resolve to their
+                # factory here so fresh worker registries can build them
+                "scanner": portable_scanner(scanner),
             },
             batch_format="pyarrow",
             batch_size=batch_size,
@@ -881,7 +884,7 @@ def crawl_dataset(
     ds = ds.map_batches(make_membership_filter(members), batch_format="pyarrow")
     ds = ds.map_batches(
         ExtractActor,
-        fn_constructor_kwargs={"scanner": scanner},
+        fn_constructor_kwargs={"scanner": portable_scanner(scanner)},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=extract_concurrency or default_extract_concurrency(),

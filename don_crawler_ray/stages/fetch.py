@@ -256,25 +256,41 @@ _OUTPUT_COLUMNS = [
 _EXTRACT_CACHE: dict = {}
 
 
-def make_fetch_extract_fn(members_ref, rounds_ref=None, scanner="html"):
+def make_fetch_extract_fn(members_ref, rounds_ref=None, scanner="html", scanner_key=None):
     """Task-pool variant of ``FetchExtractActor``: a plain function so
     the streaming executor FUSES read -> canonicalize -> extract ->
     write into one task per block — page bytes never touch the object
     store between stages, and there is no actor-pool cold start or
     autoscale ramp. The broadcast membership arrays resolve through the
     per-process ``_resolve_array`` cache as zero-copy read-only views of
-    the object store (same sharing as the actor's ``__init__`` fetch);
-    the scanner builds once per process via ``_EXTRACT_CACHE``. Output
-    is identical to the actor path (shared ``__call__`` body)."""
+    the object store (same sharing as the actor's ``__init__`` fetch).
+    Output is identical to the actor path (shared ``__call__`` body).
+
+    Worker construction is cached per process ONLY under a stable key:
+    the registry name for string scanners, or a caller-supplied
+    ``scanner_key`` for instance/factory scanners. A non-string scanner
+    WITHOUT a key is rebuilt per batch — each task deserializes a fresh
+    scanner object, so an ``id()``-based key would never hit and (worse)
+    a recycled id could alias a stale worker built with a different
+    scanner (ADVICE r03)."""
+    from don_crawler_ray.registry import portable_scanner
+
+    scanner = portable_scanner(scanner)  # driver side: ship plug-ins as factories
+    if isinstance(scanner, str):
+        cache_key = ("name", scanner)
+    elif scanner_key is not None:
+        cache_key = ("user", scanner_key)
+    else:
+        cache_key = None
 
     def _fn(batch: pa.Table) -> pa.Table:
-        key = (id(type(scanner)), scanner if isinstance(scanner, str) else id(scanner))
-        worker = _EXTRACT_CACHE.get(key)
+        worker = _EXTRACT_CACHE.get(cache_key) if cache_key is not None else None
         if worker is None:
             worker = FetchExtractActor(
                 np.empty(0, np.uint64), rounds_ref=None, scanner=scanner
             )
-            _EXTRACT_CACHE[key] = worker
+            if cache_key is not None:
+                _EXTRACT_CACHE[cache_key] = worker
         worker.members = _resolve_array(members_ref)
         worker.rounds = None if rounds_ref is None else _resolve_array(rounds_ref)
         return worker(batch)

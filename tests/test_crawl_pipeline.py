@@ -467,6 +467,47 @@ class TestRepoMetaFilter:
         assert c["fetched"] == len(expected)
 
 
+def test_plugin_scanner_by_name_distributed(ray_session, frontier_tiny, politeness_cfg):
+    """A user scanner registered BY NAME on the driver must work under
+    real distributed map_batches (ADVICE/VERDICT r03: a fresh worker
+    registry only self-registers builtins, so ``portable_scanner``
+    resolves the name to its factory at stage construction). The class
+    is defined locally so serialization must go by value — exactly the
+    plug-in-from-a-user-script case."""
+    from don_crawler_ray import registry
+
+    import pyarrow as pa
+
+    class UpperHtml(registry.HtmlScanner):
+        name = "upper-html"
+
+        def extract(self, batch: pa.Table) -> pa.Table:
+            out = super().extract(batch)
+            return out.set_column(
+                out.column_names.index("text"),
+                "text",
+                pc.utf8_upper(out.column("text")),
+            )
+
+    registry.register_scanner("upper-html", UpperHtml)
+    try:
+        base = {
+            r["canonical_url"]: r["text"]
+            for r in crawl_dataset(frontier_tiny, politeness_cfg).take_all()
+        }
+        got = {
+            r["canonical_url"]: r["text"]
+            for r in crawl_dataset(
+                frontier_tiny, politeness_cfg, scanner="upper-html", extract_concurrency=2
+            ).take_all()
+        }
+        assert got and set(got) == set(base)
+        for url, text in got.items():
+            assert text == base[url].upper()
+    finally:
+        registry._REGISTRY.pop("upper-html", None)
+
+
 def test_crawl_dataset_size_gate(ray_session, frontier_tiny, politeness_cfg, monkeypatch):
     """crawl_dataset materializes the schedule on the driver; a frontier
     above the gate must be rejected with a pointer to run_crawl."""

@@ -347,25 +347,44 @@ class TestAsofJoin:
 
 class TestGraphQueries:
     def test_min_label_propagation_disconnected(self, ray_session):
-        """The propagation kernel finds true components on a graph with
-        several disconnected pieces (the sf fixture happens to be fully
-        connected, so this drives a synthetic 3-component graph)."""
+        """The sharded propagation kernel finds true components on a
+        graph with several disconnected pieces (the sf fixture happens
+        to be fully connected, so this drives a synthetic 3-component
+        graph), and the per-shard representative extraction returns
+        exactly the component minima."""
         import ray
 
-        from don_crawler_ray.pipelines.queries import _min_label_propagation
+        from don_crawler_ray.stages.graph import (
+            init_labels,
+            min_label_sweeps,
+            self_labeled_ids,
+            shard_graph,
+            state_dataset,
+        )
 
-        # components: {1,2,3}, {10,11}, {20}
-        src = [1, 2, 2, 3, 10, 11, 20]
-        dst = [2, 1, 3, 2, 11, 10, 20]
+        # components: {1,2,3}, {10,11}, {20}; node 20 is isolated and
+        # enters the universe only through nodes_ds
+        src = [1, 2, 2, 3, 10, 11]
+        dst = [2, 1, 3, 2, 11, 10]
         edges = ray.data.from_arrow(
             pa.table(
                 {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
             )
         ).repartition(3)
-        node_ids = np.array(sorted(set(src) | set(dst)), dtype=np.int64)
-        labels = _min_label_propagation(edges, node_ids, iters=4)
-        got = dict(zip(node_ids.tolist(), labels.tolist()))
+        nodes = ray.data.from_arrow(
+            pa.table({"node": pa.array(sorted(set(src) | {20}), pa.int64())})
+        )
+        edge_refs, node_refs, n_nodes = shard_graph(
+            edges, n_buckets=4, nodes_ds=nodes, node_col="node"
+        )
+        assert n_nodes == 6
+        labels = min_label_sweeps(
+            edge_refs, node_refs, init_labels(node_refs), iters=8, until_fixed=True
+        )
+        out = state_dataset(node_refs, labels, "node", "label").to_pandas()
+        got = dict(zip(out.node.tolist(), out.label.tolist()))
         assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+        assert self_labeled_ids(node_refs, labels).tolist() == [1, 10, 20]
 
     def test_pagerank_mass_and_ranking(self, ray_session):
         out = _to_pandas(entrymod.queries()["pagerank_orders"](SF_DIR))
