@@ -2,9 +2,18 @@
 
 Default mode: run over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
 with ``ray.init(address="local", num_cpus=int($RAY_GRAFT_CPUS or 32))``
-and print ONE JSON line:
+and print the headline JSON line
 ``{"metric": "urls_per_sec", "value": N, "unit": "sec", "queries":
-{...per-query seconds...}, "sf": ..., "num_cpus": N}``.
+{...10 slowest, seconds...}, "sf": ..., "num_cpus": N, ...}``.
+
+Output discipline (BENCH_r03 post-mortem): the full 125-query timing
+dict made the single output line longer than the driver's tail-capture
+buffer, which keeps the END of stdout — the line's head (and the
+``metric`` key) was cut and the record's ``parsed`` came back null. So
+the FULL timings now go on their own earlier line (and to the
+``queries_file`` sidecar), and the final line is the compact headline
+(~1 KB: metric/value/crawl/digests/counters + the 10 slowest queries),
+which always survives a tail capture whole.
 
 ``--scaling``: run the headline crawl twice in FRESH processes
 (num_cpus=8 then 32) on the same deterministic frontier, verify the two
@@ -251,4 +260,18 @@ if __name__ == "__main__":
         print(json.dumps(scaling_main(args.sf_dir)))
     else:
         cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-        print(json.dumps(bench_main(args.sf_dir, cpus)))
+        res = bench_main(args.sf_dir, cpus)
+        full = res.pop("queries")
+        sidecar = "/tmp/bench_queries.json"
+        with open(sidecar, "w") as f:
+            json.dump(full, f)
+        # full timings: own line + sidecar; headline LAST and compact
+        # (tail-capture safe), carrying only the 10 slowest queries
+        print(json.dumps({"queries": full}))
+        res["queries"] = dict(
+            sorted(full.items(), key=lambda kv: kv[1], reverse=True)[:10]
+        )
+        res["queries_n"] = len(full)
+        res["queries_total_sec"] = round(sum(full.values()), 2)
+        res["queries_file"] = sidecar
+        print(json.dumps(res))

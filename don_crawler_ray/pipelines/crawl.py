@@ -305,9 +305,11 @@ def build_chunk_membership(
     return len(member_keys), member_keys, member_rounds, raw_keys
 
 
-def schedule_fragment_stats(schedule_dir: str) -> tuple[int, dict, dict]:
+def schedule_fragment_stats(schedule_dir: str) -> tuple[int | None, dict, dict]:
     """One parallel metadata pass over the schedule: returns
-    ``(max_round, status_counts, scheduled_round_counts)``.
+    ``(max_round, status_counts, scheduled_round_counts)``;
+    ``max_round`` is None when no fragment holds a scheduled row
+    (callers default it, e.g. ``max_round_present or 0``).
 
     These three aggregates each used to be a driver-side column read —
     at a 10^10-row schedule the ``round`` column alone is 40 GB of
@@ -440,13 +442,19 @@ def run_fetch_rounds(
         raw_keys = None
     members_ref = ray.put(keys)
     rounds_ref = ray.put(rounds)
-    # Read-task sizing: at real scale the 128 MiB block target dominates
-    # (rows/90k for ~1.5 KiB pages); on small inputs that quantizes to
-    # ~2 task-waves per core, idling most of the pool on the last wave —
-    # floor the task count at 4x cluster CPUs so the tail wave is short.
+    # Read-task sizing: at real scale a 128 MiB in-memory block target
+    # dominates, derived from the parquet footers' uncompressed sizes of
+    # the columns this pass actually reads (a page store with 100 KiB
+    # html rows gets ~1300 rows/task, a 1.5 KiB one ~90k — a fixed
+    # divisor would under-parallelize the former). On small inputs that
+    # quantizes to ~2 task-waves per core, idling most of the pool on
+    # the last wave — floor the task count at 4x cluster CPUs so the
+    # tail wave is short.
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    frontier_rows = _frontier_row_count(frontier_path)
-    n_blocks = max(4 * n_cpus, -(-frontier_rows // 90_000))
+    frontier_rows, frontier_bytes = _frontier_read_stats(frontier_path, FETCH_COLUMNS)
+    row_bytes = max(1, frontier_bytes // max(1, frontier_rows))
+    rows_per_block = max(1024, (128 << 20) // row_bytes)
+    n_blocks = max(4 * n_cpus, -(-frontier_rows // rows_per_block))
     ds = _read_frontier(frontier_path, FETCH_COLUMNS, override_num_blocks=n_blocks)
     # When the scheduled set covers a minority of the page store
     # (budgeted rounds / incremental crawls), drop non-members with one
@@ -491,6 +499,30 @@ def run_fetch_rounds(
     ds.write_parquet(out_dir, partition_cols=["round"], compression="zstd")
 
 
+def _hash_col_local(path: str) -> np.ndarray:
+    return (
+        pq.read_table(path, columns=["url_hash"])
+        .column("url_hash")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.uint64)
+    )
+
+
+# wrapped once per process (lazily, matching the module's in-function
+# ray imports) — an in-function ray.remote() would re-register a new
+# remote function on every committed round
+_HASH_COL_REMOTE = None
+
+
+def _hash_col_remote():
+    global _HASH_COL_REMOTE
+    if _HASH_COL_REMOTE is None:
+        import ray
+
+        _HASH_COL_REMOTE = ray.remote(_hash_col_local)
+    return _HASH_COL_REMOTE
+
+
 def _round_dir_hashes(out_dir: str, rnd: int) -> np.ndarray:
     """url_hashes actually WRITTEN for a round (column-pruned read of
     the round's output). The seen set commits these — not the scheduled
@@ -514,20 +546,11 @@ def _round_dir_hashes(out_dir: str, rnd: int) -> np.ndarray:
     if not paths:
         return np.empty(0, dtype=np.uint64)
 
-    def _hash_col_local(path: str) -> np.ndarray:
-        return (
-            pq.read_table(path, columns=["url_hash"])
-            .column("url_hash")
-            .to_numpy(zero_copy_only=False)
-            .astype(np.uint64)
-        )
-
     if sum(os.path.getsize(p) for p in paths) < _SMALL_SCHEDULE_BYTES:
         return np.concatenate([_hash_col_local(p) for p in paths])
     import ray
 
-    _hash_col = ray.remote(_hash_col_local)
-    return np.concatenate(ray.get([_hash_col.remote(p) for p in paths]))
+    return np.concatenate(ray.get([_hash_col_remote().remote(p) for p in paths]))
 
 
 def run_crawl(
@@ -755,6 +778,36 @@ def _frontier_row_count(frontier_path: str) -> int:
         if name.endswith(".parquet"):
             total += pq.ParquetFile(os.path.join(frontier_path, name)).metadata.num_rows
     return total
+
+
+def _frontier_read_stats(frontier_path: str, columns: list[str]) -> tuple[int, int]:
+    """(rows, uncompressed bytes of ``columns``) from parquet footers
+    only — the in-memory size basis for read-task sizing. Counting just
+    the columns the fetch pass reads matters: the page store's html
+    column dominates the file, so whole-file numbers would be right
+    here but wrong for any slim-column reader reusing this."""
+    paths = (
+        [frontier_path]
+        if os.path.isfile(frontier_path)
+        else [
+            os.path.join(frontier_path, n)
+            for n in os.listdir(frontier_path)
+            if n.endswith(".parquet")
+        ]
+    )
+    want = set(columns)
+    rows = 0
+    nbytes = 0
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        rows += md.num_rows
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for c in range(rg.num_columns):
+                col = rg.column(c)
+                if col.path_in_schema.split(".")[0] in want:
+                    nbytes += col.total_uncompressed_size
+    return rows, nbytes
 
 
 def seen_set_hashes(out_dir: str) -> np.ndarray:

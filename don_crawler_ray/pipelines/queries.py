@@ -9629,8 +9629,19 @@ def q_pareto_docs(sf_dir: str):
             }
         )
 
+    cand_schema = pa.schema(
+        {
+            "doc_id": pa.int64(),
+            "lang": pa.string(),
+            "n_tok": pa.int64(),
+            "n_distinct": pa.int64(),
+        }
+    )
+    # explicit schema: from_pylist on zero candidate rows would yield a
+    # zero-COLUMN table and the .column() projections below would raise
     cand = pa.Table.from_pylist(
-        ds.map_batches(local_front, batch_format="pyarrow").take_all()
+        ds.map_batches(local_front, batch_format="pyarrow").take_all(),
+        schema=cand_schema,
     )
     ids = cand.column("doc_id").to_numpy(zero_copy_only=False)
     langs = np.asarray(cand.column("lang").to_pylist(), dtype=object)
