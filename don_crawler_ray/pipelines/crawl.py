@@ -58,7 +58,6 @@ from don_crawler_ray.stages.schedule import (
     DEFAULT_N_BUCKETS,
     PolitenessConfig,
     add_salt_stage,
-    detect_hot_hosts,
     detect_hot_hosts_stratified,
     make_schedule_bucket_fn,
 )
@@ -821,14 +820,41 @@ def seen_set_hashes(out_dir: str) -> np.ndarray:
     return np.sort(np.concatenate(out)) if out else np.empty(0, np.uint64)
 
 
+def _file_text_digest(path: str) -> tuple[int, int]:
+    """(wrap-around digest sum, rows) for ONE output parquet file —
+    per-row blake2b(url|text) summed mod 2^128. The sum is commutative,
+    so per-file partials reduce to the same value in any order."""
+    import hashlib
+
+    acc = 0
+    rows = 0
+    scanner = pads.dataset(path).scanner(
+        columns=["canonical_url", "text"], batch_size=8192
+    )
+    for batch in scanner.to_batches():
+        for u, txt in zip(
+            batch.column("canonical_url").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            d = hashlib.blake2b((u + "\x00" + txt).encode(), digest_size=16).digest()
+            acc = (acc + int.from_bytes(d, "little")) % (1 << 128)
+            rows += 1
+    return acc, rows
+
+
+_FILE_DIGEST_REMOTE = None
+
+
 def crawl_digests(out_dir: str) -> dict:
     """Determinism artifacts: sorted seen-set hash + an ORDER-INSENSITIVE
     per-row text digest (wrap-around sum of per-row blake2b(url|text)
-    words). Streaming file-by-file — never concatenates the output (a
-    single-chunk string column overflows arrow's 2 GiB offset limit at
-    multi-million-row rounds). Equal digests at any parallelism are the
-    north-rule evidence of identical crawl output; surfaced per run by
-    ``bench.py`` and the ``crawl_counters`` query."""
+    words). Per-FILE partials fan out as Ray tasks (the blake2b row loop
+    was a serial driver tail that grew with output size; the commutative
+    sum makes the parallel reduce byte-identical) and never concatenate
+    the output (a single-chunk string column overflows arrow's 2 GiB
+    offset limit at multi-million-row rounds). Equal digests at any
+    parallelism are the north-rule evidence of identical crawl output;
+    surfaced per run by ``bench.py`` and the ``crawl_counters`` query."""
     import hashlib
 
     seen = seen_set_hashes(out_dir)
@@ -836,22 +862,28 @@ def crawl_digests(out_dir: str) -> dict:
     h.update(np.ascontiguousarray(seen).tobytes())
     seen_digest = h.hexdigest()
 
-    acc = 0
-    rows = 0
+    paths = []
     for name in sorted(os.listdir(out_dir)):
         if not name.startswith("round="):
             continue
-        scanner = pads.dataset(os.path.join(out_dir, name)).scanner(
-            columns=["canonical_url", "text"], batch_size=8192
+        round_dir = os.path.join(out_dir, name)
+        paths.extend(
+            os.path.join(round_dir, f)
+            for f in sorted(os.listdir(round_dir))
+            if f.endswith(".parquet")
         )
-        for batch in scanner.to_batches():
-            for u, txt in zip(
-                batch.column("canonical_url").to_pylist(),
-                batch.column("text").to_pylist(),
-            ):
-                d = hashlib.blake2b((u + "\x00" + txt).encode(), digest_size=16).digest()
-                acc = (acc + int.from_bytes(d, "little")) % (1 << 128)
-                rows += 1
+
+    import ray
+
+    if len(paths) > 1 and ray.is_initialized():
+        global _FILE_DIGEST_REMOTE
+        if _FILE_DIGEST_REMOTE is None:
+            _FILE_DIGEST_REMOTE = ray.remote(_file_text_digest)
+        partials = ray.get([_FILE_DIGEST_REMOTE.remote(p) for p in paths])
+    else:
+        partials = [_file_text_digest(p) for p in paths]
+    acc = sum(a for a, _ in partials) % (1 << 128)
+    rows = sum(r for _, r in partials)
     return {"seen_digest": seen_digest, "text_digest": f"{acc:032x}", "rows": rows}
 
 

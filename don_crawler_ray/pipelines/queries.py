@@ -3695,6 +3695,7 @@ JACCARD_TAU = 0.5
 JACCARD_NGRAM = 4
 
 _JACCARD_CACHE: dict = {}
+_JACCARD_STATS: dict = {}  # sf_dir -> candidate-pair count of last build
 
 
 def _attach_pair_texts(sf_dir: str, pairs_ds, n_pairs: int):
@@ -3763,23 +3764,73 @@ def _attach_pair_texts(sf_dir: str, pairs_ds, n_pairs: int):
     ).rename_columns({"text": "text_b"})
 
 
-def _jaccard_pairs_table(sf_dir: str) -> pa.Table:
-    """Verified exact-Jaccard near-dup pairs, memoized per process (the
-    clustering query reuses them — the ``_purchase_graph`` pattern).
+_JACCARD_DF_BITS = 18  # DF sketch size: 2^18 counters = 2 MiB broadcast
+
+
+def _jaccard_df_sketch(ds) -> np.ndarray:
+    """Global document-frequency SKETCH for frequency-ordered PPJoin
+    prefixes: a fixed 2^18-counter array where counter ``h & mask``
+    sums the document frequencies of every shingle hashing there. One
+    streaming pass of per-batch sparse (bucket, count) partials merged
+    with ``np.add.at`` on the driver — the merged array is CONSTANT
+    size regardless of corpus scale, so it broadcasts like the ranges
+    config (``ray.put`` once). Collisions only blur the frequency
+    ESTIMATE; any fixed total order keeps the prefix lemma exact."""
+    from don_crawler_ray.functions.dedup import fnv1a64, word_ngrams
+
+    mask = (1 << _JACCARD_DF_BITS) - 1
+    n = JACCARD_NGRAM
+
+    def part(batch: pa.Table) -> pa.Table:
+        counts = np.zeros(1 << _JACCARD_DF_BITS, np.int64)
+        for t in batch.column("text").to_pylist():
+            grams = word_ngrams(t, n)
+            if not grams:
+                continue
+            buckets = np.fromiter(
+                (fnv1a64(g) & mask for g in grams), np.int64, len(grams)
+            )
+            counts[buckets] += 1
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "n": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    df = np.zeros(1 << _JACCARD_DF_BITS, np.int64)
+    for b in ds.map_batches(part, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        np.add.at(
+            df,
+            b.column("bucket").to_numpy(zero_copy_only=False),
+            b.column("n").to_numpy(zero_copy_only=False),
+        )
+    return df
+
+
+def _jaccard_pairs_build(sf_dir: str, freq_order: bool = True):
+    """Build verified exact-Jaccard near-dup pairs; returns
+    ``(pairs_table, n_candidates)``.
 
     Candidate generation is the distributed PPJoin prefix filter:
 
     1. per document, the distinct word-2gram set S and its
-       ``prefix_length(|S|, tau)`` smallest shingles under a global
-       (fnv1a64, shingle) total order — a HASH order, so no global
-       document-frequency pass is needed and exactness is unaffected
-       (any fixed total order satisfies the prefix lemma). At heavy
-       skew, frequency order (rare shingles first) shrinks candidate
-       buckets — that optimization needs a DF sketch broadcast and is
-       documented, not implemented;
-    2. only ``(shingle_hash, doc_id)`` rides the shuffle (the slim-band
+       ``prefix_length(|S|, tau)`` smallest shingles under a GLOBAL
+       total order. Default order is (document frequency, hash) —
+       rarest shingles first, from a constant-size DF sketch broadcast
+       (``_jaccard_df_sketch``): on heavy-duplication corpora the
+       prefix shingles land in small buckets, shrinking the quadratic
+       candidate step (PPJoin, Xiao et al., WWW 2008). With
+       ``freq_order=False`` the order is plain (fnv1a64, shingle) hash
+       order and no DF pass runs. Either way the order is a fixed
+       total order, so the prefix lemma holds and exactness is
+       unaffected;
+    2. only ``(order_key, doc_id)`` rides the shuffle (the slim-band
        MinHash contract) through a 256-way int bucket exchange; pairs
-       are generated per sorted hash segment — every J >= tau pair
+       are generated per sorted key segment — every J >= tau pair
        shares a prefix shingle, so recall is exactly 1;
     3. packed-int64 pair dedup in a second bucket kernel (never a
        per-pair groupby aggregate — BASELINE.md round-3 tuning);
@@ -3787,16 +3838,24 @@ def _jaccard_pairs_table(sf_dir: str) -> pa.Table:
        (string 2-grams, no hashing — hash collisions can only add
        candidates in step 2, never pairs here).
     """
-    cached = _JACCARD_CACHE.get(sf_dir)
-    if cached is not None:
-        return cached
+    import ray
 
     from don_crawler_ray.functions.dedup import fnv1a64, prefix_length, word_ngrams
 
     tau, n = JACCARD_TAU, JACCARD_NGRAM
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
 
+    df_ref = None
+    if freq_order:
+        df_ref = ray.put(_jaccard_df_sketch(ds))
+    mask = (1 << _JACCARD_DF_BITS) - 1
+
     def prefixes(batch: pa.Table) -> pa.Table:
+        df = None
+        if df_ref is not None:
+            from don_crawler_ray.stages.fetch import _resolve_array
+
+            df = _resolve_array(df_ref)
         ids_out: list[int] = []
         tok_out: list[int] = []
         for d, t in zip(
@@ -3806,8 +3865,14 @@ def _jaccard_pairs_table(sf_dir: str) -> pa.Table:
             if not grams:
                 continue
             p = prefix_length(len(grams), tau)
-            ordered = sorted(((fnv1a64(g), g) for g in grams))[:p]
-            for h, _g in ordered:
+            if df is None:
+                ordered = sorted(fnv1a64(g) for g in grams)[:p]
+            else:
+                hs = [fnv1a64(g) for g in grams]
+                # rarest-first under the frozen sketch; hash breaks ties
+                # — a fixed global total order either way
+                ordered = [h for h in sorted(hs, key=lambda h: (df[h & mask], h))[:p]]
+            for h in ordered:
                 ids_out.append(d)
                 tok_out.append(h - (1 << 63))  # uint64 -> int64 shift (order-preserving)
         return pa.table(
@@ -3884,7 +3949,8 @@ def _jaccard_pairs_table(sf_dir: str) -> pa.Table:
             }
         )
 
-    with_texts = _attach_pair_texts(sf_dir, pairs_ds, pairs_ds.count())
+    n_candidates = pairs_ds.count()
+    with_texts = _attach_pair_texts(sf_dir, pairs_ds, n_candidates)
     verified = pa.Table.from_pylist(
         with_texts.map_batches(verify, batch_format="pyarrow").take_all()
     )
@@ -3896,9 +3962,22 @@ def _jaccard_pairs_table(sf_dir: str) -> pa.Table:
                 "jaccard": pa.array([], pa.float64()),
             }
         )
-    verified = verified.select(["a", "b", "jaccard"])
+    return verified.select(["a", "b", "jaccard"]), n_candidates
+
+
+def _jaccard_pairs_table(sf_dir: str) -> pa.Table:
+    """Verified exact-Jaccard near-dup pairs (``_jaccard_pairs_build``
+    with frequency-ordered prefixes), memoized per process — the
+    clustering query reuses them (the ``_purchase_graph`` pattern).
+    The candidate count of the last build is kept in
+    ``_JACCARD_STATS[sf_dir]`` for bench/tests."""
+    cached = _JACCARD_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    verified, n_candidates = _jaccard_pairs_build(sf_dir, freq_order=True)
     _JACCARD_CACHE.clear()
     _JACCARD_CACHE[sf_dir] = verified
+    _JACCARD_STATS[sf_dir] = n_candidates
     return verified
 
 

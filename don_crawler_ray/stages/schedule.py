@@ -458,38 +458,6 @@ def make_schedule_group_fn(config: PolitenessConfig, n_salts: int, hot_hosts: fr
     return schedule_group
 
 
-def detect_hot_hosts(ds, threshold_fraction: float = 0.05, sample_limit: int = 200_000) -> frozenset[str]:
-    """Cheap hot-host detection: partial per-batch host counts merged on
-    the driver (partial-aggregation pattern — no shuffle of the input).
-
-    A host holding more than ``threshold_fraction`` of sampled rows is
-    salted. Deterministic for a deterministic input sample prefix.
-    """
-    import collections
-
-    sample = ds.limit(sample_limit)
-
-    def _counts(batch: pa.Table) -> pa.Table:
-        vc = pc.value_counts(batch.column("host_key"))
-        return pa.table(
-            {
-                "host_key": vc.field("values"),
-                "n": pc.cast(vc.field("counts"), pa.int64()),
-            }
-        )
-
-    from don_crawler_ray.functions.urlnorm import reverse_host
-
-    partials = sample.map_batches(_counts, batch_format="pyarrow").take_all()
-    totals: collections.Counter = collections.Counter()
-    for row in partials:
-        totals[row["host_key"]] += row["n"]
-    grand = sum(totals.values()) or 1
-    return frozenset(
-        reverse_host(k) for k, n in totals.items() if n / grand >= threshold_fraction
-    )
-
-
 def detect_hot_hosts_stratified(
     frontier_path: str,
     threshold_fraction: float = 0.05,
@@ -497,10 +465,11 @@ def detect_hot_hosts_stratified(
 ) -> frozenset[str]:
     """Stratified hot-host detection over the WHOLE frontier file set.
 
-    ``detect_hot_hosts`` samples a row prefix (``ds.limit``), so a
-    mega-host concentrated in later input files escapes salting and the
-    ``MAX_SEGMENT_ROWS`` guard aborts the crawl (VERDICT r02 item 5).
-    This variant selects row groups EVENLY SPACED across the global
+    A row-PREFIX sample (``ds.limit``, the removed first-cut detector)
+    misses a mega-host concentrated in later input files, so it escapes
+    salting and the ``MAX_SEGMENT_ROWS`` guard aborts the crawl
+    (VERDICT r02 item 5). This detector selects row groups EVENLY
+    SPACED across the global
     (file, row_group) list — a metadata-only decision, so the selection
     (and therefore the detected set) is byte-deterministic at any
     parallelism — and counts every row of each selected group with one

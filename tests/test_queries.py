@@ -465,6 +465,63 @@ class TestGraphQueries:
         assert found == truth
         assert len(truth) >= 40  # the fixture really is duplicate-heavy
 
+    def test_frequency_ordered_prefixes_shrink_candidates(
+        self, ray_session, tmp_path
+    ):
+        """VERDICT r03 #6: on a boilerplate-heavy corpus (every doc
+        shares a high-DF template; near-dups share rare content),
+        frequency-ordered prefixes must produce the SAME verified pair
+        set as hash-ordered prefixes while generating strictly fewer
+        candidates — hash order puts shared boilerplate shingles in
+        every prefix, exploding the buckets."""
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.functions.dedup import word_ngrams
+        from don_crawler_ray.pipelines import queries as qmod
+
+        rng = np.random.default_rng(7)
+        boiler = " ".join(f"b{i:02d}" for i in range(30))  # in EVERY doc
+        ids, texts = [], []
+        for base in range(40):
+            uniq = [f"u{base:02d}x{i:02d}" for i in range(30)]
+            ids.append(2 * base)
+            texts.append(boiler + " " + " ".join(uniq))
+            mut = list(uniq)
+            mut[int(rng.integers(0, 30))] = f"m{base:02d}"
+            ids.append(2 * base + 1)
+            texts.append(boiler + " " + " ".join(mut))
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts}),
+            str(tmp_path / "documents.parquet"),
+        )
+
+        hash_pairs, hash_cands = qmod._jaccard_pairs_build(
+            str(tmp_path), freq_order=False
+        )
+        freq_pairs, freq_cands = qmod._jaccard_pairs_build(
+            str(tmp_path), freq_order=True
+        )
+
+        def pairset(t):
+            return {
+                (min(a, b), max(a, b))
+                for a, b in zip(t.column("a").to_pylist(), t.column("b").to_pylist())
+            }
+
+        sets = {d: set(word_ngrams(t, qmod.JACCARD_NGRAM)) for d, t in zip(ids, texts)}
+        truth = set()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = ids[i], ids[j]
+                inter = len(sets[a] & sets[b])
+                if inter and inter / (len(sets[a]) + len(sets[b]) - inter) >= 0.5:
+                    truth.add((min(a, b), max(a, b)))
+
+        assert pairset(freq_pairs) == pairset(hash_pairs) == truth
+        assert len(truth) >= 40  # every (base, mutated) pair is a near-dup
+        # the point of the optimization: candidate buckets collapse
+        assert freq_cands < hash_cands / 2, (freq_cands, hash_cands)
+
     def test_dedup_clusters_consistent_with_pairs(self, ray_session):
         clusters = _to_pandas(entrymod.queries()["dedup_clusters"](SF_DIR))
         pairs = _to_pandas(entrymod.queries()["jaccard_pairs"](SF_DIR))
