@@ -11,11 +11,12 @@ The reference keeps two auth tokens alive across calls:
 
 The engine reproduces the CACHE semantics with the transport injected:
 ``fetch`` returns ``(token, expires_at_ms)`` however the deployment
-obtains one (the JWT signing / PEM parsing of M24/M25 belongs inside
-that callable and stays out of scope here — no network or crypto in
-this sandbox). Both classes are designed to be constructed once per
-extract/fetch actor in ``__init__`` (the ST8 held-client seam,
-``stages/fetch.py``), exactly like scanner construction.
+obtains one. The JWT signing / PEM parsing of M24/M25 live in
+``functions/jwtauth.py`` — ``jwt_token_source`` builds a ``fetch`` for
+this cache from an app id + PEM key, pure Python, no network. Both
+classes are designed to be constructed once per extract/fetch actor in
+``__init__`` (the ST8 held-client seam, ``stages/fetch.py``), exactly
+like scanner construction.
 """
 
 from __future__ import annotations
