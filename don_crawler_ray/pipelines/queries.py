@@ -9853,3 +9853,66 @@ SQL_HRW_SHARDS = _build_hrw_sql()
 
 QUERIES.update({"hrw_shards": q_hrw_shards})
 ORACLE_SQL.update({"hrw_shards": SQL_HRW_SHARDS})
+
+
+def q_repetition_ratio(sf_dir: str):
+    """Intra-document REPETITION quality signal (the duplicate-n-gram
+    fraction of Gopher's rule set, Rae et al. 2021 §A1.1): per document,
+    total vs distinct word-3-gram counts and the duplicate fraction in
+    integer basis points — ``((total - distinct) * 10000) // total`` —
+    so the value is bit-exact against the SQL oracle (no float ratio).
+    Boilerplate-stuffed machine text scores high; natural prose low.
+
+    Scale shape: one streaming pass, a per-row string kernel inside
+    ``map_batches`` emitting three ints per doc — no shuffle, no state.
+    Documents with fewer than 3 tokens have no 3-grams and are dropped
+    (same predicate in the oracle)."""
+    N = 3
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        total = np.empty(len(ids), np.int64)
+        distinct = np.empty(len(ids), np.int64)
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            toks = t.split()
+            n_tot = max(0, len(toks) - N + 1)
+            total[i] = n_tot
+            if n_tot:
+                distinct[i] = len(
+                    {" ".join(toks[j : j + N]) for j in range(n_tot)}
+                )
+            else:
+                distinct[i] = 0
+        keep = total > 0
+        tt, dd = total[keep], distinct[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep].astype(np.int64), pa.int64()),
+                "n_ngrams": pa.array(tt, pa.int64()),
+                "n_distinct": pa.array(dd, pa.int64()),
+                "dup_bp": pa.array(((tt - dd) * 10000) // tt, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(rep, batch_format="pyarrow")
+
+
+SQL_REPETITION_RATIO = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS gs
+  FROM toks WHERE len(t) >= 3)
+SELECT doc_id,
+       CAST(len(gs) AS BIGINT) AS n_ngrams,
+       CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+       CAST(((len(gs) - len(list_distinct(gs))) * 10000) // len(gs) AS BIGINT) AS dup_bp
+FROM g
+"""
+
+QUERIES.update({"repetition_ratio": q_repetition_ratio})
+ORACLE_SQL.update({"repetition_ratio": SQL_REPETITION_RATIO})
