@@ -507,19 +507,20 @@ def _hash_col_local(path: str) -> np.ndarray:
     )
 
 
-# wrapped once per process (lazily, matching the module's in-function
-# ray imports) — an in-function ray.remote() would re-register a new
-# remote function on every committed round
-_HASH_COL_REMOTE = None
+_REMOTE_CACHE: dict = {}
 
 
-def _hash_col_remote():
-    global _HASH_COL_REMOTE
-    if _HASH_COL_REMOTE is None:
+def _lazy_remote(fn):
+    """``ray.remote(fn)`` wrapped once per process (lazily, matching
+    the module's in-function ray imports) — an in-function
+    ``ray.remote()`` would re-register a new remote function on every
+    call (e.g. once per committed round)."""
+    got = _REMOTE_CACHE.get(fn)
+    if got is None:
         import ray
 
-        _HASH_COL_REMOTE = ray.remote(_hash_col_local)
-    return _HASH_COL_REMOTE
+        got = _REMOTE_CACHE[fn] = ray.remote(fn)
+    return got
 
 
 def _round_dir_hashes(out_dir: str, rnd: int) -> np.ndarray:
@@ -549,7 +550,9 @@ def _round_dir_hashes(out_dir: str, rnd: int) -> np.ndarray:
         return np.concatenate([_hash_col_local(p) for p in paths])
     import ray
 
-    return np.concatenate(ray.get([_hash_col_remote().remote(p) for p in paths]))
+    return np.concatenate(
+        ray.get([_lazy_remote(_hash_col_local).remote(p) for p in paths])
+    )
 
 
 def run_crawl(
@@ -842,9 +845,6 @@ def _file_text_digest(path: str) -> tuple[int, int]:
     return acc, rows
 
 
-_FILE_DIGEST_REMOTE = None
-
-
 def crawl_digests(out_dir: str) -> dict:
     """Determinism artifacts: sorted seen-set hash + an ORDER-INSENSITIVE
     per-row text digest (wrap-around sum of per-row blake2b(url|text)
@@ -876,10 +876,7 @@ def crawl_digests(out_dir: str) -> dict:
     import ray
 
     if len(paths) > 1 and ray.is_initialized():
-        global _FILE_DIGEST_REMOTE
-        if _FILE_DIGEST_REMOTE is None:
-            _FILE_DIGEST_REMOTE = ray.remote(_file_text_digest)
-        partials = ray.get([_FILE_DIGEST_REMOTE.remote(p) for p in paths])
+        partials = ray.get([_lazy_remote(_file_text_digest).remote(p) for p in paths])
     else:
         partials = [_file_text_digest(p) for p in paths]
     acc = sum(a for a, _ in partials) % (1 << 128)

@@ -3695,7 +3695,6 @@ JACCARD_TAU = 0.5
 JACCARD_NGRAM = 4
 
 _JACCARD_CACHE: dict = {}
-_JACCARD_STATS: dict = {}  # sf_dir -> candidate-pair count of last build
 
 
 def _attach_pair_texts(sf_dir: str, pairs_ds, n_pairs: int):
@@ -3847,7 +3846,14 @@ def _jaccard_pairs_build(sf_dir: str, freq_order: bool = True):
 
     df_ref = None
     if freq_order:
-        df_ref = ray.put(_jaccard_df_sketch(ds))
+        # the sketch pass gets its OWN single-column read — re-consuming
+        # ``ds`` would re-run the full two-column read AND the
+        # repartition shuffle (full text both times); a fresh text-only
+        # read is the cheaper second pass and the scale-correct choice
+        # over materializing the corpus into the object store
+        df_ref = ray.put(
+            _jaccard_df_sketch(_read(sf_dir, "documents", columns=["text"]))
+        )
     mask = (1 << _JACCARD_DF_BITS) - 1
 
     def prefixes(batch: pa.Table) -> pa.Table:
@@ -3968,16 +3974,13 @@ def _jaccard_pairs_build(sf_dir: str, freq_order: bool = True):
 def _jaccard_pairs_table(sf_dir: str) -> pa.Table:
     """Verified exact-Jaccard near-dup pairs (``_jaccard_pairs_build``
     with frequency-ordered prefixes), memoized per process — the
-    clustering query reuses them (the ``_purchase_graph`` pattern).
-    The candidate count of the last build is kept in
-    ``_JACCARD_STATS[sf_dir]`` for bench/tests."""
+    clustering query reuses them (the ``_purchase_graph`` pattern)."""
     cached = _JACCARD_CACHE.get(sf_dir)
     if cached is not None:
         return cached
-    verified, n_candidates = _jaccard_pairs_build(sf_dir, freq_order=True)
+    verified, _n_candidates = _jaccard_pairs_build(sf_dir, freq_order=True)
     _JACCARD_CACHE.clear()
     _JACCARD_CACHE[sf_dir] = verified
-    _JACCARD_STATS[sf_dir] = n_candidates
     return verified
 
 

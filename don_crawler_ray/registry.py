@@ -287,22 +287,31 @@ register_scanner("gitlab", GitLabScanner)
 register_scanner("bitbucket", BitbucketScanner)
 register_scanner("auto", AutoScanner)
 
-# names every worker process re-registers at module import; anything
-# else in _REGISTRY exists only in the process that registered it
+# the factories every worker process re-registers at module import;
+# anything else in _REGISTRY (new names OR overrides of these names)
+# exists only in the process that registered it
 BUILTIN_SCANNERS = frozenset(_REGISTRY)
+_BUILTIN_FACTORIES = dict(_REGISTRY)
 
 
 def portable_scanner(scanner):
     """Make a ``scanner=`` stage argument safe to ship to WORKERS.
 
-    Builtin names pass through (workers self-register them at import).
-    A NON-builtin name registered on the driver via
-    ``register_scanner()`` would raise KeyError inside a fresh worker
-    registry, so it is resolved HERE (driver side) to its registered
-    factory, which Ray then serializes into the stage like any
-    instance/factory argument (ADVICE r03 #1). Unregistered names fall
-    through unchanged so ``resolve_scanner`` raises its usual KeyError
-    with the registered-name list. Call at stage-construction time."""
-    if isinstance(scanner, str) and scanner not in BUILTIN_SCANNERS and scanner in _REGISTRY:
+    A name whose driver-side registration IS the import-time builtin
+    passes through (workers self-register it identically). Anything
+    else the driver registered — a new name, or a user plug-in
+    REPLACING a builtin name (``register_scanner`` documents
+    latest-wins) — would resolve differently (or KeyError) inside a
+    fresh worker registry, so it is resolved HERE (driver side) to its
+    registered factory, which Ray then serializes into the stage like
+    any instance/factory argument (ADVICE r03 #1). Unregistered names
+    fall through unchanged so ``resolve_scanner`` raises its usual
+    KeyError with the registered-name list. Call at stage-construction
+    time."""
+    if (
+        isinstance(scanner, str)
+        and scanner in _REGISTRY
+        and _REGISTRY[scanner] is not _BUILTIN_FACTORIES.get(scanner)
+    ):
         return _REGISTRY[scanner]
     return scanner

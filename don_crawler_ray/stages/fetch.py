@@ -267,7 +267,10 @@ def make_fetch_extract_fn(members_ref, rounds_ref=None, scanner="html", scanner_
     Output is identical to the actor path (shared ``__call__`` body).
 
     Worker construction is cached per process ONLY under a stable key:
-    the registry name for string scanners, or a caller-supplied
+    for string scanners, the PRE-resolution registry name plus the
+    resolved factory's qualname (so plug-in names keep their per-process
+    cache, and re-registering a name with a different factory class
+    misses instead of aliasing a stale worker); or a caller-supplied
     ``scanner_key`` for instance/factory scanners. A non-string scanner
     WITHOUT a key is rebuilt per batch — each task deserializes a fresh
     scanner object, so an ``id()``-based key would never hit and (worse)
@@ -275,9 +278,11 @@ def make_fetch_extract_fn(members_ref, rounds_ref=None, scanner="html", scanner_
     scanner (ADVICE r03)."""
     from don_crawler_ray.registry import portable_scanner
 
+    name = scanner if isinstance(scanner, str) else None
     scanner = portable_scanner(scanner)  # driver side: ship plug-ins as factories
-    if isinstance(scanner, str):
-        cache_key = ("name", scanner)
+    if name is not None:
+        resolved = "" if scanner is name else getattr(scanner, "__qualname__", "")
+        cache_key = ("name", name, resolved)
     elif scanner_key is not None:
         cache_key = ("user", scanner_key)
     else:

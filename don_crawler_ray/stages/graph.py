@@ -198,13 +198,35 @@ def _pr_phase1(edge_shard, node_shard, ranks, n_buckets, d_num, d_den):
     return tuple(out) if n_buckets > 1 else out[0]
 
 
+def _locate(node_ids: np.ndarray, nodes: np.ndarray) -> np.ndarray:
+    """Positions of ``nodes`` in the sorted shard universe — and the
+    guard that keeps a violated precondition LOUD: a destination node
+    that is no edge source and not in ``nodes_ds`` lands in no node
+    shard, and a bare ``searchsorted`` would silently credit its
+    rank/label to a neighboring node (or raise IndexError at the shard
+    edge)."""
+    idx = np.searchsorted(node_ids, nodes)
+    if len(node_ids) == 0:
+        bad = np.ones(len(nodes), bool)
+    else:
+        bad = (idx >= len(node_ids)) | (node_ids[np.minimum(idx, len(node_ids) - 1)] != nodes)
+    if bad.any():
+        raise ValueError(
+            f"destination node(s) {nodes[bad][:5].tolist()} are in no node "
+            "shard — symmetrize the edge list or pass every node via "
+            "nodes_ds (shard_graph builds the node universe from edge "
+            "SOURCES plus nodes_ds)"
+        )
+    return idx
+
+
 @ray.remote
 def _pr_phase2(node_shard, base: int, *partials):
     node_ids, _ = node_shard
     new = np.full(len(node_ids), base, np.int64)
     for nodes, sums in partials:
         if len(nodes):
-            np.add.at(new, np.searchsorted(node_ids, nodes), sums)
+            np.add.at(new, _locate(node_ids, nodes), sums)
     return new
 
 
@@ -275,7 +297,7 @@ def _ml_phase2(node_shard, labels, *partials):
     new = labels.copy()
     for nodes, mins in partials:
         if len(nodes):
-            np.minimum.at(new, np.searchsorted(node_ids, nodes), mins)
+            np.minimum.at(new, _locate(node_ids, nodes), mins)
     return new, bool(not np.array_equal(new, labels))
 
 

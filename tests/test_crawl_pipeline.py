@@ -507,6 +507,23 @@ def test_plugin_scanner_by_name_distributed(ray_session, frontier_tiny, politene
     finally:
         registry._REGISTRY.pop("upper-html", None)
 
+    # a user plug-in REPLACING a builtin name (latest-wins contract)
+    # must also reach workers — shipping the bare name would silently
+    # run the builtin from the worker's fresh registry
+    registry.register_scanner("html", UpperHtml)
+    try:
+        overridden = {
+            r["canonical_url"]: r["text"]
+            for r in crawl_dataset(
+                frontier_tiny, politeness_cfg, scanner="html", extract_concurrency=2
+            ).take_all()
+        }
+        assert set(overridden) == set(base)
+        for url, text in overridden.items():
+            assert text == base[url].upper()
+    finally:
+        registry._REGISTRY["html"] = registry._BUILTIN_FACTORIES["html"]
+
 
 def test_crawl_dataset_size_gate(ray_session, frontier_tiny, politeness_cfg, monkeypatch):
     """crawl_dataset materializes the schedule on the driver; a frontier

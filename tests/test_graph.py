@@ -60,6 +60,25 @@ class TestShardGraph:
         with pytest.raises(ValueError, match="n_buckets"):
             shard_graph(_edges_ds([(1, 2), (2, 1)]), n_buckets=1)
 
+    def test_dst_outside_node_universe_is_loud(self, ray_session):
+        """A non-symmetrized edge list whose dst never appears as a
+        source (and no nodes_ds) violates the node-universe
+        precondition; the sweep must raise, not silently credit the
+        rank to a neighboring node."""
+        import ray
+
+        # node 9 is dst-only: in no node shard
+        edge_refs, node_refs, _ = shard_graph(
+            _edges_ds([(1, 9), (2, 1), (1, 2)]), n_buckets=2
+        )
+        with pytest.raises(
+            (ValueError, ray.exceptions.RayTaskError), match="node"
+        ):
+            labels = min_label_sweeps(
+                edge_refs, node_refs, init_labels(node_refs), iters=1
+            )
+            ray.get(labels)
+
 
 class TestPagerank:
     def test_hand_computed_two_node_cycle(self, ray_session):
