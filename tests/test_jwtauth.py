@@ -231,3 +231,42 @@ class TestSignAndJwt:
         tok2, _ = provider.token()
         assert tok2 != tok1
         assert provider.fetch_count == 2
+
+
+class TestParserFuzz:
+    """The parser's error contract: arbitrary garbage — free text or
+    valid PEM wrapping random DER bytes — raises KeyParseError, never
+    IndexError/UnboundLocalError/etc."""
+
+    def test_garbage_text(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.text(max_size=200))
+        def check(raw):
+            with pytest.raises(KeyParseError):
+                parse_rsa_private_key(raw)
+
+        check()
+
+    def test_garbage_der_in_valid_pem(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            st.binary(max_size=120),
+            st.sampled_from(["RSA PRIVATE KEY", "PRIVATE KEY"]),
+        )
+        def check(der, block_type):
+            with pytest.raises(KeyParseError):
+                parse_rsa_private_key(_pem(block_type, der))
+
+        check()
+
+    def test_truncated_real_key(self):
+        der = _pkcs1_der(KEY)
+        for cut in (1, 7, len(der) // 2, len(der) - 1):
+            with pytest.raises(KeyParseError):
+                parse_rsa_private_key(_pem("RSA PRIVATE KEY", der[:cut]))
