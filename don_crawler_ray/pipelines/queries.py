@@ -9919,3 +9919,126 @@ FROM g
 
 QUERIES.update({"repetition_ratio": q_repetition_ratio})
 ORACLE_SQL.update({"repetition_ratio": SQL_REPETITION_RATIO})
+
+
+KMV_K = 64
+
+
+def q_kmv_distinct_daily(sf_dir: str):
+    """Per-day KMV (k-minimum-values) distinct sketch — the ORDER
+    STATISTIC alternative to HLL (Bar-Yossef et al. 2002): keep the K
+    smallest distinct splitmix64(user_id) hashes per day; the K-th
+    smallest estimates distinct count as ``(K-1) * 2^64 // kth``
+    (integer arithmetic — bit-exact against the SQL oracle), and a day
+    with fewer than K distinct users reports its exact count. Unlike
+    HLL's fixed registers, KMV sketches also support set INTERSECTION
+    estimates, which is why curation pipelines carry both.
+
+    Scale shape: per-batch partials are each day's <= K smallest
+    distinct hashes (bounded rows per block regardless of batch size);
+    the union of per-batch K-minima contains the global K minima, so
+    one driver merge over the bounded partials finishes — the HLL /
+    ``_label_centroids`` mergeable-sketch contract."""
+    from don_crawler_ray.functions.dedup import _mix64
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        user = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        day = (
+            pc.floor_temporal(batch.column("ts"), unit="day")
+            .to_numpy(zero_copy_only=False)
+            .view(np.int64)
+        )
+        hv = _mix64(user)
+        order = np.lexsort((hv, day))
+        day, hv = day[order], hv[order]
+        uniq = np.ones(len(day), bool)
+        uniq[1:] = (day[1:] != day[:-1]) | (hv[1:] != hv[:-1])
+        day, hv = day[uniq], hv[uniq]
+        starts = np.flatnonzero(np.r_[True, day[1:] != day[:-1]]) if len(day) else np.empty(0, np.int64)
+        keep = np.zeros(len(day), bool)
+        ends = np.r_[starts[1:], len(day)]
+        for s, e in zip(starts, ends):  # <= days-per-batch iterations
+            keep[s : min(s + KMV_K, e)] = True
+        return pa.table(
+            {
+                "day": pa.array(day[keep], pa.int64()),
+                "hv": pa.array(hv[keep].view(np.int64), pa.int64()),
+            }
+        )
+
+    days_l, hvs_l = [], []
+    for b in ds.map_batches(part, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        days_l.append(b.column("day").to_numpy(zero_copy_only=False))
+        hvs_l.append(b.column("hv").to_numpy(zero_copy_only=False))
+    if days_l:
+        day = np.concatenate(days_l)
+        hv = np.concatenate(hvs_l).view(np.uint64)
+    else:
+        day, hv = np.empty(0, np.int64), np.empty(0, np.uint64)
+    order = np.lexsort((hv, day))
+    day, hv = day[order], hv[order]
+    uniq = np.ones(len(day), bool)
+    uniq[1:] = (day[1:] != day[:-1]) | (hv[1:] != hv[:-1])
+    day, hv = day[uniq], hv[uniq]
+    starts = np.flatnonzero(np.r_[True, day[1:] != day[:-1]]) if len(day) else np.empty(0, np.int64)
+    ends = np.r_[starts[1:], len(day)]
+    out_day, out_n, out_est = [], [], []
+    cap = 1 << 62  # identical clamp on both sides (degenerate tiny kth)
+    for s, e in zip(starts, ends):
+        n = int(min(KMV_K, e - s))
+        if n < KMV_K:
+            est = n
+        else:
+            kth = int(hv[s + KMV_K - 1])
+            est = min(((KMV_K - 1) << 64) // max(kth, 1), cap)
+        out_day.append(int(day[s]))
+        out_n.append(n)
+        out_est.append(est)
+    return pa.table(
+        {
+            "day": pa.array(np.array(out_day, np.int64).view("datetime64[us]")),
+            "n_sketch": pa.array(out_n, pa.int64()),
+            "est_distinct": pa.array(out_est, pa.int64()),
+        }
+    )
+
+
+def _build_kmv_sql(k: int = 64) -> str:
+    m64 = 1 << 64
+    c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(z, c):
+        zh = f"(CAST({z} AS HUGEINT) >> 32)"
+        zl = f"(CAST({z} AS HUGEINT) & 4294967295)"
+        return (
+            f"CAST(((({zh} * {c}) % 4294967296) * 4294967296 + {zl} * {c})"
+            f" % {m64} AS UBIGINT)"
+        )
+
+    return f"""
+WITH u AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id FROM events),
+ma AS (SELECT day, CAST((CAST(user_id AS HUGEINT) + {c1}) % {m64} AS UBIGINT) AS z FROM u),
+mb AS (SELECT day, {mulmod('xor(z, z >> 30)', c2)} AS z FROM ma),
+mc AS (SELECT day, {mulmod('xor(z, z >> 27)', c3)} AS z FROM mb),
+md AS (SELECT day, xor(z, z >> 31) AS hv FROM mc),
+r AS (SELECT day, hv, row_number() OVER (PARTITION BY day ORDER BY hv) AS rn FROM md),
+kk AS (SELECT day, max(hv) AS kth, count(*) AS n_sketch FROM r WHERE rn <= {k} GROUP BY day)
+SELECT day,
+       CAST(n_sketch AS BIGINT) AS n_sketch,
+       CAST(CASE WHEN n_sketch < {k} THEN CAST(n_sketch AS HUGEINT)
+                 ELSE least((CAST({k - 1} AS HUGEINT) * CAST({m64} AS HUGEINT))
+                              // CAST(greatest(kth, CAST(1 AS UBIGINT)) AS HUGEINT),
+                            CAST({1 << 62} AS HUGEINT)) END AS BIGINT) AS est_distinct
+FROM kk
+"""
+
+
+SQL_KMV_DISTINCT_DAILY = _build_kmv_sql(KMV_K)
+
+QUERIES.update({"kmv_distinct_daily": q_kmv_distinct_daily})
+ORACLE_SQL.update({"kmv_distinct_daily": SQL_KMV_DISTINCT_DAILY})
