@@ -9924,6 +9924,30 @@ ORACLE_SQL.update({"repetition_ratio": SQL_REPETITION_RATIO})
 KMV_K = 64
 
 
+def _kmin_per_day(day: np.ndarray, hv: np.ndarray, k: int):
+    """Dedup (day, hash) rows and keep each day's k smallest hashes.
+    Returns ``(day, hv, seg_starts, seg_ends)`` over the kept rows —
+    the shared kernel of the per-batch partial and the driver merge
+    (both are 'k smallest distinct per group')."""
+    order = np.lexsort((hv, day))
+    day, hv = day[order], hv[order]
+    uniq = np.ones(len(day), bool)
+    uniq[1:] = (day[1:] != day[:-1]) | (hv[1:] != hv[:-1])
+    day, hv = day[uniq], hv[uniq]
+    if len(day) == 0:
+        e = np.empty(0, np.int64)
+        return day, hv, e, e
+    starts = np.flatnonzero(np.r_[True, day[1:] != day[:-1]])
+    ends = np.r_[starts[1:], len(day)]
+    keep = np.zeros(len(day), bool)
+    for s, e in zip(starts, ends):  # <= distinct days iterations
+        keep[s : min(s + k, e)] = True
+    day, hv = day[keep], hv[keep]
+    starts = np.flatnonzero(np.r_[True, day[1:] != day[:-1]])
+    ends = np.r_[starts[1:], len(day)]
+    return day, hv, starts, ends
+
+
 def q_kmv_distinct_daily(sf_dir: str):
     """Per-day KMV (k-minimum-values) distinct sketch — the ORDER
     STATISTIC alternative to HLL (Bar-Yossef et al. 2002): keep the K
@@ -9950,21 +9974,11 @@ def q_kmv_distinct_daily(sf_dir: str):
             .to_numpy(zero_copy_only=False)
             .view(np.int64)
         )
-        hv = _mix64(user)
-        order = np.lexsort((hv, day))
-        day, hv = day[order], hv[order]
-        uniq = np.ones(len(day), bool)
-        uniq[1:] = (day[1:] != day[:-1]) | (hv[1:] != hv[:-1])
-        day, hv = day[uniq], hv[uniq]
-        starts = np.flatnonzero(np.r_[True, day[1:] != day[:-1]]) if len(day) else np.empty(0, np.int64)
-        keep = np.zeros(len(day), bool)
-        ends = np.r_[starts[1:], len(day)]
-        for s, e in zip(starts, ends):  # <= days-per-batch iterations
-            keep[s : min(s + KMV_K, e)] = True
+        day, hv, _s, _e = _kmin_per_day(day, _mix64(user), KMV_K)
         return pa.table(
             {
-                "day": pa.array(day[keep], pa.int64()),
-                "hv": pa.array(hv[keep].view(np.int64), pa.int64()),
+                "day": pa.array(day, pa.int64()),
+                "hv": pa.array(hv.view(np.int64), pa.int64()),
             }
         )
 
@@ -9979,13 +9993,7 @@ def q_kmv_distinct_daily(sf_dir: str):
         hv = np.concatenate(hvs_l).view(np.uint64)
     else:
         day, hv = np.empty(0, np.int64), np.empty(0, np.uint64)
-    order = np.lexsort((hv, day))
-    day, hv = day[order], hv[order]
-    uniq = np.ones(len(day), bool)
-    uniq[1:] = (day[1:] != day[:-1]) | (hv[1:] != hv[:-1])
-    day, hv = day[uniq], hv[uniq]
-    starts = np.flatnonzero(np.r_[True, day[1:] != day[:-1]]) if len(day) else np.empty(0, np.int64)
-    ends = np.r_[starts[1:], len(day)]
+    day, hv, starts, ends = _kmin_per_day(day, hv, KMV_K)
     out_day, out_n, out_est = [], [], []
     cap = 1 << 62  # identical clamp on both sides (degenerate tiny kth)
     for s, e in zip(starts, ends):
@@ -10042,3 +10050,119 @@ SQL_KMV_DISTINCT_DAILY = _build_kmv_sql(KMV_K)
 
 QUERIES.update({"kmv_distinct_daily": q_kmv_distinct_daily})
 ORACLE_SQL.update({"kmv_distinct_daily": SQL_KMV_DISTINCT_DAILY})
+
+
+def q_kmv_overlap_days(sf_dir: str):
+    """Consecutive-day user-overlap estimate from merged KMV sketches —
+    the set-INTERSECTION capability HLL registers lack (Beyer et al.,
+    SIGMOD 2007): for each day with a successor, merge the two days'
+    K-minimum sketches, keep the K smallest of the union, and count how
+    many of those kept hashes appear in BOTH days' sketches
+    (``n_common / n_merged`` estimates the Jaccard of the user sets;
+    both counts are integers, so the oracle matches bit for bit).
+
+    Scale shape: rides the same bounded per-batch partial pass as
+    ``kmv_distinct_daily`` (<= K rows per day per block); the pairwise
+    merge runs over days x K driver-held hashes — constant per day,
+    independent of corpus size."""
+    from don_crawler_ray.functions.dedup import _mix64
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        user = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        day = (
+            pc.floor_temporal(batch.column("ts"), unit="day")
+            .to_numpy(zero_copy_only=False)
+            .view(np.int64)
+        )
+        day, hv, _s, _e = _kmin_per_day(day, _mix64(user), KMV_K)
+        return pa.table(
+            {
+                "day": pa.array(day, pa.int64()),
+                "hv": pa.array(hv.view(np.int64), pa.int64()),
+            }
+        )
+
+    days_l, hvs_l = [], []
+    for b in ds.map_batches(part, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        days_l.append(b.column("day").to_numpy(zero_copy_only=False))
+        hvs_l.append(b.column("hv").to_numpy(zero_copy_only=False))
+    if days_l:
+        day = np.concatenate(days_l)
+        hv = np.concatenate(hvs_l).view(np.uint64)
+    else:
+        day, hv = np.empty(0, np.int64), np.empty(0, np.uint64)
+    day, hv, starts, ends = _kmin_per_day(day, hv, KMV_K)
+    sketches = {int(day[s]): hv[s:e] for s, e in zip(starts, ends)}  # sorted asc
+
+    US_PER_DAY = 86_400_000_000
+    out_day, out_merged, out_common = [], [], []
+    for d in sorted(sketches):
+        nxt = sketches.get(d + US_PER_DAY)
+        if nxt is None:
+            continue
+        a = sketches[d]
+        u, inv = np.unique(np.concatenate([a, nxt]), return_inverse=True)
+        in_a = np.zeros(len(u), bool)
+        in_b = np.zeros(len(u), bool)
+        in_a[inv[: len(a)]] = True
+        in_b[inv[len(a) :]] = True
+        m = min(KMV_K, len(u))  # u is sorted: its first m are the merged sketch
+        out_day.append(d)
+        out_merged.append(m)
+        out_common.append(int(np.count_nonzero(in_a[:m] & in_b[:m])))
+    return pa.table(
+        {
+            "day": pa.array(np.array(out_day, np.int64).view("datetime64[us]")),
+            "n_merged": pa.array(out_merged, pa.int64()),
+            "n_common": pa.array(out_common, pa.int64()),
+        }
+    )
+
+
+def _build_kmv_overlap_sql(k: int = 64) -> str:
+    m64 = 1 << 64
+    c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(z, c):
+        zh = f"(CAST({z} AS HUGEINT) >> 32)"
+        zl = f"(CAST({z} AS HUGEINT) & 4294967295)"
+        return (
+            f"CAST(((({zh} * {c}) % 4294967296) * 4294967296 + {zl} * {c})"
+            f" % {m64} AS UBIGINT)"
+        )
+
+    return f"""
+WITH u0 AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id FROM events),
+ma AS (SELECT day, CAST((CAST(user_id AS HUGEINT) + {c1}) % {m64} AS UBIGINT) AS z FROM u0),
+mb AS (SELECT day, {mulmod('xor(z, z >> 30)', c2)} AS z FROM ma),
+mc AS (SELECT day, {mulmod('xor(z, z >> 27)', c3)} AS z FROM mb),
+md AS (SELECT day, xor(z, z >> 31) AS hv FROM mc),
+r AS (SELECT day, hv, row_number() OVER (PARTITION BY day ORDER BY hv) AS rn FROM md),
+sk AS (SELECT day, hv FROM r WHERE rn <= {k}),
+pair_days AS (
+  SELECT day FROM (SELECT DISTINCT day FROM sk)
+  WHERE day + INTERVAL 1 DAY IN (SELECT DISTINCT day FROM sk)),
+un AS (
+  SELECT d.day AS day, s.hv,
+         max(CASE WHEN s.day = d.day THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN s.day = d.day + INTERVAL 1 DAY THEN 1 ELSE 0 END) AS in_b
+  FROM pair_days d
+  JOIN sk s ON s.day = d.day OR s.day = d.day + INTERVAL 1 DAY
+  GROUP BY d.day, s.hv),
+ru AS (SELECT day, in_a, in_b, row_number() OVER (PARTITION BY day ORDER BY hv) AS rn FROM un)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n_merged,
+       CAST(sum(in_a * in_b) AS BIGINT) AS n_common
+FROM ru WHERE rn <= {k} GROUP BY day
+"""
+
+
+SQL_KMV_OVERLAP_DAYS = _build_kmv_overlap_sql(KMV_K)
+
+QUERIES.update({"kmv_overlap_days": q_kmv_overlap_days})
+ORACLE_SQL.update({"kmv_overlap_days": SQL_KMV_OVERLAP_DAYS})
