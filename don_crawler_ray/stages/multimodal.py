@@ -4,14 +4,22 @@ actor-pool stages.
 The engine treats image/audio/video as ``binary`` columns with typed
 metadata, exactly like ``html:binary`` in the frontier. The Ray-side
 plumbing (schemas, batch sizing, actor signatures, output layout) is
-real and tested; the codec work itself is STUBBED because no image or
-audio libraries exist in this container:
+real and tested. Decoding is REAL for the uncompressed formats pure
+numpy can parse, and honestly stubbed for everything that needs a
+codec library (absent in this container):
 
-- ``MediaDecodeActor`` tries ``import PIL.Image`` / ``import av`` in
-  ``__init__`` (once per actor — the stateful-stage seam where a real
-  deployment loads codecs/models) and otherwise uses
-  ``decode_fake_header`` on the deterministic fake payloads below, or
-  raises ``NotImplementedError`` for real media bytes.
+- **PPM (P6) images**: full decode to an ``(h, w, 3)`` uint8 array,
+  real luminance-histogram features, and a real nearest-neighbor
+  resize stage (``ImageResizeActor``);
+- **WAV (RIFF PCM16) audio**: header + sample decode, real RMS /
+  zero-crossing / FFT-band features;
+- compressed formats (JPEG/PNG/MP4/...): ``MediaDecodeActor`` probes
+  ``import PIL.Image`` in ``__init__`` (once per actor — the
+  stateful-stage seam where a real deployment loads codecs/models)
+  and otherwise raises ``NotImplementedError`` so nothing silently
+  fabricates pixels;
+- the deterministic FAKE payloads below remain for benches that only
+  exercise plumbing.
 
 Payload format (deterministic fake, for tests/benches):
 ``b"FAKE" + kind(1B: 0=img,1=aud,2=vid) + width(4B LE) + height(4B LE)
@@ -77,14 +85,134 @@ def fake_feature(payload: bytes, dim: int = 8) -> np.ndarray:
     return hist / norm if norm else hist
 
 
+# ---------------------------------------------------------------------------
+# REAL decoders — uncompressed formats pure numpy can parse
+# ---------------------------------------------------------------------------
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval 255) -> (h, w, 3) uint8 pixel array.
+    Handles whitespace and ``#`` comments in the header per the netpbm
+    spec; raises ValueError on anything else."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255 or w <= 0 or h <= 0:
+        raise ValueError(f"unsupported PPM (maxval {maxval}, {w}x{h})")
+    need = w * h * 3
+    raster = payload[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster, np.uint8).reshape(h, w, 3)
+
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary P6 bytes (the inverse of decode_ppm)."""
+    h, w, _ = rgb.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(rgb, np.uint8).tobytes()
+
+
+def resize_nearest(rgb: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy indexing — the real image
+    transform behind ``ImageResizeActor``."""
+    h, w, _ = rgb.shape
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return rgb[rows][:, cols]
+
+
+def image_feature(rgb: np.ndarray, dim: int = 8) -> np.ndarray:
+    """Real image feature: per-channel means + a (dim-3)-bucket
+    luminance histogram, L2-normalized float32."""
+    means = rgb.reshape(-1, 3).mean(axis=0)
+    lum = (rgb @ np.array([0.299, 0.587, 0.114])).ravel()
+    hist, _ = np.histogram(lum, bins=max(1, dim - 3), range=(0.0, 255.0))
+    feat = np.concatenate([means, hist]).astype(np.float32)
+    norm = float(np.linalg.norm(feat))
+    return feat / norm if norm else feat
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM16 -> (sample_rate, channel-0 int16 samples).
+    Walks the chunk list properly (fmt may not be first); raises
+    ValueError on non-PCM16 or malformed files."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = n_channels = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, n_channels, rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+            if fmt_tag != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt {fmt_tag}, {bits}-bit)")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    samples = np.frombuffer(data[: len(data) - len(data) % (2 * n_channels)], "<i2")
+    return int(rate), samples[::n_channels].copy()  # channel 0
+
+
+def encode_wav(rate: int, samples: np.ndarray) -> bytes:
+    """(rate, int16 mono samples) -> minimal RIFF/WAVE PCM16 bytes."""
+    data = np.ascontiguousarray(samples, "<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def audio_feature(samples: np.ndarray, dim: int = 8) -> np.ndarray:
+    """Real audio feature: RMS + zero-crossing rate + (dim-2)
+    FFT-band energies, L2-normalized float32."""
+    x = samples.astype(np.float64)
+    if len(x) == 0:
+        return np.zeros(dim, np.float32)
+    rms = float(np.sqrt((x * x).mean()))
+    zcr = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))) / max(1, len(x) - 1)
+    spec = np.abs(np.fft.rfft(x))
+    bands = np.array_split(spec, max(1, dim - 2))
+    feat = np.concatenate([[rms, zcr * 1000.0], [float(b.sum()) for b in bands]]).astype(
+        np.float32
+    )
+    norm = float(np.linalg.norm(feat))
+    return feat / norm if norm else feat
+
+
 class MediaDecodeActor:
     """Actor-pool decode/feature stage: ``map_batches(MediaDecodeActor,
     concurrency=N, batch_size=32, batch_format="pyarrow")``.
 
-    ``__init__`` probes for real codec libraries once per actor; absent
-    (this container), fake payloads decode via the header and real
-    media bytes raise ``NotImplementedError`` so nothing silently
-    fabricates pixels.
+    Dispatches per payload on magic bytes: P6 PPM and RIFF/WAVE PCM16
+    decode for REAL (pure numpy — pixels/samples out, real features);
+    FAKE payloads decode via the header for plumbing benches. For
+    anything else ``__init__`` probes for codec libraries once per
+    actor (the held-client seam); absent, compressed media raises
+    ``NotImplementedError`` so nothing silently fabricates pixels.
+
+    Audio maps onto the decoded schema as ``width = sample_rate``,
+    ``height = 1``, ``n_frames = n_samples``.
     """
 
     def __init__(self, feature_dim: int = 8):
@@ -96,26 +224,48 @@ class MediaDecodeActor:
         except ImportError:
             self.has_pil = False
 
+    def _decode_one(self, p: bytes):
+        """-> (kind, width, height, n_frames, feature)"""
+        if p[:4] == MAGIC:
+            kind, w, h, f = decode_fake_header(p)
+            return kind, w, h, f, fake_feature(p, self.feature_dim)
+        if p[:2] == b"P6":
+            rgb = decode_ppm(p)
+            return (
+                KIND_IMAGE,
+                rgb.shape[1],
+                rgb.shape[0],
+                1,
+                image_feature(rgb, self.feature_dim),
+            )
+        if p[:4] == b"RIFF":
+            rate, samples = decode_wav(p)
+            return (
+                KIND_AUDIO,
+                rate,
+                1,
+                len(samples),
+                audio_feature(samples, self.feature_dim),
+            )
+        if self.has_pil:
+            raise NotImplementedError("real-codec path not wired in this container")
+        raise NotImplementedError(
+            "compressed media decode requires PIL/av (absent in this "
+            "container); PPM, WAV and FAKE payloads are decodable"
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
         payloads = batch.column("payload").to_pylist()
         kinds, ws, hs, fs, nb, feats = [], [], [], [], [], []
         for p in payloads:
-            try:
-                kind, w, h, f = decode_fake_header(p)
-            except ValueError:
-                if self.has_pil:
-                    raise NotImplementedError("real-codec path not wired in this container")
-                raise NotImplementedError(
-                    "media decode requires PIL/av (absent in this container); "
-                    "only FAKE payloads are decodable"
-                )
+            kind, w, h, f, feat = self._decode_one(p)
             kinds.append(kind)
             ws.append(w)
             hs.append(h)
             fs.append(f)
             nb.append(len(p))
-            feats.append(fake_feature(p, self.feature_dim))
+            feats.append(feat)
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
@@ -125,6 +275,36 @@ class MediaDecodeActor:
                 "n_frames": pa.array(fs, pa.int32()),
                 "n_bytes": pa.array(nb, pa.int64()),
                 "feature": pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
+            }
+        )
+
+
+class ImageResizeActor:
+    """REAL image-resize stage for P6 PPM payloads: decode -> nearest-
+    neighbor resize (pure numpy) -> re-encode, emitting the resized
+    payload plus old/new dims. Non-PPM payloads raise — resizing
+    compressed formats needs a codec library."""
+
+    def __init__(self, out_w: int = 32, out_h: int = 32):
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        out_payloads, src_ws, src_hs = [], [], []
+        for p in batch.column("payload").to_pylist():
+            rgb = decode_ppm(p)
+            src_hs.append(rgb.shape[0])
+            src_ws.append(rgb.shape[1])
+            out_payloads.append(encode_ppm(resize_nearest(rgb, self.out_w, self.out_h)))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "src_width": pa.array(src_ws, pa.int32()),
+                "src_height": pa.array(src_hs, pa.int32()),
+                "width": pa.array([self.out_w] * len(ids), pa.int32()),
+                "height": pa.array([self.out_h] * len(ids), pa.int32()),
+                "payload": pa.array(out_payloads, pa.binary()),
             }
         )
 

@@ -90,3 +90,137 @@ def test_media_pipeline_on_ray(ray_session, tmp_path):
 def test_fake_feature_deterministic():
     p = encode_fake_media(3, 1, 10, 10, 5)
     assert np.array_equal(fake_feature(p), fake_feature(bytes(p)))
+
+
+class TestRealCodecs:
+    """PPM / WAV decode for real — pure numpy, no codec library."""
+
+    def _rgb(self, w=6, h=4, seed=5):
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def test_ppm_roundtrip(self):
+        from don_crawler_ray.stages.multimodal import decode_ppm, encode_ppm
+
+        rgb = self._rgb()
+        assert np.array_equal(decode_ppm(encode_ppm(rgb)), rgb)
+
+    def test_ppm_header_comments(self):
+        from don_crawler_ray.stages.multimodal import decode_ppm, encode_ppm
+
+        rgb = self._rgb(3, 2)
+        raw = encode_ppm(rgb)
+        commented = b"P6\n# a comment\n3 2\n# another\n255\n" + raw.split(b"255\n", 1)[1]
+        assert np.array_equal(decode_ppm(commented), rgb)
+
+    def test_ppm_rejects_garbage(self):
+        from don_crawler_ray.stages.multimodal import decode_ppm, encode_ppm
+
+        with pytest.raises(ValueError):
+            decode_ppm(b"P5\n1 1\n255\n\x00")
+        with pytest.raises(ValueError):
+            decode_ppm(encode_ppm(self._rgb())[:-5])  # truncated raster
+
+    def test_wav_roundtrip(self):
+        from don_crawler_ray.stages.multimodal import decode_wav, encode_wav
+
+        samples = (np.sin(np.linspace(0, 40, 400)) * 20000).astype(np.int16)
+        rate, got = decode_wav(encode_wav(16000, samples))
+        assert rate == 16000
+        assert np.array_equal(got, samples)
+
+    def test_wav_rejects_non_pcm16(self):
+        from don_crawler_ray.stages.multimodal import decode_wav, encode_wav
+        import struct
+
+        good = encode_wav(8000, np.zeros(4, np.int16))
+        bad = good.replace(struct.pack("<HH", 1, 1), struct.pack("<HH", 3, 1), 1)
+        with pytest.raises(ValueError):
+            decode_wav(bad)
+
+    def test_resize_nearest_exact(self):
+        from don_crawler_ray.stages.multimodal import resize_nearest
+
+        rgb = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+        out = resize_nearest(rgb, 2, 2)
+        # rows/cols 0 and 2 survive under (i*4)//2 indexing
+        assert np.array_equal(out, rgb[[0, 2]][:, [0, 2]])
+
+    def test_decode_actor_mixed_formats(self):
+        from don_crawler_ray.stages.multimodal import (
+            KIND_AUDIO,
+            KIND_IMAGE,
+            MediaDecodeActor,
+            encode_ppm,
+            encode_wav,
+        )
+
+        rgb = self._rgb(8, 5)
+        wav = encode_wav(22050, (np.arange(300) % 97).astype(np.int16))
+        batch = pa.table(
+            {
+                "media_id": pa.array([1, 2, 3], pa.int64()),
+                "kind": pa.array([0, 1, 0], pa.int8()),
+                "payload": pa.array(
+                    [encode_ppm(rgb), wav, encode_fake_media(3, 0, 7, 7, 1)],
+                    pa.binary(),
+                ),
+            }
+        )
+        out = MediaDecodeActor()(batch)
+        rows = {r["media_id"]: r for r in out.to_pylist()}
+        assert rows[1]["kind"] == KIND_IMAGE
+        assert (rows[1]["width"], rows[1]["height"]) == (8, 5)
+        assert rows[2]["kind"] == KIND_AUDIO
+        assert rows[2]["width"] == 22050 and rows[2]["n_frames"] == 300
+        assert rows[3]["width"] == 7  # fake path still works
+        for r in rows.values():
+            feat = np.array(r["feature"], np.float32)
+            assert len(feat) == 8 and abs(float(np.linalg.norm(feat)) - 1.0) < 1e-5
+
+    def test_decode_actor_rejects_compressed(self):
+        from don_crawler_ray.stages.multimodal import MediaDecodeActor
+
+        jpegish = pa.table(
+            {
+                "media_id": pa.array([1], pa.int64()),
+                "kind": pa.array([0], pa.int8()),
+                "payload": pa.array([b"\xff\xd8\xff\xe0 not decodable"], pa.binary()),
+            }
+        )
+        with pytest.raises(NotImplementedError):
+            MediaDecodeActor()(jpegish)
+
+    def test_resize_stage_on_ray(self, ray_session):
+        from don_crawler_ray.stages.multimodal import (
+            ImageResizeActor,
+            decode_ppm,
+            encode_ppm,
+            resize_nearest,
+        )
+        import ray
+
+        rgbs = [self._rgb(10 + i, 6 + i, seed=i) for i in range(20)]
+        src = pa.table(
+            {
+                "media_id": pa.array(list(range(20)), pa.int64()),
+                "payload": pa.array([encode_ppm(r) for r in rgbs], pa.binary()),
+            }
+        )
+        out = (
+            ray.data.from_arrow(src)
+            .map_batches(
+                ImageResizeActor,
+                fn_constructor_kwargs={"out_w": 4, "out_h": 3},
+                batch_format="pyarrow",
+                batch_size=8,
+                concurrency=2,
+                num_cpus=0.5,
+            )
+            .take_all()
+        )
+        assert len(out) == 20
+        for r in out:
+            expect = resize_nearest(rgbs[r["media_id"]], 4, 3)
+            assert np.array_equal(decode_ppm(r["payload"]), expect)
+            assert (r["width"], r["height"]) == (4, 3)
