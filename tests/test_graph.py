@@ -148,3 +148,67 @@ class TestMinLabel:
         df = label_count_dataset(labels, "component", "n").to_pandas()
         assert int(df.n.sum()) == n
         assert self_labeled_ids(node_refs, labels).tolist() == [1, 5]
+
+
+class TestPropertyVsUnionFind:
+    def test_components_match_union_find(self, ray_session):
+        """Property check: sharded min-label propagation converges to
+        exactly the union-find components (label = min member) on
+        random graphs."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=12, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=0,
+                max_size=40,
+            ),
+            st.integers(2, 6),
+        )
+        def check(raw_edges, nb):
+            pairs = [(a, b) for a, b in raw_edges if a != b]
+            nodes = sorted({n for e in pairs for n in e} | {0, 30})
+            # union-find reference
+            parent = {n: n for n in nodes}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in pairs:
+                parent[find(a)] = find(b)
+            comp_min: dict = {}
+            for n in nodes:
+                r = find(n)
+                comp_min[r] = min(comp_min.get(r, n), n)
+            expect = {n: comp_min[find(n)] for n in nodes}
+
+            import ray
+
+            sym = pairs + [(b, a) for a, b in pairs]
+            nodes_ds = ray.data.from_arrow(
+                pa.table({"node": pa.array(nodes, pa.int64())})
+            )
+            if sym:
+                edges = _edges_ds(sym)
+            else:
+                edges = ray.data.from_arrow(
+                    pa.table(
+                        {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+                    )
+                )
+            edge_refs, node_refs, _ = shard_graph(
+                edges, n_buckets=nb, nodes_ds=nodes_ds, node_col="node"
+            )
+            labels = min_label_sweeps(
+                edge_refs, node_refs, init_labels(node_refs), iters=64, until_fixed=True
+            )
+            df = state_dataset(node_refs, labels, "node", "label").to_pandas()
+            got = dict(zip(df.node.tolist(), df.label.tolist()))
+            assert got == expect
+
+        check()
