@@ -125,6 +125,52 @@ class TestRunCrawl:
         assert np.array_equal(seen_set_hashes(full_dir), seen_set_hashes(part_dir))
         assert resumed["fetched"] == t_full.num_rows
 
+    def test_resume_after_crash_between_snapshot_and_manifest(
+        self, ray_session, frontier_tiny, politeness_cfg, tmp_path
+    ):
+        """The commit sequence per round is: round output lands -> seen
+        shards ingest + snapshot -> manifest appended LAST. Simulate a
+        crash in the window after the snapshot but before the manifest
+        write (round dir AND seen snapshot on disk, manifest missing
+        the round): resume must re-fetch the round idempotently —
+        stale output replaced, seen re-ingest a set-semantics no-op —
+        and converge to byte-identical output and seen set."""
+        import json
+
+        full_dir = str(tmp_path / "full")
+        run_crawl(frontier_tiny, full_dir, politeness_cfg, n_seen_shards=2, n_salts=4)
+
+        crash_dir = str(tmp_path / "crash")
+        run_crawl(frontier_tiny, crash_dir, politeness_cfg, n_seen_shards=2, n_salts=4)
+        mpath = os.path.join(crash_dir, "manifest.json")
+        with open(mpath) as f:
+            manifest = json.load(f)
+        assert manifest["completed_rounds"], "fixture crawl produced no rounds"
+        dropped = manifest["completed_rounds"].pop()  # crash: append never happened
+        # the crashed process never wrote this round's counters either —
+        # rewind fetched to what the previous round's manifest recorded
+        drop_dir = os.path.join(crash_dir, f"round={dropped}")
+        assert os.path.isdir(drop_dir)
+        dropped_rows = sum(
+            pq.ParquetFile(os.path.join(drop_dir, f)).metadata.num_rows
+            for f in os.listdir(drop_dir)
+            if f.endswith(".parquet")
+        )
+        manifest["counters"]["fetched"] -= dropped_rows
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+
+        resumed = run_crawl(
+            frontier_tiny, crash_dir, politeness_cfg, n_seen_shards=2, n_salts=4,
+            resume=True,
+        )
+        t_full = crawl_output_table(full_dir)
+        t_crash = crawl_output_table(crash_dir)
+        assert t_full.column("canonical_url").equals(t_crash.column("canonical_url"))
+        assert t_full.column("text").equals(t_crash.column("text"))
+        assert np.array_equal(seen_set_hashes(full_dir), seen_set_hashes(crash_dir))
+        assert resumed["fetched"] == t_full.num_rows
+
     def test_schedule_order_deterministic(self, ray_session, frontier_tiny, politeness_cfg, tmp_path):
         """Two independent runs produce identical (round, host, rank,
         url) crawl order — the reproducible-ordering criterion."""
