@@ -9948,21 +9948,13 @@ def _kmin_per_day(day: np.ndarray, hv: np.ndarray, k: int):
     return day, hv, starts, ends
 
 
-def q_kmv_distinct_daily(sf_dir: str):
-    """Per-day KMV (k-minimum-values) distinct sketch — the ORDER
-    STATISTIC alternative to HLL (Bar-Yossef et al. 2002): keep the K
-    smallest distinct splitmix64(user_id) hashes per day; the K-th
-    smallest estimates distinct count as ``(K-1) * 2^64 // kth``
-    (integer arithmetic — bit-exact against the SQL oracle), and a day
-    with fewer than K distinct users reports its exact count. Unlike
-    HLL's fixed registers, KMV sketches also support set INTERSECTION
-    estimates, which is why curation pipelines carry both.
-
-    Scale shape: per-batch partials are each day's <= K smallest
-    distinct hashes (bounded rows per block regardless of batch size);
-    the union of per-batch K-minima contains the global K minima, so
-    one driver merge over the bounded partials finishes — the HLL /
-    ``_label_centroids`` mergeable-sketch contract."""
+def _collect_day_kmv(sf_dir: str):
+    """The shared KMV sketch pass for both KMV queries: one streaming
+    scan of events emitting per-batch partials of each day's <= K
+    smallest distinct splitmix64(user_id) hashes (bounded rows per
+    block regardless of batch size — the union of per-batch K-minima
+    contains the global K minima), merged once on the driver. Returns
+    ``(day, hv, seg_starts, seg_ends)`` over the per-day sketches."""
     from don_crawler_ray.functions.dedup import _mix64
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
@@ -9993,7 +9985,44 @@ def q_kmv_distinct_daily(sf_dir: str):
         hv = np.concatenate(hvs_l).view(np.uint64)
     else:
         day, hv = np.empty(0, np.int64), np.empty(0, np.uint64)
-    day, hv, starts, ends = _kmin_per_day(day, hv, KMV_K)
+    return _kmin_per_day(day, hv, KMV_K)
+
+
+def _splitmix_day_cte() -> str:
+    """Shared oracle prologue for the KMV queries: distinct (day,
+    user_id) then the splitmix64 fold as chained CTEs -> ``md(day,
+    hv)``. Must stay bit-identical to ``dedup._mix64``."""
+    m64 = 1 << 64
+    c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(z, c):
+        zh = f"(CAST({z} AS HUGEINT) >> 32)"
+        zl = f"(CAST({z} AS HUGEINT) & 4294967295)"
+        return (
+            f"CAST(((({zh} * {c}) % 4294967296) * 4294967296 + {zl} * {c})"
+            f" % {m64} AS UBIGINT)"
+        )
+
+    return f"""
+WITH u0 AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id FROM events),
+ma AS (SELECT day, CAST((CAST(user_id AS HUGEINT) + {c1}) % {m64} AS UBIGINT) AS z FROM u0),
+mb AS (SELECT day, {mulmod('xor(z, z >> 30)', c2)} AS z FROM ma),
+mc AS (SELECT day, {mulmod('xor(z, z >> 27)', c3)} AS z FROM mb),
+md AS (SELECT day, xor(z, z >> 31) AS hv FROM mc)"""
+
+
+def q_kmv_distinct_daily(sf_dir: str):
+    """Per-day KMV (k-minimum-values) distinct sketch — the ORDER
+    STATISTIC alternative to HLL (Bar-Yossef et al. 2002): keep the K
+    smallest distinct splitmix64(user_id) hashes per day; the K-th
+    smallest estimates distinct count as ``(K-1) * 2^64 // kth``
+    (integer arithmetic — bit-exact against the SQL oracle), and a day
+    with fewer than K distinct users reports its exact count. Unlike
+    HLL's fixed registers, KMV sketches also support set INTERSECTION
+    estimates (``q_kmv_overlap_days``), which is why curation pipelines
+    carry both. Sketch pass: ``_collect_day_kmv``."""
+    day, hv, starts, ends = _collect_day_kmv(sf_dir)
     out_day, out_n, out_est = [], [], []
     cap = 1 << 62  # identical clamp on both sides (degenerate tiny kth)
     for s, e in zip(starts, ends):
@@ -10017,23 +10046,8 @@ def q_kmv_distinct_daily(sf_dir: str):
 
 def _build_kmv_sql(k: int = 64) -> str:
     m64 = 1 << 64
-    c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
 
-    def mulmod(z, c):
-        zh = f"(CAST({z} AS HUGEINT) >> 32)"
-        zl = f"(CAST({z} AS HUGEINT) & 4294967295)"
-        return (
-            f"CAST(((({zh} * {c}) % 4294967296) * 4294967296 + {zl} * {c})"
-            f" % {m64} AS UBIGINT)"
-        )
-
-    return f"""
-WITH u AS (
-  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id FROM events),
-ma AS (SELECT day, CAST((CAST(user_id AS HUGEINT) + {c1}) % {m64} AS UBIGINT) AS z FROM u),
-mb AS (SELECT day, {mulmod('xor(z, z >> 30)', c2)} AS z FROM ma),
-mc AS (SELECT day, {mulmod('xor(z, z >> 27)', c3)} AS z FROM mb),
-md AS (SELECT day, xor(z, z >> 31) AS hv FROM mc),
+    return f"""{_splitmix_day_cte()},
 r AS (SELECT day, hv, row_number() OVER (PARTITION BY day ORDER BY hv) AS rn FROM md),
 kk AS (SELECT day, max(hv) AS kth, count(*) AS n_sketch FROM r WHERE rn <= {k} GROUP BY day)
 SELECT day,
@@ -10061,41 +10075,11 @@ def q_kmv_overlap_days(sf_dir: str):
     (``n_common / n_merged`` estimates the Jaccard of the user sets;
     both counts are integers, so the oracle matches bit for bit).
 
-    Scale shape: rides the same bounded per-batch partial pass as
-    ``kmv_distinct_daily`` (<= K rows per day per block); the pairwise
+    Scale shape: rides the shared bounded partial pass
+    (``_collect_day_kmv``, <= K rows per day per block); the pairwise
     merge runs over days x K driver-held hashes — constant per day,
     independent of corpus size."""
-    from don_crawler_ray.functions.dedup import _mix64
-
-    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
-
-    def part(batch: pa.Table) -> pa.Table:
-        user = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-        day = (
-            pc.floor_temporal(batch.column("ts"), unit="day")
-            .to_numpy(zero_copy_only=False)
-            .view(np.int64)
-        )
-        day, hv, _s, _e = _kmin_per_day(day, _mix64(user), KMV_K)
-        return pa.table(
-            {
-                "day": pa.array(day, pa.int64()),
-                "hv": pa.array(hv.view(np.int64), pa.int64()),
-            }
-        )
-
-    days_l, hvs_l = [], []
-    for b in ds.map_batches(part, batch_format="pyarrow").iter_batches(
-        batch_size=None, batch_format="pyarrow"
-    ):
-        days_l.append(b.column("day").to_numpy(zero_copy_only=False))
-        hvs_l.append(b.column("hv").to_numpy(zero_copy_only=False))
-    if days_l:
-        day = np.concatenate(days_l)
-        hv = np.concatenate(hvs_l).view(np.uint64)
-    else:
-        day, hv = np.empty(0, np.int64), np.empty(0, np.uint64)
-    day, hv, starts, ends = _kmin_per_day(day, hv, KMV_K)
+    day, hv, starts, ends = _collect_day_kmv(sf_dir)
     sketches = {int(day[s]): hv[s:e] for s, e in zip(starts, ends)}  # sorted asc
 
     US_PER_DAY = 86_400_000_000
@@ -10124,24 +10108,7 @@ def q_kmv_overlap_days(sf_dir: str):
 
 
 def _build_kmv_overlap_sql(k: int = 64) -> str:
-    m64 = 1 << 64
-    c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
-
-    def mulmod(z, c):
-        zh = f"(CAST({z} AS HUGEINT) >> 32)"
-        zl = f"(CAST({z} AS HUGEINT) & 4294967295)"
-        return (
-            f"CAST(((({zh} * {c}) % 4294967296) * 4294967296 + {zl} * {c})"
-            f" % {m64} AS UBIGINT)"
-        )
-
-    return f"""
-WITH u0 AS (
-  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id FROM events),
-ma AS (SELECT day, CAST((CAST(user_id AS HUGEINT) + {c1}) % {m64} AS UBIGINT) AS z FROM u0),
-mb AS (SELECT day, {mulmod('xor(z, z >> 30)', c2)} AS z FROM ma),
-mc AS (SELECT day, {mulmod('xor(z, z >> 27)', c3)} AS z FROM mb),
-md AS (SELECT day, xor(z, z >> 31) AS hv FROM mc),
+    return f"""{_splitmix_day_cte()},
 r AS (SELECT day, hv, row_number() OVER (PARTITION BY day ORDER BY hv) AS rn FROM md),
 sk AS (SELECT day, hv FROM r WHERE rn <= {k}),
 pair_days AS (

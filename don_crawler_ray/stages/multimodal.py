@@ -137,21 +137,36 @@ def resize_nearest(rgb: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return rgb[rows][:, cols]
 
 
+def _fit_dim(feat: np.ndarray, dim: int) -> np.ndarray:
+    """Exactly ``dim`` L2-normalized float32 values — truncate or
+    zero-pad first, so every decoder emits the same feature length
+    within a batch whatever the payload format."""
+    feat = feat.astype(np.float32)
+    if len(feat) > dim:
+        feat = feat[:dim]
+    elif len(feat) < dim:
+        feat = np.pad(feat, (0, dim - len(feat)))
+    norm = float(np.linalg.norm(feat))
+    return feat / norm if norm else feat
+
+
 def image_feature(rgb: np.ndarray, dim: int = 8) -> np.ndarray:
     """Real image feature: per-channel means + a (dim-3)-bucket
-    luminance histogram, L2-normalized float32."""
+    luminance histogram, fitted to exactly ``dim`` values and
+    L2-normalized."""
     means = rgb.reshape(-1, 3).mean(axis=0)
     lum = (rgb @ np.array([0.299, 0.587, 0.114])).ravel()
     hist, _ = np.histogram(lum, bins=max(1, dim - 3), range=(0.0, 255.0))
-    feat = np.concatenate([means, hist]).astype(np.float32)
-    norm = float(np.linalg.norm(feat))
-    return feat / norm if norm else feat
+    return _fit_dim(np.concatenate([means, hist]), dim)
 
 
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     """RIFF/WAVE PCM16 -> (sample_rate, channel-0 int16 samples).
     Walks the chunk list properly (fmt may not be first); raises
-    ValueError on non-PCM16 or malformed files."""
+    ValueError on non-PCM16 or malformed files — including short fmt
+    chunks, zero channels, and data chunks whose declared size
+    overruns the payload (a truncated download must not decode as
+    shorter valid audio)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
@@ -160,12 +175,18 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if pos + 8 + size > len(payload):
+            raise ValueError(f"truncated WAV: chunk {cid!r} overruns the payload")
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"truncated WAV fmt chunk ({len(body)} bytes)")
             fmt_tag, n_channels, rate = struct.unpack("<HHI", body[:8])
             (bits,) = struct.unpack("<H", body[14:16])
-            if fmt_tag != 1 or bits != 16:
-                raise ValueError(f"unsupported WAV (fmt {fmt_tag}, {bits}-bit)")
+            if fmt_tag != 1 or bits != 16 or n_channels < 1:
+                raise ValueError(
+                    f"unsupported WAV (fmt {fmt_tag}, {bits}-bit, {n_channels} ch)"
+                )
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -185,7 +206,8 @@ def encode_wav(rate: int, samples: np.ndarray) -> bytes:
 
 def audio_feature(samples: np.ndarray, dim: int = 8) -> np.ndarray:
     """Real audio feature: RMS + zero-crossing rate + (dim-2)
-    FFT-band energies, L2-normalized float32."""
+    FFT-band energies, fitted to exactly ``dim`` values and
+    L2-normalized."""
     x = samples.astype(np.float64)
     if len(x) == 0:
         return np.zeros(dim, np.float32)
@@ -193,11 +215,9 @@ def audio_feature(samples: np.ndarray, dim: int = 8) -> np.ndarray:
     zcr = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))) / max(1, len(x) - 1)
     spec = np.abs(np.fft.rfft(x))
     bands = np.array_split(spec, max(1, dim - 2))
-    feat = np.concatenate([[rms, zcr * 1000.0], [float(b.sum()) for b in bands]]).astype(
-        np.float32
+    return _fit_dim(
+        np.concatenate([[rms, zcr * 1000.0], [float(b.sum()) for b in bands]]), dim
     )
-    norm = float(np.linalg.norm(feat))
-    return feat / norm if norm else feat
 
 
 class MediaDecodeActor:
@@ -238,7 +258,7 @@ class MediaDecodeActor:
                 1,
                 image_feature(rgb, self.feature_dim),
             )
-        if p[:4] == b"RIFF":
+        if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
             rate, samples = decode_wav(p)
             return (
                 KIND_AUDIO,

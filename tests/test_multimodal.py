@@ -224,3 +224,59 @@ class TestRealCodecs:
             expect = resize_nearest(rgbs[r["media_id"]], 4, 3)
             assert np.array_equal(decode_ppm(r["payload"]), expect)
             assert (r["width"], r["height"]) == (4, 3)
+
+
+class TestCodecErrorContracts:
+    """Review-hardened contracts: malformed PPM/WAV always raise
+    ValueError; non-WAVE RIFF (WebP/AVI) routes to the compressed-media
+    NotImplementedError; features are exactly feature_dim long."""
+
+    def test_webp_riff_is_not_implemented_not_valueerror(self):
+        from don_crawler_ray.stages.multimodal import MediaDecodeActor
+        import struct
+
+        webp = b"RIFF" + struct.pack("<I", 20) + b"WEBPVP8 " + b"\x00" * 12
+        batch = pa.table(
+            {
+                "media_id": pa.array([1], pa.int64()),
+                "kind": pa.array([0], pa.int8()),
+                "payload": pa.array([webp], pa.binary()),
+            }
+        )
+        with pytest.raises(NotImplementedError):
+            MediaDecodeActor()(batch)
+
+    def test_wav_short_fmt_chunk(self):
+        from don_crawler_ray.stages.multimodal import decode_wav
+        import struct
+
+        bad = b"RIFF" + struct.pack("<I", 16) + b"WAVE" + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+        with pytest.raises(ValueError, match="fmt"):
+            decode_wav(bad)
+
+    def test_wav_zero_channels(self):
+        from don_crawler_ray.stages.multimodal import decode_wav, encode_wav
+        import struct
+
+        good = encode_wav(8000, np.zeros(4, np.int16))
+        bad = good.replace(struct.pack("<HH", 1, 1), struct.pack("<HH", 1, 0), 1)
+        with pytest.raises(ValueError, match="0 ch"):
+            decode_wav(bad)
+
+    def test_wav_truncated_data_chunk(self):
+        from don_crawler_ray.stages.multimodal import decode_wav, encode_wav
+
+        good = encode_wav(8000, np.arange(100, dtype=np.int16))
+        with pytest.raises(ValueError, match="overruns"):
+            decode_wav(good[:-50])  # data header claims more than remains
+
+    def test_feature_dims_exact_for_small_dim(self):
+        from don_crawler_ray.stages.multimodal import (
+            audio_feature,
+            image_feature,
+        )
+
+        rgb = np.zeros((4, 4, 3), np.uint8) + 7
+        for dim in (2, 3, 4, 8, 16):
+            assert len(image_feature(rgb, dim)) == dim
+            assert len(audio_feature(np.arange(50, dtype=np.int16), dim)) == dim
