@@ -10133,3 +10133,95 @@ SQL_KMV_OVERLAP_DAYS = _build_kmv_overlap_sql(KMV_K)
 
 QUERIES.update({"kmv_overlap_days": q_kmv_overlap_days})
 ORACLE_SQL.update({"kmv_overlap_days": SQL_KMV_OVERLAP_DAYS})
+
+
+def q_media_decode_real(sf_dir: str):
+    """END-TO-END REAL-codec media pipeline: one media payload per
+    document (even doc_id -> a P6 PPM image, odd -> a RIFF/WAVE PCM16
+    clip; dims/rates/lengths are modular functions of doc_id), ENCODED
+    as real bytes, shipped through the object store, and decoded back
+    by the actor-pool ``MediaDecodeActor`` running the pure-numpy
+    PPM/WAV parsers (``stages/multimodal.py``). Output is the decoded
+    integer metadata — which the SQL oracle recomputes arithmetically
+    from doc_id (including the exact PPM header + raster and WAV
+    container byte counts), so a single flipped byte anywhere in
+    encode -> object store -> decode breaks the hash match.
+
+    Scale shape: encode and decode are two map_batches stages (decode
+    a stateful actor pool, batch_size=32 — the media sizing contract);
+    no shuffle, no driver materialization."""
+    from don_crawler_ray.stages.multimodal import (
+        MediaDecodeActor,
+        encode_ppm,
+        encode_wav,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for d in ids:
+            d = int(d)
+            if d % 2 == 0:
+                w, h = 8 + d % 24, 6 + d % 17
+                rgb = (np.arange(w * h * 3, dtype=np.int64) + d).astype(np.uint8)
+                payloads.append(encode_ppm(rgb.reshape(h, w, 3)))
+            else:
+                rate = 8000 + (d % 5) * 2000
+                n = 50 + d % 200
+                samples = ((np.arange(n, dtype=np.int64) * (d + 7)) % 2003 - 1001).astype(
+                    np.int16
+                )
+                payloads.append(encode_wav(rate, samples))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array((ids % 2).astype(np.int8), pa.int8()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    decoded = ds.map_batches(encode, batch_format="pyarrow").map_batches(
+        MediaDecodeActor,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+        num_cpus=0.5,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": pc.cast(batch.column("media_id"), pa.int64()),
+                "kind": pc.cast(batch.column("kind"), pa.int64()),
+                "width": pc.cast(batch.column("width"), pa.int64()),
+                "height": pc.cast(batch.column("height"), pa.int64()),
+                "n_frames": pc.cast(batch.column("n_frames"), pa.int64()),
+                "n_bytes": pc.cast(batch.column("n_bytes"), pa.int64()),
+            }
+        )
+
+    return decoded.map_batches(project, batch_format="pyarrow")
+
+
+# PPM bytes: "P6\n" (3) + digits(w) + " " (1) + digits(h) + "\n255\n"
+# (5) = 9 + digits(w) + digits(h) + 3wh raster; WAV bytes: 12
+# (RIFF/WAVE) + 8 + 16 (fmt) + 8 + 2n.
+SQL_MEDIA_DECODE_REAL = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 2 AS BIGINT) AS kind,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 24
+                 ELSE 8000 + (doc_id % 5) * 2000 END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 6 + doc_id % 17 ELSE 1 END AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 50 + doc_id % 200 END AS BIGINT) AS n_frames,
+       CAST(CASE WHEN doc_id % 2 = 0
+                 THEN 9 + length(CAST(8 + doc_id % 24 AS VARCHAR))
+                        + length(CAST(6 + doc_id % 17 AS VARCHAR))
+                        + 3 * (8 + doc_id % 24) * (6 + doc_id % 17)
+                 ELSE 44 + 2 * (50 + doc_id % 200) END AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+QUERIES.update({"media_decode_real": q_media_decode_real})
+ORACLE_SQL.update({"media_decode_real": SQL_MEDIA_DECODE_REAL})
