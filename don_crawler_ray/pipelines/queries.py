@@ -10144,8 +10144,10 @@ def q_media_decode_real(sf_dir: str):
     PPM/WAV parsers (``stages/multimodal.py``). Output is the decoded
     integer metadata — which the SQL oracle recomputes arithmetically
     from doc_id (including the exact PPM header + raster and WAV
-    container byte counts), so a single flipped byte anywhere in
-    encode -> object store -> decode breaks the hash match.
+    container byte counts), so any flipped HEADER/CONTAINER byte — or
+    any truncation, since n_bytes covers the full payload length —
+    breaks the hash match (payload-body bytes feed only the feature
+    column, which this projection drops).
 
     Scale shape: encode and decode are two map_batches stages (decode
     a stateful actor pool, batch_size=32 — the media sizing contract);
@@ -10174,10 +10176,11 @@ def q_media_decode_real(sf_dir: str):
                     np.int16
                 )
                 payloads.append(encode_wav(rate, samples))
+        # no 'kind' column here: the decode actor re-derives kind
+        # from magic bytes, so shipping it would be dead weight
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
-                "kind": pa.array((ids % 2).astype(np.int8), pa.int8()),
                 "payload": pa.array(payloads, pa.binary()),
             }
         )
