@@ -141,6 +141,29 @@ def jaccard_exact(text_a: str, text_b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def shingle_hash_positions(text: str, k: int = 8) -> np.ndarray:
+    """uint64 FNV hashes of ALL k-word shingles of ``text`` in document
+    order (index == 0-based start-token position). Unlike
+    ``shingle_hashes`` this keeps duplicates and does NOT pad short
+    documents — a doc with fewer than ``k`` tokens yields an empty
+    array. Same per-shingle hash contract as ``shingle_hashes`` (token
+    bytes, ``^ 0x20`` space mix after each token), so the existing
+    bit-exact SQL FNV reduction applies unchanged."""
+    toks = text.lower().split()
+    n = len(toks) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    out = np.empty(n, dtype=np.uint64)
+    for i in range(n):
+        h = 1469598103934665603  # FNV offset
+        for t in toks[i : i + k]:
+            for c in t.encode("utf-8"):
+                h = ((h ^ c) * 1099511628211) & _M64
+            h = ((h ^ 0x20) * 1099511628211) & _M64
+        out[i] = h
+    return out
+
+
 def fnv1a64(s: str) -> int:
     """FNV-1a 64-bit of the utf-8 bytes of ``s``. Used as the global
     shingle total-order for prefix filtering — any fixed total order is

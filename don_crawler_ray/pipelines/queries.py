@@ -10228,3 +10228,215 @@ FROM documents
 
 QUERIES.update({"media_decode_real": q_media_decode_real})
 ORACLE_SQL.update({"media_decode_real": SQL_MEDIA_DECODE_REAL})
+
+
+SPAN_DEDUP_K = 8
+
+
+def q_span_dedup_docs(sf_dir: str):
+    """Exact duplicated-substring span REMOVAL with text
+    reconstruction (the ExactSubstr remediation of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", at
+    whitespace-token granularity): every 8-token span whose exact text
+    occurs >= 2 times anywhere in the corpus — in another document or
+    repeated within the same one — is cut from every document, and the
+    cleaned text is re-joined from the surviving tokens. This is the
+    removal step downstream of ``dup_ngram_docs``, which only counts
+    the signal.
+
+    Scale shape — the only exchange that carries text is one doc-id
+    bucket union (equivalent to a hash join of documents against the
+    much smaller dup-occurrence table):
+
+    1. gram pass: per-batch positional FNV shingles
+       (``shingle_hash_positions``) emit slim ``(sh, doc_id, pos)``
+       rows bucketed by ``sh % 64``; every occurrence of a gram lands
+       in one bucket, so a single sort + run-length segments per
+       bucket flags exactly the duplicated occurrences, which leave as
+       ``(doc_id, pos)``.
+    2. rebuild pass: dup occurrences union the ``(doc_id, text)``
+       rows bucketed by ``doc_id % 64``; the per-bucket kernel marks
+       covered token indices with a difference-array prefix sum
+       (+1 at ``pos``, -1 at ``pos+8``) and re-joins uncovered tokens,
+       so per-doc work is O(text) with no per-token Python hashing.
+
+    Output: one row per document — ``doc_id``, ``n_removed`` (covered
+    token count) and ``text_clean`` (lowercased, whitespace-normalized
+    like the rest of the shingle family)."""
+    from don_crawler_ray.functions.dedup import shingle_hash_positions
+
+    k = SPAN_DEDUP_K
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(8)
+
+    def grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sh_all, id_all, pos_all = [], [], []
+        for i, t in zip(ids.tolist(), batch.column("text").to_pylist()):
+            sh = shingle_hash_positions(t, k=k)
+            if len(sh) == 0:
+                continue
+            sh_all.append(sh)
+            id_all.append(np.full(len(sh), i, np.int64))
+            pos_all.append(np.arange(len(sh), dtype=np.int64))
+        if not sh_all:
+            return pa.table(
+                {
+                    "sh": pa.array([], pa.uint64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "_bucket": pa.array([], pa.int32()),
+                }
+            )
+        sh = np.concatenate(sh_all)
+        return pa.table(
+            {
+                "sh": pa.array(sh, pa.uint64()),
+                "doc_id": pa.array(np.concatenate(id_all), pa.int64()),
+                "pos": pa.array(np.concatenate(pos_all), pa.int64()),
+                "_bucket": pa.array((sh % np.uint64(64)).astype(np.int32)),
+            }
+        )
+
+    def dup_kernel(group: pa.Table) -> pa.Table:
+        sh = group.column("sh").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = group.column("pos").to_numpy(zero_copy_only=False)
+        order = np.argsort(sh, kind="stable")
+        sh, ids, pos = sh[order], ids[order], pos[order]
+        _, _, seg_len = _segments(sh)
+        sel = np.repeat(seg_len >= 2, seg_len)
+        n = int(sel.sum())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[sel], pa.int64()),
+                "pos": pa.array(pos[sel], pa.int64()),
+                "text": pa.array([None] * n, pa.string()),
+                "_b": pa.array((ids[sel] % 64).astype(np.int32)),
+            }
+        )
+
+    occ = (
+        ds.map_batches(grams, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(dup_kernel, batch_format="pyarrow")
+    )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos": pa.array(np.full(len(ids), -1, np.int64)),
+                "text": batch.column("text"),
+                "_b": pa.array((ids % 64).astype(np.int32)),
+            }
+        )
+
+    docs = ds.map_batches(doc_rows, batch_format="pyarrow")
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = group.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = group.column("text").to_pylist()
+        occ_mask = pos >= 0
+        occ_ids, occ_pos = ids[occ_mask], pos[occ_mask]
+        occ_map: dict[int, np.ndarray] = {}
+        if len(occ_ids):
+            order = np.lexsort((occ_pos, occ_ids))
+            occ_ids, occ_pos = occ_ids[order], occ_pos[order]
+            _, starts, lens = _segments(occ_ids)
+            for s, ln in zip(starts.tolist(), lens.tolist()):
+                occ_map[int(occ_ids[s])] = occ_pos[s : s + ln]
+        out_id, out_rm, out_txt = [], [], []
+        for i in np.flatnonzero(~occ_mask).tolist():
+            toks = texts[i].lower().split()
+            n = len(toks)
+            p = occ_map.get(int(ids[i]))
+            if p is None or n == 0:
+                rm, keep = 0, toks
+            else:
+                delta = np.zeros(n + 1, np.int64)
+                np.add.at(delta, p, 1)
+                np.add.at(delta, np.minimum(p + k, n), -1)
+                cov = np.cumsum(delta[:n]) > 0
+                rm = int(cov.sum())
+                keep = [tok for tok, c in zip(toks, cov.tolist()) if not c]
+            out_id.append(int(ids[i]))
+            out_rm.append(rm)
+            out_txt.append(" ".join(keep))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_removed": pa.array(out_rm, pa.int64()),
+                "text_clean": pa.array(out_txt, pa.string()),
+            }
+        )
+
+    res = occ.union(docs).groupby("_b").map_groups(rebuild, batch_format="pyarrow")
+    t = pa.Table.from_pylist(res.take_all())
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_removed": pa.array([], pa.int64()),
+                "text_clean": pa.array([], pa.string()),
+            }
+        )
+    return pa.table(
+        {
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "n_removed": pc.cast(t.column("n_removed"), pa.int64()),
+            "text_clean": pc.cast(t.column("text_clean"), pa.string()),
+        }
+    )
+
+
+def _build_span_dedup_sql(k: int = SPAN_DEDUP_K) -> str:
+    fnv_prime, fnv_offset = 1099511628211, 1469598103934665603
+    m64 = 1 << 64
+    concat = " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {k - 1})) AS i
+  FROM t WHERE len(toks) >= {k}
+),
+shstr AS (SELECT doc_id, i, {concat} || ' ' AS s FROM g),
+shh AS (
+  SELECT doc_id, i,
+    list_reduce(
+      list_prepend(CAST({fnv_offset} AS UBIGINT),
+        list_transform(regexp_extract_all(s, '.'), c -> CAST(ascii(c) AS UBIGINT))),
+      (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * {fnv_prime}) % {m64} AS UBIGINT)
+    ) AS sh
+  FROM shstr
+),
+dup AS (SELECT sh FROM shh GROUP BY sh HAVING count(*) >= 2),
+occ AS (SELECT shh.doc_id, shh.i FROM shh JOIN dup USING (sh)),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tok, unnest(generate_series(1, len(toks))) AS j FROM t
+),
+cov AS (
+  SELECT DISTINCT tok.doc_id AS doc_id, tok.j AS j
+  FROM tok JOIN occ ON tok.doc_id = occ.doc_id AND tok.j BETWEEN occ.i AND occ.i + {k - 1}
+)
+SELECT t.doc_id,
+       CAST(coalesce(c.n_removed, 0) AS BIGINT) AS n_removed,
+       coalesce(r.text_clean, '') AS text_clean
+FROM t
+LEFT JOIN (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY 1) c USING (doc_id)
+LEFT JOIN (
+  SELECT tok.doc_id, string_agg(tok.tok, ' ' ORDER BY tok.j) AS text_clean
+  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.j = cov.j
+  WHERE cov.j IS NULL
+  GROUP BY 1
+) r USING (doc_id)
+"""
+
+
+SQL_SPAN_DEDUP = _build_span_dedup_sql()
+
+QUERIES.update({"span_dedup_docs": q_span_dedup_docs})
+ORACLE_SQL.update({"span_dedup_docs": SQL_SPAN_DEDUP})

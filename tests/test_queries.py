@@ -1487,3 +1487,71 @@ def test_hrw_shards_recompute(ray_session):
     counts = np.bincount(want, minlength=HRW_SHARDS)
     assert (counts > 0).all()
     assert counts.max() < 2.5 * counts.min()
+
+
+class TestSpanDedup:
+    def test_known_spans_removed(self, ray_session, tmp_path):
+        """Crafted corpus pins the ExactSubstr-removal semantics:
+        a cross-doc shared 8-token span is cut from BOTH docs, a
+        within-doc repeated span is cut (both occurrences), overlap
+        coverage merges, and unique text plus short docs survive
+        verbatim."""
+        import pyarrow.parquet as pq
+
+        shared = "s0 s1 s2 s3 s4 s5 s6 s7"        # 8 tokens, in docs 0+1
+        rep = "r0 r1 r2 r3 r4 r5 r6 r7"           # 8 tokens, twice in doc 2
+        docs = {
+            0: f"a0 a1 {shared} a2 a3",
+            1: f"b0 {shared} b1",
+            2: f"{rep} mid {rep}",
+            3: "u0 u1 u2 u3 u4 u5 u6 u7 u8",      # unique: untouched
+            4: "short doc",                        # < 8 tokens: untouched
+        }
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(sorted(docs), pa.int64()),
+                    "text": [docs[i] for i in sorted(docs)],
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        out = (
+            _to_pandas(entrymod.queries()["span_dedup_docs"](str(tmp_path)))
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert out.loc[0, "text_clean"] == "a0 a1 a2 a3"
+        assert out.loc[0, "n_removed"] == 8
+        assert out.loc[1, "text_clean"] == "b0 b1"
+        assert out.loc[1, "n_removed"] == 8
+        assert out.loc[2, "text_clean"] == "mid"
+        assert out.loc[2, "n_removed"] == 16
+        assert out.loc[3, "text_clean"] == docs[3]
+        assert out.loc[3, "n_removed"] == 0
+        assert out.loc[4, "text_clean"] == docs[4]
+        assert out.loc[4, "n_removed"] == 0
+
+    def test_overlapping_runs_cover_union(self, ray_session, tmp_path):
+        """Two docs sharing a 9-token run => two overlapping dup
+        8-grams; coverage is the union (9 tokens), not 16."""
+        import pyarrow.parquet as pq
+
+        run = " ".join(f"c{i}" for i in range(9))
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], pa.int64()),
+                    "text": [f"x0 {run} x1", f"y0 y1 {run}"],
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        out = (
+            _to_pandas(entrymod.queries()["span_dedup_docs"](str(tmp_path)))
+            .set_index("doc_id")
+        )
+        assert out.loc[0, "n_removed"] == 9
+        assert out.loc[0, "text_clean"] == "x0 x1"
+        assert out.loc[1, "n_removed"] == 9
+        assert out.loc[1, "text_clean"] == "y0 y1"
