@@ -10440,3 +10440,116 @@ SQL_SPAN_DEDUP = _build_span_dedup_sql()
 
 QUERIES.update({"span_dedup_docs": q_span_dedup_docs})
 ORACLE_SQL.update({"span_dedup_docs": SQL_SPAN_DEDUP})
+
+
+QSKETCH_K = 1024
+
+
+def q_quantile_sketch_lineitem(sf_dir: str):
+    """Mergeable quantile sketch — the missing member of the sketch
+    family (HLL, count-min, KMV, bloom): approximate deciles of
+    ``l_extendedprice`` from a deterministic bottom-K hash sample.
+    The sketch keeps the K rows with the smallest
+    ``splitmix64((l_orderkey*8 + l_linenumber) XOR (cents << 32))``;
+    bottom-K under a fixed total order is a semilattice (merge =
+    concat + re-truncate), so partials combine associatively and
+    commutatively — the result is bit-identical at ANY parallelism
+    and merge tree, unlike KLL/GK whose compactions are
+    order-dependent. Rank error is the uniform-sample bound
+    O(sqrt(q(1-q)/K)) ~ 1.5% at K=1024 (see
+    ``TestQuantileSketch.test_rank_error_bound``). Mixing the value
+    into the hash makes duplicate-key rows diverge unless they are
+    value-identical too, in which case either copy yields the same
+    estimate; the final order adds ``cents`` as tie-break so even hash
+    collisions select a deterministic multiset.
+
+    Scale shape: per-batch bottom-K combiner (<= K rows leave each
+    task), driver merge of <= K x blocks candidates, O(K) memory
+    everywhere — no shuffle, one streaming pass, and the same partials
+    tree-merge on a 256-node cluster."""
+    from don_crawler_ray.functions.dedup import _mix64
+
+    K = QSKETCH_K
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = batch.column("l_linenumber").to_numpy(zero_copy_only=False).astype(np.int64)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        cents = np.rint(price * 100.0).astype(np.int64)
+        inp = (ok * 8 + ln).astype(np.uint64) ^ (cents.astype(np.uint64) << np.uint64(32))
+        # order-preserving signed view of the uint64 mix (int64 survives
+        # take_all -> from_pylist round-trips; uint64 would overflow)
+        hv = (_mix64(inp) ^ np.uint64(1 << 63)).astype(np.int64)
+        order = np.lexsort((cents, hv))[:K]
+        return pa.table(
+            {
+                "hv": pa.array(hv[order], pa.int64()),
+                "cents": pa.array(cents[order], pa.int64()),
+            }
+        )
+
+    cand = pa.Table.from_pylist(
+        ds.map_batches(partial, batch_format="pyarrow").take_all()
+    )
+    if cand.num_rows == 0:
+        return pa.table({"q_pct": pa.array([], pa.int64()), "est_cents": pa.array([], pa.int64())})
+    hv = cand.column("hv").to_numpy(zero_copy_only=False).astype(np.int64)
+    cents = cand.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = np.lexsort((cents, hv))[:K]
+    hv, cents = hv[keep], cents[keep]
+    by_val = np.lexsort((hv, cents))
+    vals = cents[by_val]
+    n = len(vals)
+    qs = np.arange(1, 10, dtype=np.int64)
+    idx = (n - 1) * qs // 10
+    return pa.table(
+        {
+            "q_pct": pa.array(qs * 10, pa.int64()),
+            "est_cents": pa.array(vals[idx], pa.int64()),
+        }
+    )
+
+
+def _build_qsketch_sql(K: int = QSKETCH_K) -> str:
+    """The engine's splitmix64 chain re-derived with the 32-bit-limb
+    mulmod contract shared with the HLL / sampling oracles."""
+    m64 = 1 << 64
+    c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(z, c):
+        zh = f"(CAST({z} AS HUGEINT) >> 32)"
+        zl = f"(CAST({z} AS HUGEINT) & 4294967295)"
+        return (
+            f"CAST(((({zh} * {c}) % 4294967296) * 4294967296 + {zl} * {c})"
+            f" % {m64} AS UBIGINT)"
+        )
+
+    return f"""
+WITH base AS (
+  SELECT l_orderkey * 8 + l_linenumber AS k,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+inp AS (SELECT cents,
+        xor(CAST(k AS UBIGINT),
+            CAST((CAST(cents AS HUGEINT) * 4294967296) % {m64} AS UBIGINT)) AS k FROM base),
+ma AS (SELECT cents, CAST((CAST(k AS HUGEINT) + {c1}) % {m64} AS UBIGINT) AS z FROM inp),
+mb AS (SELECT cents, {mulmod('xor(z, z >> 30)', c2)} AS z FROM ma),
+mc AS (SELECT cents, {mulmod('xor(z, z >> 27)', c3)} AS z FROM mb),
+md AS (SELECT cents, xor(z, z >> 31) AS hv FROM mc),
+samp AS (SELECT cents, hv, row_number() OVER (ORDER BY hv, cents) AS rn FROM md),
+s AS (SELECT cents, hv FROM samp WHERE rn <= {K}),
+o AS (SELECT cents, row_number() OVER (ORDER BY cents, hv) AS rn,
+             count(*) OVER () AS n FROM s)
+SELECT CAST(g * 10 AS BIGINT) AS q_pct, o.cents AS est_cents
+FROM generate_series(1, 9) t(g)
+JOIN o ON o.rn = ((o.n - 1) * g) // 10 + 1
+ORDER BY 1
+"""
+
+
+SQL_QUANTILE_SKETCH = _build_qsketch_sql()
+
+QUERIES.update({"quantile_sketch_lineitem": q_quantile_sketch_lineitem})
+ORACLE_SQL.update({"quantile_sketch_lineitem": SQL_QUANTILE_SKETCH})

@@ -1555,3 +1555,54 @@ class TestSpanDedup:
         assert out.loc[0, "text_clean"] == "x0 x1"
         assert out.loc[1, "n_removed"] == 9
         assert out.loc[1, "text_clean"] == "y0 y1"
+
+
+class TestQuantileSketch:
+    def test_rank_error_bound(self, ray_session):
+        """Sketch deciles must sit within the uniform-sample rank
+        bound: |true_rank(est) - q*n| <= 4*n*sqrt(q(1-q)/K) (4 sigma;
+        the hash sample is fixed, so this is a deterministic check,
+        not a flaky statistical one)."""
+        from don_crawler_ray.pipelines.queries import QSKETCH_K
+
+        out = _to_pandas(
+            entrymod.queries()["quantile_sketch_lineitem"](SF_DIR)
+        ).set_index("q_pct")
+        full = pd.read_parquet(
+            f"{SF_DIR}/lineitem.parquet", columns=["l_extendedprice"]
+        )["l_extendedprice"].to_numpy()
+        cents = np.rint(full * 100.0).astype(np.int64)
+        cents.sort()
+        n = len(cents)
+        for qp in range(10, 100, 10):
+            q = qp / 100.0
+            est = int(out.loc[qp, "est_cents"])
+            true_rank = np.searchsorted(cents, est, side="left")
+            bound = 4.0 * n * np.sqrt(q * (1 - q) / QSKETCH_K)
+            assert abs(true_rank - q * n) <= bound, (qp, true_rank, q * n, bound)
+
+    def test_bottom_k_merge_is_order_invariant(self):
+        """The sketch's merge (concat + re-truncate bottom-K) is a
+        semilattice: any split of the input and any merge order yields
+        the same sample — the property that makes the result
+        bit-identical at any parallelism."""
+        from don_crawler_ray.functions.dedup import _mix64
+
+        rng = np.random.default_rng(3)
+        hv = (_mix64(rng.integers(0, 1 << 62, 5000).astype(np.uint64))
+              ^ np.uint64(1 << 63)).astype(np.int64)
+        cents = rng.integers(0, 10**6, 5000)
+        K = 256
+
+        def bottom_k(h, c):
+            o = np.lexsort((c, h))[:K]
+            return h[o], c[o]
+
+        gh, gc = bottom_k(hv, cents)
+        for splits in (2, 7, 31):
+            parts = [bottom_k(h, c) for h, c in zip(
+                np.array_split(hv, splits), np.array_split(cents, splits))]
+            mh = np.concatenate([p[0] for p in parts])
+            mc = np.concatenate([p[1] for p in parts])
+            rh, rc = bottom_k(mh, mc)
+            assert (rh == gh).all() and (rc == gc).all()
