@@ -10553,3 +10553,108 @@ SQL_QUANTILE_SKETCH = _build_qsketch_sql()
 
 QUERIES.update({"quantile_sketch_lineitem": q_quantile_sketch_lineitem})
 ORACLE_SQL.update({"quantile_sketch_lineitem": SQL_QUANTILE_SKETCH})
+
+
+def q_gopher_filter(sf_dir: str):
+    """Gopher-style document quality gate (Rae et al. 2021, the
+    canonical webtext filter suite), the integer-exact subset over the
+    whitespace-token corpus: a doc is kept iff
+      R1  50 <= word_count <= 100_000
+      R2  mean word length in [3, 10]   (3*wc <= chars <= 10*wc)
+      R3  >= 80% of words contain a letter (5*n_alpha >= 4*wc)
+      R4  >= 2 stopwords (the language-ID profile union, the same
+          frozen list the SQL oracle inlines)
+    The line-based Gopher rules (bullet/ellipsis line fractions) have
+    no surface on this single-line corpus; the duplicate-text rules
+    are the separate ``repetition_ratio`` / ``dup_ngram_docs``
+    signals. All thresholds are integer comparisons, so the oracle is
+    bit-exact — no float ratios cross the gate.
+
+    Output: ONE summary row (n_docs, n_keep, per-rule failure
+    counts). Scale shape: per-batch integer partial sums; only a
+    6-int row leaves each task, merged on the driver."""
+    from don_crawler_ray.functions.textstats import _STOPWORDS_ALL
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = f1 = f2 = f3 = f4 = keep = 0
+        for text in batch.column("text").to_pylist():
+            toks = text.lower().split()
+            wc = len(toks)
+            chars = sum(len(t) for t in toks)
+            n_alpha = sum(1 for t in toks if any("a" <= c <= "z" for c in t))
+            n_stop = sum(1 for t in toks if t in _STOPWORDS_ALL)
+            r1 = 50 <= wc <= 100_000
+            r2 = 3 * wc <= chars <= 10 * wc
+            r3 = 5 * n_alpha >= 4 * wc
+            r4 = n_stop >= 2
+            n += 1
+            f1 += not r1
+            f2 += not r2
+            f3 += not r3
+            f4 += not r4
+            keep += r1 and r2 and r3 and r4
+        return pa.table(
+            {
+                "n_docs": pa.array([n], pa.int64()),
+                "n_keep": pa.array([keep], pa.int64()),
+                "n_fail_wordcount": pa.array([f1], pa.int64()),
+                "n_fail_meanlen": pa.array([f2], pa.int64()),
+                "n_fail_alpha": pa.array([f3], pa.int64()),
+                "n_fail_stopwords": pa.array([f4], pa.int64()),
+            }
+        )
+
+    parts = pa.Table.from_pylist(
+        ds.map_batches(partial, batch_format="pyarrow").take_all()
+    )
+    cols = [
+        "n_docs", "n_keep", "n_fail_wordcount",
+        "n_fail_meanlen", "n_fail_alpha", "n_fail_stopwords",
+    ]
+    if parts.num_rows == 0:
+        return pa.table({c: pa.array([0], pa.int64()) for c in cols})
+    return pa.table(
+        {c: pa.array([pc.sum(parts.column(c)).as_py() or 0], pa.int64()) for c in cols}
+    )
+
+
+def _build_gopher_sql() -> str:
+    from don_crawler_ray.functions.textstats import _STOPWORDS_ALL
+
+    stoplist = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS_ALL))
+    return f"""
+WITH t AS (
+  SELECT CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+  FROM documents
+),
+s AS (
+  SELECT len(toks) AS wc,
+         length(array_to_string(toks, '')) AS chars,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         len(list_filter(toks, x -> list_contains([{stoplist}], x))) AS n_stop
+  FROM t
+),
+r AS (
+  SELECT (wc BETWEEN 50 AND 100000) AS r1,
+         (3 * wc <= chars AND chars <= 10 * wc) AS r2,
+         (5 * n_alpha >= 4 * wc) AS r3,
+         (n_stop >= 2) AS r4
+  FROM s
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(sum(CASE WHEN r1 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_wordcount,
+       CAST(sum(CASE WHEN r2 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_meanlen,
+       CAST(sum(CASE WHEN r3 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_alpha,
+       CAST(sum(CASE WHEN r4 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_stopwords
+FROM r
+"""
+
+
+SQL_GOPHER_FILTER = _build_gopher_sql()
+
+QUERIES.update({"gopher_filter": q_gopher_filter})
+ORACLE_SQL.update({"gopher_filter": SQL_GOPHER_FILTER})

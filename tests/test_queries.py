@@ -1606,3 +1606,35 @@ class TestQuantileSketch:
             mc = np.concatenate([p[1] for p in parts])
             rh, rc = bottom_k(mh, mc)
             assert (rh == gh).all() and (rc == gc).all()
+
+
+class TestGopherFilter:
+    def test_each_rule_fires(self, ray_session, tmp_path):
+        """One doc per failure mode + one clean doc pins each rule."""
+        import pyarrow.parquet as pq
+
+        good = "the quick brown fox jumps over the lazy dog " * 8  # 72 words
+        docs = [
+            good,                                   # keeps
+            "the of short",                         # R1: wc < 50
+            " ".join(["ab"] * 60) + " the of",      # R2: mean len < 3
+            " ".join(["1234"] * 60) + " the of",    # R3: no-alpha words
+            " ".join([f"w{i}xyz" for i in range(60)]),  # R4: no stopwords
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": docs,
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        out = _to_pandas(entrymod.queries()["gopher_filter"](str(tmp_path)))
+        row = out.iloc[0]
+        assert row["n_docs"] == 5
+        assert row["n_keep"] == 1
+        assert row["n_fail_wordcount"] == 1
+        assert row["n_fail_meanlen"] == 1
+        assert row["n_fail_alpha"] == 1
+        assert row["n_fail_stopwords"] == 1
