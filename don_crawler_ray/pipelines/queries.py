@@ -10658,3 +10658,72 @@ SQL_GOPHER_FILTER = _build_gopher_sql()
 
 QUERIES.update({"gopher_filter": q_gopher_filter})
 ORACLE_SQL.update({"gopher_filter": SQL_GOPHER_FILTER})
+
+
+def q_warc_roundtrip(sf_dir: str):
+    """WARC/1.0 sink + source round trip (``sources/warc.py``) — the
+    native archive interchange format of web crawls: documents ride
+    out as one ``response`` record each (URI synthesized from doc_id,
+    payload = text), a fresh Dataset streams them back, and the check
+    aggregates what survived. Write fans out one file per write task
+    (partitioned, resumable); read parallelizes per file.
+
+    ``length(text)`` is a character count on both sides (Python
+    ``len(str)`` == SQL ``length``), so the oracle is exact even
+    though the payload travels as utf-8 bytes."""
+    import shutil
+    import tempfile
+
+    from don_crawler_ray.sources.warc import read_warc, write_warc
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_records(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "target_uri": pa.array(
+                    [f"https://corpus.example/doc/{i}" for i in ids], pa.string()
+                ),
+                "warc_date": pa.array(["2026-01-01T00:00:00Z"] * len(ids), pa.string()),
+                "payload": batch.column("text"),
+            }
+        )
+
+    out = tempfile.mkdtemp(prefix="don_warc_")
+    try:
+        write_warc(ds.map_batches(to_records, batch_format="pyarrow"), out)
+        back = read_warc(out)
+
+        def part(batch: pa.Table) -> pa.Table:
+            chars = pc.sum(pc.utf8_length(batch.column("payload"))).as_py() or 0
+            return pa.table(
+                {
+                    "p_n": pa.array([batch.num_rows], pa.int64()),
+                    "p_chars": pa.array([chars], pa.int64()),
+                }
+            )
+
+        parts = pa.Table.from_pylist(
+            back.map_batches(part, batch_format="pyarrow").take_all()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    n = pc.sum(parts.column("p_n")).as_py() or 0
+    chars = pc.sum(parts.column("p_chars")).as_py() or 0
+    return pa.table(
+        {
+            "n_records": pa.array([n], pa.int64()),
+            "sum_chars": pa.array([chars], pa.int64()),
+        }
+    )
+
+
+SQL_WARC_ROUNDTRIP = """
+SELECT CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM documents
+"""
+
+QUERIES.update({"warc_roundtrip": q_warc_roundtrip})
+ORACLE_SQL.update({"warc_roundtrip": SQL_WARC_ROUNDTRIP})

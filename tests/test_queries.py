@@ -1638,3 +1638,57 @@ class TestGopherFilter:
         assert row["n_fail_meanlen"] == 1
         assert row["n_fail_alpha"] == 1
         assert row["n_fail_stopwords"] == 1
+
+
+class TestWarc:
+    def test_roundtrip_exact_fidelity(self, ray_session, tmp_path):
+        """Record-level fidelity, not just aggregates: every
+        (uri, date, payload) survives byte-exactly, including payloads
+        containing CRLF blank lines (the record delimiter)."""
+        import ray
+
+        from don_crawler_ray.sources.warc import read_warc, write_warc
+
+        rows = {
+            "target_uri": [f"https://ex.com/p/{i}" for i in range(57)],
+            "warc_date": ["2026-08-18T00:00:00Z"] * 57,
+            "payload": [f"body {i}\r\n\r\ntrailer {i}" for i in range(57)],
+        }
+        ds = ray.data.from_arrow(pa.table(rows)).repartition(4)
+        write_warc(ds, str(tmp_path / "w"))
+        back = pa.Table.from_pylist(read_warc(str(tmp_path / "w")).take_all())
+        assert back.sort_by("target_uri").to_pydict() == pa.table(rows).sort_by(
+            "target_uri"
+        ).to_pydict()
+
+    def test_record_bytes_deterministic(self):
+        from don_crawler_ray.sources.warc import record_bytes
+
+        a = record_bytes("https://x/y", "2026-01-01T00:00:00Z", "hello")
+        b = record_bytes("https://x/y", "2026-01-01T00:00:00Z", "hello")
+        assert a == b
+        assert b"WARC-Type: response" in a
+        assert b"Content-Length: 5" in a
+
+    def test_crawl_output_to_warc(self, ray_session, tmp_path):
+        """The flagship pipeline's output writes as WARC and reads
+        back with matching row count — the crawl -> archive hand-off."""
+        import pyarrow.compute as pc
+
+        import __ray_entry__ as e
+        from don_crawler_ray.sources.warc import read_warc, write_warc
+
+        ds = e.entry()
+        n = ds.count()
+
+        def to_rec(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "target_uri": batch.column("canonical_url"),
+                    "warc_date": pc.cast(batch.column("warc_ts"), pa.string()),
+                    "payload": batch.column("text"),
+                }
+            )
+
+        write_warc(ds.map_batches(to_rec, batch_format="pyarrow"), str(tmp_path / "w"))
+        assert read_warc(str(tmp_path / "w")).count() == n
