@@ -1692,3 +1692,36 @@ class TestWarc:
 
         write_warc(ds.map_batches(to_rec, batch_format="pyarrow"), str(tmp_path / "w"))
         assert read_warc(str(tmp_path / "w")).count() == n
+
+
+class TestWarcProperties:
+    def test_parse_roundtrip_hypothesis(self):
+        """Any unicode payload — including CRLFs, WARC/1.0 banners and
+        header-shaped text — survives record encode/parse, because the
+        parser walks by Content-Length, never by delimiter scan."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from don_crawler_ray.sources.warc import (
+            batch_to_warc_bytes,
+            parse_warc_stream,
+        )
+
+        payload = st.text(max_size=200)
+        uri = st.from_regex(r"https://[a-z]{1,10}\.example/[A-Za-z0-9/_-]{0,20}", fullmatch=True)
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(st.tuples(uri, payload), min_size=0, max_size=8))
+        def check(rows):
+            t = pa.table(
+                {
+                    "target_uri": pa.array([r[0] for r in rows], pa.string()),
+                    "warc_date": pa.array(["2026-01-01T00:00:00Z"] * len(rows), pa.string()),
+                    "payload": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+            back = parse_warc_stream(batch_to_warc_bytes(t))
+            assert back.column("target_uri").to_pylist() == t.column("target_uri").to_pylist()
+            assert back.column("payload").to_pylist() == t.column("payload").to_pylist()
+
+        check()
