@@ -34,6 +34,18 @@ def _mix64(x: np.ndarray) -> np.ndarray:
         return z ^ (z >> np.uint64(31))
 
 
+def _gram_fnv(toks: list[str], i: int, k: int) -> int:
+    """FNV-1a of the k-token gram at ``toks[i:i+k]`` — token bytes
+    with an ``^ 0x20`` space mix after each token (the bit-exact
+    contract the SQL oracles reduce over ``tok || ' '`` strings)."""
+    h = 1469598103934665603  # FNV offset
+    for t in toks[i : i + k]:
+        for c in t.encode("utf-8"):
+            h = ((h ^ c) * 1099511628211) & _M64
+        h = ((h ^ 0x20) * 1099511628211) & _M64
+    return h
+
+
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """uint64 hashes of the k-word shingles of ``text`` (lowercased,
     whitespace-tokenized). Returns unique hashes (a set)."""
@@ -43,12 +55,7 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     n = max(1, len(toks) - k + 1)
     out = np.empty(n, dtype=np.uint64)
     for i in range(n):
-        h = 1469598103934665603  # FNV offset
-        for t in toks[i : i + k]:
-            for c in t.encode("utf-8"):
-                h = ((h ^ c) * 1099511628211) & _M64
-            h = ((h ^ 0x20) * 1099511628211) & _M64
-        out[i] = h
+        out[i] = _gram_fnv(toks, i, k)
     return np.unique(out)
 
 
@@ -155,12 +162,7 @@ def shingle_hash_positions(text: str, k: int = 8) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     out = np.empty(n, dtype=np.uint64)
     for i in range(n):
-        h = 1469598103934665603  # FNV offset
-        for t in toks[i : i + k]:
-            for c in t.encode("utf-8"):
-                h = ((h ^ c) * 1099511628211) & _M64
-            h = ((h ^ 0x20) * 1099511628211) & _M64
-        out[i] = h
+        out[i] = _gram_fnv(toks, i, k)
     return out
 
 

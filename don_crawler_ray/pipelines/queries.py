@@ -137,6 +137,19 @@ def _segments(codes: np.ndarray):
     return change, seg_starts, seg_len
 
 
+def _sql_mulmod(z: str, c: int) -> str:
+    """DuckDB SQL for ``(z * c) mod 2**64`` via 32-bit limbs (HUGEINT
+    is 128-bit signed, so a direct 64x64 multiply would overflow) —
+    the shared splitmix64 building block of every hash oracle here."""
+    m64 = 1 << 64
+    zh = f"(CAST({z} AS HUGEINT) >> 32)"
+    zl = f"(CAST({z} AS HUGEINT) & 4294967295)"
+    return (
+        f"CAST(((({zh} * {c}) % 4294967296) * 4294967296 + {zl} * {c})"
+        f" % {m64} AS UBIGINT)"
+    )
+
+
 def _query_vectors(sf_dir: str, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
     """The ANN query vectors (``vec_id < k``, ascending) via a
     pushdown-filtered read — only the k query rows leave storage, never
@@ -2610,12 +2623,7 @@ def _build_minhash_sql() -> str:
     fnv_prime, fnv_offset = 1099511628211, 1469598103934665603
     c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
 
-    def mulmod(z, c):
-        zh = f"(CAST({z} AS HUGEINT) >> 32)"
-        zl = f"(CAST({z} AS HUGEINT) & 4294967295)"
-        return (
-            f"CAST(((({zh} * {c}) % 4294967296) * 4294967296 + {zl} * {c}) % {m64} AS UBIGINT)"
-        )
+    mulmod = _sql_mulmod
 
     def mix_ctes(tag, src, in_expr, carry, out):
         cols = ", ".join(carry)
@@ -4308,13 +4316,7 @@ def _build_hll_sql(daily: bool = False) -> str:
         else "SELECT DISTINCT user_id FROM events"
     )
 
-    def mulmod(z, c):
-        zh = f"(CAST({z} AS HUGEINT) >> 32)"
-        zl = f"(CAST({z} AS HUGEINT) & 4294967295)"
-        return (
-            f"CAST(((({zh} * {c}) % 4294967296) * 4294967296 + {zl} * {c})"
-            f" % {m64} AS UBIGINT)"
-        )
+    mulmod = _sql_mulmod
 
     return f"""
 WITH u AS ({u_cte}),
@@ -4524,13 +4526,7 @@ def _build_cms_sql() -> str:
     m64 = 1 << 64
     c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
 
-    def mulmod(z, c):
-        zh = f"(CAST({z} AS HUGEINT) >> 32)"
-        zl = f"(CAST({z} AS HUGEINT) & 4294967295)"
-        return (
-            f"CAST(((({zh} * {c}) % 4294967296) * 4294967296 + {zl} * {c})"
-            f" % {m64} AS UBIGINT)"
-        )
+    mulmod = _sql_mulmod
 
     return f"""
 WITH toks AS (
@@ -8213,13 +8209,7 @@ def _build_sample_sql() -> str:
     m64 = 1 << 64
     c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
 
-    def mulmod(z, c):
-        zh = f"(CAST({z} AS HUGEINT) >> 32)"
-        zl = f"(CAST({z} AS HUGEINT) & 4294967295)"
-        return (
-            f"CAST(((({zh} * {c}) % 4294967296) * 4294967296 + {zl} * {c})"
-            f" % {m64} AS UBIGINT)"
-        )
+    mulmod = _sql_mulmod
 
     return f"""
 WITH ma AS (SELECT doc_id, lang,
@@ -8601,13 +8591,7 @@ def _build_checksum_sql() -> str:
     m64 = 1 << 64
     c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
 
-    def mulmod(z, c):
-        zh = f"(CAST({z} AS HUGEINT) >> 32)"
-        zl = f"(CAST({z} AS HUGEINT) & 4294967295)"
-        return (
-            f"CAST(((({zh} * {c}) % 4294967296) * 4294967296 + {zl} * {c})"
-            f" % {m64} AS UBIGINT)"
-        )
+    mulmod = _sql_mulmod
 
     return f"""
 WITH ma AS (SELECT doc_id, text,
@@ -9155,13 +9139,7 @@ def _build_fraction_sql() -> str:
     m64 = 1 << 64
     c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
 
-    def mulmod(z, c):
-        zh = f"(CAST({z} AS HUGEINT) >> 32)"
-        zl = f"(CAST({z} AS HUGEINT) & 4294967295)"
-        return (
-            f"CAST(((({zh} * {c}) % 4294967296) * 4294967296 + {zl} * {c})"
-            f" % {m64} AS UBIGINT)"
-        )
+    mulmod = _sql_mulmod
 
     rate = f"CASE WHEN lang = 'en' THEN {FRACTION_RATES['en']} ELSE {FRACTION_DEFAULT} END"
     return f"""
@@ -9820,13 +9798,7 @@ def _build_hrw_sql(k: int = HRW_SHARDS) -> str:
     m64 = 1 << 64
     c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
 
-    def mulmod(z, c):
-        zh = f"(CAST({z} AS HUGEINT) >> 32)"
-        zl = f"(CAST({z} AS HUGEINT) & 4294967295)"
-        return (
-            f"CAST(((({zh} * {c}) % 4294967296) * 4294967296 + {zl} * {c})"
-            f" % {m64} AS UBIGINT)"
-        )
+    mulmod = _sql_mulmod
 
     import numpy as np
 
@@ -9995,13 +9967,7 @@ def _splitmix_day_cte() -> str:
     m64 = 1 << 64
     c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
 
-    def mulmod(z, c):
-        zh = f"(CAST({z} AS HUGEINT) >> 32)"
-        zl = f"(CAST({z} AS HUGEINT) & 4294967295)"
-        return (
-            f"CAST(((({zh} * {c}) % 4294967296) * 4294967296 + {zl} * {c})"
-            f" % {m64} AS UBIGINT)"
-        )
+    mulmod = _sql_mulmod
 
     return f"""
 WITH u0 AS (
@@ -10266,7 +10232,9 @@ def q_span_dedup_docs(sf_dir: str):
     from don_crawler_ray.functions.dedup import shingle_hash_positions
 
     k = SPAN_DEDUP_K
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(8)
+    # materialize once: two consumers (gram pass + doc-row projection)
+    # would otherwise re-execute the read and the text repartition
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(8).materialize()
 
     def grams(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -10517,13 +10485,7 @@ def _build_qsketch_sql(K: int = QSKETCH_K) -> str:
     m64 = 1 << 64
     c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
 
-    def mulmod(z, c):
-        zh = f"(CAST({z} AS HUGEINT) >> 32)"
-        zl = f"(CAST({z} AS HUGEINT) & 4294967295)"
-        return (
-            f"CAST(((({zh} * {c}) % 4294967296) * 4294967296 + {zl} * {c})"
-            f" % {m64} AS UBIGINT)"
-        )
+    mulmod = _sql_mulmod
 
     return f"""
 WITH base AS (

@@ -41,8 +41,24 @@ def _record_id(uri: str) -> str:
     return f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
 
 
+def _check_header_value(name: str, value: str) -> str:
+    """Header values must not contain CR/LF — a newline in a URI or
+    date would inject header lines and silently truncate the value on
+    round-trip. Fail loudly instead (payloads are exempt: they travel
+    under Content-Length and may contain anything)."""
+    if value is None:
+        raise ValueError(f"WARC {name} is null")
+    if "\r" in value or "\n" in value:
+        raise ValueError(f"WARC {name} contains CR/LF: {value!r}")
+    return value
+
+
 def record_bytes(target_uri: str, warc_date: str, payload: str) -> bytes:
     """One WARC/1.0 ``response`` record, deterministic bytes."""
+    target_uri = _check_header_value("target_uri", target_uri)
+    warc_date = _check_header_value("warc_date", warc_date)
+    if payload is None:
+        raise ValueError(f"WARC payload is null (uri={target_uri!r})")
     body = payload.encode("utf-8")
     head = (
         "WARC/1.0" + _CRLF
@@ -74,46 +90,102 @@ def batch_to_warc_bytes(
     return b"".join(parts)
 
 
-def parse_warc_stream(data: bytes) -> pa.Table:
-    """Parse concatenated WARC/1.0 response records (the inverse of
-    ``batch_to_warc_bytes``). Walks header blocks and skips payloads
-    by Content-Length, so payload bytes are never scanned for
-    delimiters — blank lines inside payloads are safe."""
-    uris: list[str] = []
-    dates: list[str] = []
-    payloads: list[str] = []
-    pos, n = 0, len(data)
-    while pos < n:
-        head_end = data.find(b"\r\n\r\n", pos)
+def iter_warc_records(chunks: Iterable[bytes]) -> Iterator[tuple[dict, bytes]]:
+    """Incrementally walk WARC/1.0 records out of a chunk stream,
+    yielding ``(header_fields, payload_bytes)`` per complete record.
+    Payloads are skipped by Content-Length, never delimiter-scanned,
+    so blank lines / WARC banners inside payloads are safe; memory is
+    bounded by one record + one chunk, not the file. Truncated input
+    raises ValueError naming what was cut; a record without
+    Content-Length (mandatory in WARC/1.0) is a format error."""
+    buf = bytearray()
+    it = iter(chunks)
+    eof = False
+    pos = 0
+    while True:
+        head_end = buf.find(b"\r\n\r\n", pos)
+        while head_end < 0 and not eof:
+            try:
+                buf += next(it)
+            except StopIteration:
+                eof = True
+            head_end = buf.find(b"\r\n\r\n", pos)
         if head_end < 0:
-            break
-        header = data[pos:head_end].decode("utf-8")
-        fields = {}
+            if bytes(buf[pos:]).strip():
+                raise ValueError("truncated WARC header block at end of input")
+            return
+        header = bytes(buf[pos:head_end]).decode("utf-8")
+        fields: dict[str, str] = {}
         for line in header.split(_CRLF)[1:]:
             k, _, v = line.partition(":")
             fields[k.strip().lower()] = v.strip()
+        if "content-length" not in fields:
+            raise ValueError(
+                f"WARC record missing Content-Length (headers: {sorted(fields)})"
+            )
         length = int(fields["content-length"])
         body_start = head_end + 4
-        payloads.append(data[body_start : body_start + length].decode("utf-8"))
-        uris.append(fields["warc-target-uri"])
-        dates.append(fields["warc-date"])
-        pos = body_start + length + 4  # payload + two CRLF
+        while len(buf) < body_start + length and not eof:
+            try:
+                buf += next(it)
+            except StopIteration:
+                eof = True
+        if len(buf) < body_start + length:
+            raise ValueError(
+                f"truncated WARC payload ({len(buf) - body_start} of {length} bytes)"
+            )
+        yield fields, bytes(buf[body_start : body_start + length])
+        pos = body_start + length
+        # the 4-byte record separator may straddle a chunk boundary —
+        # pull until it is fully visible (or EOF) before skipping it
+        while len(buf) < pos + 4 and not eof:
+            try:
+                buf += next(it)
+            except StopIteration:
+                eof = True
+        if buf[pos : pos + 4] == b"\r\n\r\n":
+            pos += 4
+        if pos > (8 << 20):  # compact the consumed prefix, amortized
+            del buf[:pos]
+            pos = 0
+
+
+def _records_to_table(rows: list[tuple[str, str, str]]) -> pa.Table:
     return pa.table(
         {
-            "target_uri": pa.array(uris, pa.string()),
-            "warc_date": pa.array(dates, pa.string()),
-            "payload": pa.array(payloads, pa.string()),
+            "target_uri": pa.array([r[0] for r in rows], pa.string()),
+            "warc_date": pa.array([r[1] for r in rows], pa.string()),
+            "payload": pa.array([r[2] for r in rows], pa.string()),
         }
     )
 
 
-def _datasink_base():
-    from ray.data import Datasink
+def _response_rows(records: Iterator[tuple[dict, bytes]]) -> Iterator[tuple[str, str, str]]:
+    """Filter to ``response`` records with a target URI — foreign
+    WARCs lead with ``warcinfo`` and interleave ``request`` records;
+    those are skipped, not errors."""
+    for fields, payload in records:
+        if fields.get("warc-type") != "response":
+            continue
+        if "warc-target-uri" not in fields:
+            continue
+        yield (
+            fields["warc-target-uri"],
+            fields.get("warc-date", ""),
+            payload.decode("utf-8"),
+        )
 
-    return Datasink
+
+def parse_warc_stream(data: bytes) -> pa.Table:
+    """Parse concatenated WARC/1.0 records from bytes (the inverse of
+    ``batch_to_warc_bytes``); non-response records are skipped."""
+    return _records_to_table(list(_response_rows(iter_warc_records([data]))))
 
 
-class WarcDatasink(_datasink_base()):
+from ray.data import Datasink  # noqa: E402  (after the pure helpers)
+
+
+class WarcDatasink(Datasink):
     """``ds.write_datasink(WarcDatasink(out_dir))`` — one
     ``part-{task_idx:06d}.warc`` per write task."""
 
@@ -176,8 +248,15 @@ def write_warc(ds, out_dir: str, **cols) -> None:
     ds.write_datasink(WarcDatasink(out_dir, **cols))
 
 
+_READ_CHUNK = 4 << 20
+_READ_BATCH_RECORDS = 4096
+
+
 def read_warc(paths):
-    """``ray.data`` Dataset over WARC files (streams per file)."""
+    """``ray.data`` Dataset over WARC files: each file is walked
+    record-by-record from bounded chunk reads (memory stays
+    O(chunk + record), never the whole file) and surfaced as Arrow
+    batches of up to ``_READ_BATCH_RECORDS`` response records."""
     import ray
     from ray.data.datasource import FileBasedDatasource
 
@@ -185,6 +264,20 @@ def read_warc(paths):
         _FILE_EXTENSIONS = ["warc"]
 
         def _read_stream(self, f, path: str) -> Iterator[pa.Table]:
-            yield parse_warc_stream(f.readall())
+            def chunks() -> Iterator[bytes]:
+                while True:
+                    b = f.read(_READ_CHUNK)
+                    if not b:
+                        return
+                    yield bytes(b)
+
+            rows: list[tuple[str, str, str]] = []
+            for row in _response_rows(iter_warc_records(chunks())):
+                rows.append(row)
+                if len(rows) >= _READ_BATCH_RECORDS:
+                    yield _records_to_table(rows)
+                    rows = []
+            if rows:
+                yield _records_to_table(rows)
 
     return ray.data.read_datasource(WarcDatasource(paths))

@@ -1725,3 +1725,67 @@ class TestWarcProperties:
             assert back.column("payload").to_pylist() == t.column("payload").to_pylist()
 
         check()
+
+
+class TestWarcRobustness:
+    def test_foreign_record_types_skipped(self, ray_session, tmp_path):
+        """Real WARCs lead with warcinfo and interleave request
+        records — the reader skips them and keeps responses."""
+        from don_crawler_ray.sources.warc import read_warc, record_bytes
+
+        warcinfo = (
+            b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\ninfo\r\n\r\n"
+        )
+        request = (
+            b"WARC/1.0\r\nWARC-Type: request\r\n"
+            b"WARC-Target-URI: https://x/a\r\nContent-Length: 3\r\n\r\nGET\r\n\r\n"
+        )
+        resp = record_bytes("https://x/a", "2026-01-01T00:00:00Z", "hello")
+        (tmp_path / "f.warc").write_bytes(warcinfo + request + resp)
+        out = pa.Table.from_pylist(read_warc(str(tmp_path / "f.warc")).take_all())
+        assert out.num_rows == 1
+        assert out.column("payload").to_pylist() == ["hello"]
+
+    def test_truncated_payload_raises(self):
+        from don_crawler_ray.sources.warc import iter_warc_records, record_bytes
+
+        data = record_bytes("https://x/a", "2026-01-01T00:00:00Z", "hello world")
+        with pytest.raises(ValueError, match="truncated WARC payload"):
+            list(iter_warc_records([data[:-15]]))
+
+    def test_missing_content_length_raises(self):
+        from don_crawler_ray.sources.warc import iter_warc_records
+
+        bad = b"WARC/1.0\r\nWARC-Type: response\r\n\r\n"
+        with pytest.raises(ValueError, match="Content-Length"):
+            list(iter_warc_records([bad]))
+
+    def test_header_injection_rejected(self):
+        from don_crawler_ray.sources.warc import record_bytes
+
+        with pytest.raises(ValueError, match="CR/LF"):
+            record_bytes("https://x/a\r\nContent-Length: 0", "2026-01-01", "p")
+        with pytest.raises(ValueError, match="null"):
+            record_bytes("https://x/a", "2026-01-01", None)
+
+    def test_chunked_parse_matches_whole(self):
+        """Record boundaries falling across chunk reads parse
+        identically to a single-buffer parse."""
+        from don_crawler_ray.sources.warc import (
+            iter_warc_records,
+            record_bytes,
+        )
+
+        data = b"".join(
+            record_bytes(f"https://x/{i}", "2026-01-01T00:00:00Z", "p" * i)
+            for i in range(40)
+        )
+        whole = [(f, p) for f, p in iter_warc_records([data])]
+        for sz in (1, 7, 64, 1000):
+            chunked = [
+                (f, p)
+                for f, p in iter_warc_records(
+                    data[i : i + sz] for i in range(0, len(data), sz)
+                )
+            ]
+            assert chunked == whole
