@@ -1,0 +1,103 @@
+"""Sitemap source: parse, Ray read, frontier projection, crawl hand-off."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+URLSET = b"""<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://site-a.example/page/1</loc>
+       <lastmod>2026-03-04T05:06:07Z</lastmod><priority>0.8</priority></url>
+  <url><loc>https://site-a.example/page/2</loc><lastmod>2026-03-05</lastmod></url>
+  <url><loc>https://site-b.example/</loc></url>
+</urlset>
+"""
+
+INDEX = b"""<?xml version="1.0" encoding="UTF-8"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>https://site-a.example/sitemap-1.xml</loc>
+           <lastmod>2026-03-01</lastmod></sitemap>
+  <sitemap><loc>https://site-a.example/sitemap-2.xml</loc></sitemap>
+</sitemapindex>
+"""
+
+
+class TestParse:
+    def test_urlset(self):
+        from don_crawler_ray.sources.sitemap import parse_sitemap_bytes
+
+        t = parse_sitemap_bytes(URLSET)
+        assert t.column("url").to_pylist() == [
+            "https://site-a.example/page/1",
+            "https://site-a.example/page/2",
+            "https://site-b.example/",
+        ]
+        assert t.column("lastmod").to_pylist() == [
+            "2026-03-04T05:06:07Z", "2026-03-05", None,
+        ]
+        assert t.column("priority").to_pylist() == [0.8, None, None]
+        assert set(t.column("kind").to_pylist()) == {"url"}
+
+    def test_sitemapindex(self):
+        from don_crawler_ray.sources.sitemap import parse_sitemap_bytes
+
+        t = parse_sitemap_bytes(INDEX)
+        assert t.num_rows == 2
+        assert set(t.column("kind").to_pylist()) == {"sitemap"}
+
+    def test_non_sitemap_raises(self):
+        import pytest
+
+        from don_crawler_ray.sources.sitemap import parse_sitemap_bytes
+
+        with pytest.raises(ValueError, match="not a sitemap"):
+            parse_sitemap_bytes(b"<html/>")
+
+
+class TestRayRead:
+    def test_read_and_frontier_projection(self, ray_session, tmp_path):
+        from don_crawler_ray.sources.sitemap import (
+            read_sitemap,
+            sitemap_to_frontier_rows,
+        )
+
+        (tmp_path / "a.xml").write_bytes(URLSET)
+        (tmp_path / "b.xml").write_bytes(INDEX)
+        ds = read_sitemap([str(tmp_path / "a.xml"), str(tmp_path / "b.xml")])
+        t = pa.Table.from_pylist(ds.take_all())
+        assert t.num_rows == 5  # 3 urls + 2 child sitemaps
+
+        frontier = ds.map_batches(sitemap_to_frontier_rows, batch_format="pyarrow")
+        ft = pa.Table.from_pylist(frontier.take_all())
+        assert ft.num_rows == 3  # index rows dropped
+        by_url = {
+            r["url"]: r for r in ft.to_pylist()
+        }
+        assert str(by_url["https://site-a.example/page/1"]["warc_ts"]).startswith(
+            "2026-03-04 05:06:07"
+        )
+        assert str(by_url["https://site-a.example/page/2"]["warc_ts"]).startswith(
+            "2026-03-05 00:00:00"
+        )
+
+    def test_sitemap_seeds_drive_the_crawl(self, ray_session, tmp_path):
+        """End-to-end hand-off: sitemap -> frontier parquet -> the
+        flagship crawl pipeline schedules and fetches every page."""
+        from don_crawler_ray.pipelines.crawl import crawl_dataset
+        from don_crawler_ray.sources.sitemap import (
+            read_sitemap,
+            sitemap_to_frontier_rows,
+        )
+        from don_crawler_ray.stages.schedule import PolitenessConfig
+
+        (tmp_path / "a.xml").write_bytes(URLSET)
+        ds = read_sitemap(str(tmp_path / "a.xml")).map_batches(
+            sitemap_to_frontier_rows, batch_format="pyarrow"
+        )
+        fpath = str(tmp_path / "frontier.parquet")
+        pq.write_table(pa.Table.from_pylist(ds.take_all()), fpath)
+        out = crawl_dataset(fpath, PolitenessConfig())
+        # rows as dicts: url_hash is uint64 (> 2^63), which
+        # from_pylist would overflow into int64
+        rows = out.take_all()
+        assert len(rows) == 3
+        assert {r["host"] for r in rows} == {"site-a.example", "site-b.example"}
