@@ -257,7 +257,11 @@ if __name__ == "__main__":
         sys.exit(0)
 
     if args.scaling:
-        print(json.dumps(scaling_main(args.sf_dir)))
+        res = scaling_main(args.sf_dir)
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(res, f)
+        print(json.dumps(res))
     else:
         cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         res = bench_main(args.sf_dir, cpus)
