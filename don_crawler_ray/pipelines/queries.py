@@ -10233,7 +10233,11 @@ def q_span_dedup_docs(sf_dir: str):
 
     k = SPAN_DEDUP_K
     # materialize once: two consumers (gram pass + doc-row projection)
-    # would otherwise re-execute the read and the text repartition
+    # would otherwise re-execute the read and the text repartition.
+    # At 100 TB the trade flips: drop the repartition (block counts
+    # are already high) and let each consumer re-scan the pruned
+    # parquet columns instead of pinning the corpus in the object
+    # store — a second columnar scan is cheaper than a full spill.
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(8).materialize()
 
     def grams(batch: pa.Table) -> pa.Table:
@@ -10432,9 +10436,11 @@ def q_quantile_sketch_lineitem(sf_dir: str):
     collisions select a deterministic multiset.
 
     Scale shape: per-batch bottom-K combiner (<= K rows leave each
-    task), driver merge of <= K x blocks candidates, O(K) memory
-    everywhere — no shuffle, one streaming pass, and the same partials
-    tree-merge on a 256-node cluster."""
+    task), then a TREE level — partials coalesced into <= 16 blocks
+    and bottom-K'd again — so the driver merges <= 16K rows no matter
+    how many input blocks there are (at 10^6 blocks a flat driver
+    merge would see K x blocks ~ 10^9 rows); O(K) memory everywhere,
+    no shuffle of data rows, one streaming pass."""
     from don_crawler_ray.functions.dedup import _mix64
 
     K = QSKETCH_K
@@ -10457,8 +10463,21 @@ def q_quantile_sketch_lineitem(sf_dir: str):
             }
         )
 
+    def combine(batch: pa.Table) -> pa.Table:
+        # second-level combiner: bottom-K of concatenated partials
+        # (bottom-K is a semilattice, so re-truncation is exact)
+        h = batch.column("hv").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((c, h))[:K]
+        return pa.table(
+            {"hv": pa.array(h[o], pa.int64()), "cents": pa.array(c[o], pa.int64())}
+        )
+
     cand = pa.Table.from_pylist(
-        ds.map_batches(partial, batch_format="pyarrow").take_all()
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(16)
+        .map_batches(combine, batch_format="pyarrow")
+        .take_all()
     )
     if cand.num_rows == 0:
         return pa.table({"q_pct": pa.array([], pa.int64()), "est_cents": pa.array([], pa.int64())})
