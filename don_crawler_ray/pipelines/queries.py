@@ -8180,8 +8180,37 @@ def q_sample_per_group(sf_dir: str):
             }
         )
 
+    def recombine(batch: pa.Table) -> pa.Table:
+        # tree level: per-lang bottom-K is a semilattice, so
+        # re-truncating coalesced partials is exact; the driver merge
+        # stays O(16 x K x langs) at any input block count
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch.column("hv").to_numpy(zero_copy_only=False).astype(np.int64)
+        lg_ = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        out_d, out_l, out_h = [], [], []
+        for lg in np.unique(lg_):
+            m = lg_ == lg
+            order = np.lexsort((d[m], h[m]))[:K]
+            out_d.append(d[m][order])
+            out_l.extend([lg] * len(order))
+            out_h.append(h[m][order])
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(out_d) if out_d else np.empty(0, np.int64), pa.int64()
+                ),
+                "lang": pa.array(out_l, pa.string()),
+                "hv": pa.array(
+                    np.concatenate(out_h) if out_h else np.empty(0, np.int64), pa.int64()
+                ),
+            }
+        )
+
     cand = pa.Table.from_pylist(
-        ds.map_batches(partial, batch_format="pyarrow").take_all()
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(16)
+        .map_batches(recombine, batch_format="pyarrow")
+        .take_all()
     )
     doc = cand.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     hv = cand.column("hv").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -9699,8 +9728,33 @@ def q_pareto_docs(sf_dir: str):
     )
     # explicit schema: from_pylist on zero candidate rows would yield a
     # zero-COLUMN table and the .column() projections below would raise
+    def refront(batch: pa.Table) -> pa.Table:
+        # tree level: the skyline local-prune is a semilattice (the
+        # global front is a subset of any union of local fronts), so
+        # re-pruning coalesced candidate blocks is exact — the driver
+        # merge stays O(16 x langs x front) at any input block count
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        langs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        xt = batch.column("n_tok").to_numpy(zero_copy_only=False)
+        xd = batch.column("n_distinct").to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(ids), dtype=bool)
+        for lg in np.unique(langs):
+            sel = np.flatnonzero(langs == lg)
+            keep[sel[_pareto_mask(xt[sel], xd[sel])]] = True
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "lang": pa.array(langs[keep].tolist(), pa.string()),
+                "n_tok": pa.array(xt[keep], pa.int64()),
+                "n_distinct": pa.array(xd[keep], pa.int64()),
+            }
+        )
+
     cand = pa.Table.from_pylist(
-        ds.map_batches(local_front, batch_format="pyarrow").take_all(),
+        ds.map_batches(local_front, batch_format="pyarrow")
+        .repartition(16)
+        .map_batches(refront, batch_format="pyarrow")
+        .take_all(),
         schema=cand_schema,
     )
     ids = cand.column("doc_id").to_numpy(zero_copy_only=False)
