@@ -279,7 +279,13 @@ def q_top_orders(sf_dir: str):
         return batch.take(pa.array(top))
 
     cand = pa.Table.from_pylist(
-        ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
+        # tree level: partial_topk is schema-preserving, so it is its
+        # own second-level combiner — the driver merge stays
+        # O(16 x 10) rows at any input block count
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .repartition(16)
+        .map_batches(partial_topk, batch_format="pyarrow")
+        .take_all()
     )
     price = cand.column("o_totalprice").to_numpy(zero_copy_only=False)
     okey = cand.column("o_orderkey").to_numpy(zero_copy_only=False)
@@ -1063,6 +1069,25 @@ def q_simhash_docs(sf_dir: str):
     return ds.map_batches(sh, batch_format="pyarrow")
 
 
+def _retopk_by_query(batch: pa.Table) -> pa.Table:
+    """Tree-level combiner for ANN candidate partials: per-query
+    top-10 by (score desc, vec_id) re-truncation over coalesced
+    partial blocks. Comparison-only on the already-emitted scores
+    (no arithmetic re-association), and the sort key is a total
+    order, so re-truncation is an exact semilattice — the driver
+    merge stays O(16 x 10 x queries) at any input block count."""
+    q = batch.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    v = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    s = batch.column("score").to_numpy(zero_copy_only=False)
+    keep = []
+    for qi in np.unique(q):
+        m = np.flatnonzero(q == qi)
+        order = np.lexsort((v[m], -s[m]))[:10]
+        keep.append(m[order])
+    sel = np.concatenate(keep) if keep else np.empty(0, np.int64)
+    return batch.take(pa.array(sel))
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-10 ANN baseline: 5 query vectors
     (vec_id 0..4, pushdown-filtered read — never a full-table driver
@@ -1093,7 +1118,12 @@ def q_ann_topk(sf_dir: str):
             }
         )
 
-    partials = ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
+    partials = (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .repartition(16)
+        .map_batches(_retopk_by_query, batch_format="pyarrow")
+        .take_all()
+    )
     t = pa.Table.from_pylist(partials)
     # final merge: global top-10 per query with (score desc, vec_id) tiebreak.
     # Scores are emitted quantized to 1e-6 (int64): a float dot product is
@@ -2031,7 +2061,12 @@ def q_ann_ivf_topk(sf_dir: str):
             }
         )
 
-    partials = ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
+    partials = (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .repartition(16)
+        .map_batches(_retopk_by_query, batch_format="pyarrow")
+        .take_all()
+    )
     t = pa.Table.from_pylist(partials)
     out_rows = []
     for qid in q_ids:
@@ -4285,18 +4320,27 @@ def q_hll_users(sf_dir: str):
             }
         )
 
-    reg: dict[int, int] = {}
-    for row in (
-        ds.map_batches(partial, batch_format="pyarrow").take_all()
-    ):
-        b, r = int(row["bucket"]), int(row["rho"])
-        if r > reg.get(b, 0):
-            reg[b] = r
-    buckets = sorted(reg)
+    # register merge is elementwise max — integer-exact under any
+    # grouping, so run it as a Ray-native groupby instead of a driver
+    # dict fold (at 10^6 blocks the flat fold would pull
+    # blocks x 2^p sparse registers onto the driver)
+    from ray.data.aggregate import Max
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Max("rho", alias_name="rho"))
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    if t.num_rows == 0:
+        return pa.table(
+            {"bucket": pa.array([], pa.int64()), "rho": pa.array([], pa.int64())}
+        )
+    t = t.sort_by("bucket")
     return pa.table(
         {
-            "bucket": pa.array(buckets, pa.int64()),
-            "rho": pa.array([reg[b] for b in buckets], pa.int64()),
+            "bucket": pc.cast(t.column("bucket"), pa.int64()),
+            "rho": pc.cast(t.column("rho"), pa.int64()),
         }
     )
 
@@ -4506,16 +4550,31 @@ def q_cms_tokens(sf_dir: str):
             }
         )
 
-    acc: dict[tuple[int, int], int] = {}
-    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
-        key = (int(row["r"]), int(row["bucket"]))
-        acc[key] = acc.get(key, 0) + int(row["n"])
-    keys = sorted(acc)
+    # counter merge is elementwise integer addition — exact under any
+    # grouping, so run it as a Ray-native groupby-sum instead of a
+    # driver dict fold over blocks x depth x width sparse cells
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["r", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "r": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    t = t.sort_by([("r", "ascending"), ("bucket", "ascending")])
     return pa.table(
         {
-            "r": pa.array([k[0] for k in keys], pa.int64()),
-            "bucket": pa.array([k[1] for k in keys], pa.int64()),
-            "n": pa.array([acc[k] for k in keys], pa.int64()),
+            "r": pc.cast(t.column("r"), pa.int64()),
+            "bucket": pc.cast(t.column("bucket"), pa.int64()),
+            "n": pc.cast(t.column("n"), pa.int64()),
         }
     )
 
@@ -5935,9 +5994,26 @@ def q_bloom_join_lineitem(sf_dir: str):
             np.bitwise_or.at(bits, idx >> 6, np.uint64(1) << (idx & 63).astype(np.uint64))
         return pa.table({"word": pa.array(np.arange(len(bits), dtype=np.int64)), "bits": pa.array(bits)})
 
-    parts = part.map_batches(bloom_partial, batch_format="pyarrow").take_all()
+    def or_kernel(group: pa.Table) -> pa.Table:
+        # bitwise OR is commutative/associative — folding per word in
+        # a groupby keeps the driver merge at exactly 128 rows instead
+        # of 128 x blocks partial bitmap rows
+        b = group.column("bits").to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = group.column("word").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "word": pa.array([int(w[0])], pa.int64()),
+                "bits": pa.array([np.bitwise_or.reduce(b)], pa.uint64()),
+            }
+        )
+
+    folded = (
+        part.map_batches(bloom_partial, batch_format="pyarrow")
+        .groupby("word")
+        .map_groups(or_kernel, batch_format="pyarrow")
+    )
     bits = np.zeros(_BLOOM_BITS // 64, np.uint64)
-    for row in parts:
+    for row in folded.take_all():
         bits[row["word"]] |= np.uint64(row["bits"])
 
     def key_side(batch: pa.Table) -> pa.Table:
