@@ -4657,7 +4657,12 @@ def q_topk_docs_per_lang(sf_dir: str):
         )
 
     parts = pa.Table.from_pylist(
-        ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
+        # tree level: partial_topk is schema-preserving, so it is its
+        # own second-level combiner (driver sees O(16 x langs x k))
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .repartition(16)
+        .map_batches(partial_topk, batch_format="pyarrow")
+        .take_all()
     )
     merged = partial_topk(parts)
     ranks = np.zeros(merged.num_rows, np.int64)
