@@ -278,4 +278,7 @@ if __name__ == "__main__":
         res["queries_n"] = len(full)
         res["queries_total_sec"] = round(sum(full.values()), 2)
         res["queries_file"] = sidecar
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(res, f)
         print(json.dumps(res))
