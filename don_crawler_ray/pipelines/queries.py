@@ -150,6 +150,40 @@ def _sql_mulmod(z: str, c: int) -> str:
     )
 
 
+def _sparse_max_combine(batch: pa.Table) -> pa.Table:
+    """Tree-level combiner for sparse (bucket, rho) register partials:
+    per-bucket max within the coalesced block (elementwise max is
+    associative/commutative, so re-maxing is exact)."""
+    b = batch.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+    r = batch.column("rho").to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq, inv = np.unique(b, return_inverse=True)
+    mx = np.zeros(len(uniq), np.int64)
+    np.maximum.at(mx, inv, r)
+    return pa.table(
+        {"bucket": pa.array(uniq, pa.int64()), "rho": pa.array(mx, pa.int64())}
+    )
+
+
+def _sparse_sum_combine(batch: pa.Table) -> pa.Table:
+    """Tree-level combiner for sparse (r, bucket, n) counter partials:
+    per-cell integer sum within the coalesced block (exact under any
+    association)."""
+    r = batch.column("r").to_numpy(zero_copy_only=False).astype(np.int64)
+    b = batch.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+    n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    key = r * (1 << 32) + b
+    uniq, inv = np.unique(key, return_inverse=True)
+    s = np.zeros(len(uniq), np.int64)
+    np.add.at(s, inv, n)
+    return pa.table(
+        {
+            "r": pa.array(uniq >> 32, pa.int64()),
+            "bucket": pa.array(uniq & ((1 << 32) - 1), pa.int64()),
+            "n": pa.array(s, pa.int64()),
+        }
+    )
+
+
 def _query_vectors(sf_dir: str, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
     """The ANN query vectors (``vec_id < k``, ascending) via a
     pushdown-filtered read — only the k query rows leave storage, never
@@ -4321,26 +4355,25 @@ def q_hll_users(sf_dir: str):
         )
 
     # register merge is elementwise max — integer-exact under any
-    # grouping, so run it as a Ray-native groupby instead of a driver
-    # dict fold (at 10^6 blocks the flat fold would pull
-    # blocks x 2^p sparse registers onto the driver)
-    from ray.data.aggregate import Max
-
-    agg = (
+    # association, so a tree level (coalesce partials, re-max per
+    # block) bounds the driver fold at O(16 x 2^p) sparse registers
+    # at any input block count, with no key shuffle: `partial` is
+    # already the per-block max combiner and is schema-preserving
+    reg: dict[int, int] = {}
+    for row in (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("bucket")
-        .aggregate(Max("rho", alias_name="rho"))
-    )
-    t = pa.Table.from_pylist(agg.take_all())
-    if t.num_rows == 0:
-        return pa.table(
-            {"bucket": pa.array([], pa.int64()), "rho": pa.array([], pa.int64())}
-        )
-    t = t.sort_by("bucket")
+        .repartition(16)
+        .map_batches(_sparse_max_combine, batch_format="pyarrow")
+        .take_all()
+    ):
+        b, r = int(row["bucket"]), int(row["rho"])
+        if r > reg.get(b, 0):
+            reg[b] = r
+    buckets = sorted(reg)
     return pa.table(
         {
-            "bucket": pc.cast(t.column("bucket"), pa.int64()),
-            "rho": pc.cast(t.column("rho"), pa.int64()),
+            "bucket": pa.array(buckets, pa.int64()),
+            "rho": pa.array([reg[b] for b in buckets], pa.int64()),
         }
     )
 
@@ -4551,30 +4584,24 @@ def q_cms_tokens(sf_dir: str):
         )
 
     # counter merge is elementwise integer addition — exact under any
-    # grouping, so run it as a Ray-native groupby-sum instead of a
-    # driver dict fold over blocks x depth x width sparse cells
-    from ray.data.aggregate import Sum
-
-    agg = (
+    # association, so a tree level (coalesce, re-sum per block) bounds
+    # the driver fold at O(16 x depth x width) sparse cells with no
+    # key shuffle
+    acc: dict[tuple[int, int], int] = {}
+    for row in (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["r", "bucket"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
-    t = pa.Table.from_pylist(agg.take_all())
-    if t.num_rows == 0:
-        return pa.table(
-            {
-                "r": pa.array([], pa.int64()),
-                "bucket": pa.array([], pa.int64()),
-                "n": pa.array([], pa.int64()),
-            }
-        )
-    t = t.sort_by([("r", "ascending"), ("bucket", "ascending")])
+        .repartition(16)
+        .map_batches(_sparse_sum_combine, batch_format="pyarrow")
+        .take_all()
+    ):
+        key = (int(row["r"]), int(row["bucket"]))
+        acc[key] = acc.get(key, 0) + int(row["n"])
+    keys = sorted(acc)
     return pa.table(
         {
-            "r": pc.cast(t.column("r"), pa.int64()),
-            "bucket": pc.cast(t.column("bucket"), pa.int64()),
-            "n": pc.cast(t.column("n"), pa.int64()),
+            "r": pa.array([k[0] for k in keys], pa.int64()),
+            "bucket": pa.array([k[1] for k in keys], pa.int64()),
+            "n": pa.array([acc[k] for k in keys], pa.int64()),
         }
     )
 
@@ -5999,23 +6026,26 @@ def q_bloom_join_lineitem(sf_dir: str):
             np.bitwise_or.at(bits, idx >> 6, np.uint64(1) << (idx & 63).astype(np.uint64))
         return pa.table({"word": pa.array(np.arange(len(bits), dtype=np.int64)), "bits": pa.array(bits)})
 
-    def or_kernel(group: pa.Table) -> pa.Table:
-        # bitwise OR is commutative/associative — folding per word in
-        # a groupby keeps the driver merge at exactly 128 rows instead
-        # of 128 x blocks partial bitmap rows
-        b = group.column("bits").to_numpy(zero_copy_only=False).astype(np.uint64)
-        w = group.column("word").to_numpy(zero_copy_only=False)
+    def or_combine(batch: pa.Table) -> pa.Table:
+        # bitwise OR is commutative/associative — a tree level
+        # (coalesce partial bitmaps, re-OR per word within the block)
+        # bounds the driver fold at O(8 x 128) rows with no key
+        # shuffle, at any input block count
+        w = batch.column("word").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("bits").to_numpy(zero_copy_only=False).astype(np.uint64)
+        acc = np.zeros(_BLOOM_BITS // 64, np.uint64)
+        np.bitwise_or.at(acc, w, b)
         return pa.table(
             {
-                "word": pa.array([int(w[0])], pa.int64()),
-                "bits": pa.array([np.bitwise_or.reduce(b)], pa.uint64()),
+                "word": pa.array(np.arange(len(acc), dtype=np.int64)),
+                "bits": pa.array(acc),
             }
         )
 
     folded = (
         part.map_batches(bloom_partial, batch_format="pyarrow")
-        .groupby("word")
-        .map_groups(or_kernel, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(or_combine, batch_format="pyarrow")
     )
     bits = np.zeros(_BLOOM_BITS // 64, np.uint64)
     for row in folded.take_all():
