@@ -150,6 +150,15 @@ def _sql_mulmod(z: str, c: int) -> str:
     )
 
 
+# Combiner fan-in: each tree level coalesces partial rows into
+# batches of this many rows (map_batches buffers consecutive blocks,
+# no shuffle barrier), so one combine call holds ~3 MB and reduces
+# row count ~100x; two chained levels give ~10^4x total reduction,
+# bounding the driver fold for any realistic block count with
+# constant worker memory.
+_COMBINE_BATCH = 1 << 17
+
+
 def _sparse_max_combine(batch: pa.Table) -> pa.Table:
     """Tree-level combiner for sparse (bucket, rho) register partials:
     per-bucket max within the coalesced block (elementwise max is
@@ -313,12 +322,13 @@ def q_top_orders(sf_dir: str):
         return batch.take(pa.array(top))
 
     cand = pa.Table.from_pylist(
-        # tree level: partial_topk is schema-preserving, so it is its
-        # own second-level combiner — the driver merge stays
-        # O(16 x 10) rows at any input block count
+        # tree levels: partial_topk is schema-preserving, so it is
+        # its own combiner — two chained coalesced-batch re-truncation
+        # passes cut the 10-per-block candidates ~10^4x before the
+        # driver's final top-10
         ds.map_batches(partial_topk, batch_format="pyarrow")
-        .repartition(16)
-        .map_batches(partial_topk, batch_format="pyarrow")
+        .map_batches(partial_topk, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(partial_topk, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
         .take_all()
     )
     price = cand.column("o_totalprice").to_numpy(zero_copy_only=False)
@@ -1108,8 +1118,9 @@ def _retopk_by_query(batch: pa.Table) -> pa.Table:
     top-10 by (score desc, vec_id) re-truncation over coalesced
     partial blocks. Comparison-only on the already-emitted scores
     (no arithmetic re-association), and the sort key is a total
-    order, so re-truncation is an exact semilattice — the driver
-    merge stays O(16 x 10 x queries) at any input block count."""
+    order, so re-truncation is an exact semilattice — two chained
+    coalesced-batch passes shrink the 10-per-(block, query) candidate
+    rows ~10^4x before the driver's final merge."""
     q = batch.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
     v = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
     s = batch.column("score").to_numpy(zero_copy_only=False)
@@ -1154,8 +1165,8 @@ def q_ann_topk(sf_dir: str):
 
     partials = (
         ds.map_batches(partial_topk, batch_format="pyarrow")
-        .repartition(16)
-        .map_batches(_retopk_by_query, batch_format="pyarrow")
+        .map_batches(_retopk_by_query, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(_retopk_by_query, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
         .take_all()
     )
     t = pa.Table.from_pylist(partials)
@@ -2097,8 +2108,8 @@ def q_ann_ivf_topk(sf_dir: str):
 
     partials = (
         ds.map_batches(partial_topk, batch_format="pyarrow")
-        .repartition(16)
-        .map_batches(_retopk_by_query, batch_format="pyarrow")
+        .map_batches(_retopk_by_query, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(_retopk_by_query, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
         .take_all()
     )
     t = pa.Table.from_pylist(partials)
@@ -4355,15 +4366,16 @@ def q_hll_users(sf_dir: str):
         )
 
     # register merge is elementwise max — integer-exact under any
-    # association, so a tree level (coalesce partials, re-max per
-    # block) bounds the driver fold at O(16 x 2^p) sparse registers
-    # at any input block count, with no key shuffle: `partial` is
-    # already the per-block max combiner and is schema-preserving
+    # association. `partial` consumes raw user_id rows, so the tree
+    # levels use the dedicated (bucket, rho)-schema combiner
+    # _sparse_max_combine: two chained coalesced-batch re-max passes
+    # shrink blocks x 2^p sparse register rows ~10^4x with no key
+    # shuffle before the driver's final dict fold
     reg: dict[int, int] = {}
     for row in (
         ds.map_batches(partial, batch_format="pyarrow")
-        .repartition(16)
-        .map_batches(_sparse_max_combine, batch_format="pyarrow")
+        .map_batches(_sparse_max_combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(_sparse_max_combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
         .take_all()
     ):
         b, r = int(row["bucket"]), int(row["rho"])
@@ -4583,15 +4595,15 @@ def q_cms_tokens(sf_dir: str):
             }
         )
 
-    # counter merge is elementwise integer addition — exact under any
-    # association, so a tree level (coalesce, re-sum per block) bounds
-    # the driver fold at O(16 x depth x width) sparse cells with no
-    # key shuffle
+    # counter merge is elementwise integer addition — exact under
+    # any association: two chained coalesced-batch re-sum passes
+    # (_sparse_sum_combine) shrink blocks x depth x width sparse cell
+    # rows ~10^4x with no key shuffle before the driver's final fold
     acc: dict[tuple[int, int], int] = {}
     for row in (
         ds.map_batches(partial, batch_format="pyarrow")
-        .repartition(16)
-        .map_batches(_sparse_sum_combine, batch_format="pyarrow")
+        .map_batches(_sparse_sum_combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(_sparse_sum_combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
         .take_all()
     ):
         key = (int(row["r"]), int(row["bucket"]))
@@ -4684,11 +4696,12 @@ def q_topk_docs_per_lang(sf_dir: str):
         )
 
     parts = pa.Table.from_pylist(
-        # tree level: partial_topk is schema-preserving, so it is its
-        # own second-level combiner (driver sees O(16 x langs x k))
+        # tree levels: partial_topk is schema-preserving, so it is
+        # its own combiner; two chained coalesced-batch passes cut the
+        # langs x k per-block candidates ~10^4x before the driver
         ds.map_batches(partial_topk, batch_format="pyarrow")
-        .repartition(16)
-        .map_batches(partial_topk, batch_format="pyarrow")
+        .map_batches(partial_topk, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(partial_topk, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
         .take_all()
     )
     merged = partial_topk(parts)
@@ -6027,10 +6040,10 @@ def q_bloom_join_lineitem(sf_dir: str):
         return pa.table({"word": pa.array(np.arange(len(bits), dtype=np.int64)), "bits": pa.array(bits)})
 
     def or_combine(batch: pa.Table) -> pa.Table:
-        # bitwise OR is commutative/associative — a tree level
-        # (coalesce partial bitmaps, re-OR per word within the block)
-        # bounds the driver fold at O(8 x 128) rows with no key
-        # shuffle, at any input block count
+        # bitwise OR is commutative/associative — each combine
+        # call ORs the ~128 partial bitmaps in its coalesced batch
+        # down to one 1024-word bitmap; two chained levels leave the
+        # driver a handful of bitmaps to fold, with no key shuffle
         w = batch.column("word").to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch.column("bits").to_numpy(zero_copy_only=False).astype(np.uint64)
         acc = np.zeros(_BLOOM_BITS // 64, np.uint64)
@@ -6044,8 +6057,8 @@ def q_bloom_join_lineitem(sf_dir: str):
 
     folded = (
         part.map_batches(bloom_partial, batch_format="pyarrow")
-        .repartition(8)
-        .map_batches(or_combine, batch_format="pyarrow")
+        .map_batches(or_combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(or_combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
     )
     bits = np.zeros(_BLOOM_BITS // 64, np.uint64)
     for row in folded.take_all():
@@ -8291,36 +8304,10 @@ def q_sample_per_group(sf_dir: str):
             }
         )
 
-    def recombine(batch: pa.Table) -> pa.Table:
-        # tree level: per-lang bottom-K is a semilattice, so
-        # re-truncating coalesced partials is exact; the driver merge
-        # stays O(16 x K x langs) at any input block count
-        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        h = batch.column("hv").to_numpy(zero_copy_only=False).astype(np.int64)
-        lg_ = np.asarray(batch.column("lang").to_pylist(), dtype=object)
-        out_d, out_l, out_h = [], [], []
-        for lg in np.unique(lg_):
-            m = lg_ == lg
-            order = np.lexsort((d[m], h[m]))[:K]
-            out_d.append(d[m][order])
-            out_l.extend([lg] * len(order))
-            out_h.append(h[m][order])
-        return pa.table(
-            {
-                "doc_id": pa.array(
-                    np.concatenate(out_d) if out_d else np.empty(0, np.int64), pa.int64()
-                ),
-                "lang": pa.array(out_l, pa.string()),
-                "hv": pa.array(
-                    np.concatenate(out_h) if out_h else np.empty(0, np.int64), pa.int64()
-                ),
-            }
-        )
-
     cand = pa.Table.from_pylist(
         ds.map_batches(partial, batch_format="pyarrow")
-        .repartition(16)
-        .map_batches(recombine, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
         .take_all()
     )
     doc = cand.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -9840,10 +9827,10 @@ def q_pareto_docs(sf_dir: str):
     # explicit schema: from_pylist on zero candidate rows would yield a
     # zero-COLUMN table and the .column() projections below would raise
     def refront(batch: pa.Table) -> pa.Table:
-        # tree level: the skyline local-prune is a semilattice (the
+        # tree levels: the skyline local-prune is a semilattice (the
         # global front is a subset of any union of local fronts), so
-        # re-pruning coalesced candidate blocks is exact — the driver
-        # merge stays O(16 x langs x front) at any input block count
+        # re-pruning coalesced candidate batches is exact; two chained
+        # passes shrink per-block fronts ~10^4x before the driver
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         langs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
         xt = batch.column("n_tok").to_numpy(zero_copy_only=False)
@@ -9863,8 +9850,8 @@ def q_pareto_docs(sf_dir: str):
 
     cand = pa.Table.from_pylist(
         ds.map_batches(local_front, batch_format="pyarrow")
-        .repartition(16)
-        .map_batches(refront, batch_format="pyarrow")
+        .map_batches(refront, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(refront, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
         .take_all(),
         schema=cand_schema,
     )
@@ -10601,11 +10588,12 @@ def q_quantile_sketch_lineitem(sf_dir: str):
     collisions select a deterministic multiset.
 
     Scale shape: per-batch bottom-K combiner (<= K rows leave each
-    task), then a TREE level — partials coalesced into <= 16 blocks
-    and bottom-K'd again — so the driver merges <= 16K rows no matter
-    how many input blocks there are (at 10^6 blocks a flat driver
-    merge would see K x blocks ~ 10^9 rows); O(K) memory everywhere,
-    no shuffle of data rows, one streaming pass."""
+    task), then TWO chained combine levels over coalesced partial
+    batches (map_batches with a fixed row budget — no shuffle, no
+    barrier, worker memory bounded by the batch): each level cuts row
+    count ~100x, so at 10^6 input blocks the flat K x blocks ~ 10^9
+    candidate rows shrink to ~10^5 before the driver's final
+    truncation. One streaming pass end to end."""
     from don_crawler_ray.functions.dedup import _mix64
 
     K = QSKETCH_K
@@ -10640,8 +10628,8 @@ def q_quantile_sketch_lineitem(sf_dir: str):
 
     cand = pa.Table.from_pylist(
         ds.map_batches(partial, batch_format="pyarrow")
-        .repartition(16)
-        .map_batches(combine, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
         .take_all()
     )
     if cand.num_rows == 0:

@@ -53,7 +53,12 @@ def parse_sitemap_bytes(data: bytes) -> pa.Table:
             urls.append(loc)
             lastmods.append(_text(node, "lastmod"))
             pr = _text(node, "priority")
-            priorities.append(None if pr is None else float(pr))
+            try:
+                # malformed priorities are common in the wild — degrade
+                # to None (like a missing element), don't fail the file
+                priorities.append(None if pr is None else float(pr))
+            except ValueError:
+                priorities.append(None)
             kinds.append("url")
     elif root.tag == _NS + "sitemapindex":
         for node in root.findall(_NS + "sitemap"):
@@ -91,24 +96,51 @@ def read_sitemap(paths):
     return ray.data.read_datasource(SitemapDatasource(paths))
 
 
+def _w3c_to_naive_utc(lm: str | None, default_ts: str) -> str:
+    """Normalize a W3C datetime (sitemaps.org lastmod) to a naive UTC
+    ISO string. Handles every W3C form: YYYY, YYYY-MM, YYYY-MM-DD,
+    and full datetimes with 'Z' or signed ``+/-hh:mm`` offsets (the
+    offset is CONVERTED to UTC, not dropped). Malformed values fall
+    back to ``default_ts`` instead of failing the read task."""
+    from datetime import datetime, timezone
+
+    if not lm:
+        return default_ts
+    s = lm.strip()
+    try:
+        if "T" not in s:
+            # date-only forms: YYYY[-MM[-DD]]
+            parts = s.split("-")
+            if not (1 <= len(parts) <= 3) or not all(x.isdigit() for x in parts):
+                return default_ts
+            y = int(parts[0])
+            mo = int(parts[1]) if len(parts) > 1 else 1
+            d = int(parts[2]) if len(parts) > 2 else 1
+            datetime(y, mo, d)  # range-validate; ValueError -> default
+            return f"{y:04d}-{mo:02d}-{d:02d}T00:00:00"
+        dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+        return dt.isoformat()
+    except ValueError:
+        return default_ts
+
+
 def sitemap_to_frontier_rows(
     batch: pa.Table, default_ts: str = "2026-01-01T00:00:00"
 ) -> pa.Table:
     """Project urlset entries onto the crawl frontier schema. lastmod
-    (W3C datetime, date-only allowed) becomes ``warc_ts``; entries
-    without one get ``default_ts``. Index rows are dropped — they
-    point at sitemaps, not pages. Designed for
+    (any W3C datetime form; offsets converted to UTC) becomes
+    ``warc_ts``; entries without one — or with malformed values — get
+    ``default_ts``. Index rows are dropped — they point at sitemaps,
+    not pages. Designed for
     ``read_sitemap(...).map_batches(sitemap_to_frontier_rows)``."""
     import pyarrow.compute as pc
 
     keep = pc.equal(batch.column("kind"), "url")
     t = batch.filter(keep)
-    lastmod = [
-        (lm if lm else default_ts).replace("Z", "").split("+")[0]
-        for lm in t.column("lastmod").to_pylist()
-    ]
     ts = pa.array(
-        [lm if "T" in lm else lm + "T00:00:00" for lm in lastmod]
+        [_w3c_to_naive_utc(lm, default_ts) for lm in t.column("lastmod").to_pylist()]
     ).cast(pa.timestamp("us"))
     n = t.num_rows
     return pa.table(

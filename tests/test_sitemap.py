@@ -101,3 +101,42 @@ class TestRayRead:
         rows = out.take_all()
         assert len(rows) == 3
         assert {r["host"] for r in rows} == {"site-a.example", "site-b.example"}
+
+
+class TestW3CDatetime:
+    def test_forms(self):
+        from don_crawler_ray.sources.sitemap import _w3c_to_naive_utc
+
+        D = "2026-01-01T00:00:00"
+        assert _w3c_to_naive_utc("2026-03-04T05:06:07Z", D) == "2026-03-04T05:06:07"
+        # negative offset converts to UTC (crashed the cast before)
+        assert _w3c_to_naive_utc("2026-03-04T05:06:07-05:00", D) == "2026-03-04T10:06:07"
+        # positive offset converts (was silently dropped before)
+        assert _w3c_to_naive_utc("2026-03-04T05:06:07+02:00", D) == "2026-03-04T03:06:07"
+        assert _w3c_to_naive_utc("2026-03-05", D) == "2026-03-05T00:00:00"
+        assert _w3c_to_naive_utc("2026-03", D) == "2026-03-01T00:00:00"
+        assert _w3c_to_naive_utc("2026", D) == "2026-01-01T00:00:00"
+        assert _w3c_to_naive_utc(None, D) == D
+        assert _w3c_to_naive_utc("not-a-date", D) == D
+        assert _w3c_to_naive_utc("2026-13-40", D) == D
+
+    def test_offset_entries_read_end_to_end(self, ray_session, tmp_path):
+        from don_crawler_ray.sources.sitemap import (
+            read_sitemap,
+            sitemap_to_frontier_rows,
+        )
+
+        xml = b"""<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://x.example/a</loc>
+       <lastmod>2026-03-04T05:06:07-05:00</lastmod>
+       <priority>high</priority></url>
+</urlset>
+"""
+        (tmp_path / "s.xml").write_bytes(xml)
+        ds = read_sitemap(str(tmp_path / "s.xml"))
+        rows = ds.take_all()
+        assert rows[0]["priority"] is None  # malformed -> None, no crash
+        ft = ds.map_batches(sitemap_to_frontier_rows, batch_format="pyarrow")
+        out = ft.take_all()
+        assert str(out[0]["warc_ts"]).startswith("2026-03-04 10:06:07")
