@@ -1789,3 +1789,55 @@ class TestWarcRobustness:
                 )
             ]
             assert chunked == whole
+
+
+class TestCombineTreeBounds:
+    def test_chained_combiners_bound_candidate_rows(self, ray_session):
+        """The bounded-driver-merge doctrine, functionally: feeding
+        many tiny bottom-K partials through the two chained combine
+        levels must (a) leave the exact global bottom-K reachable and
+        (b) shrink the row count to at most K per output batch —
+        not K x blocks."""
+        import ray
+
+        from don_crawler_ray.functions.dedup import _mix64
+        from don_crawler_ray.pipelines.queries import _COMBINE_BATCH
+
+        K = 64
+        rng = np.random.default_rng(11)
+        hv = (_mix64(rng.integers(0, 1 << 62, 20_000).astype(np.uint64))
+              ^ np.uint64(1 << 63)).astype(np.int64)
+        cents = rng.integers(0, 10**6, 20_000)
+
+        def bottom_k(h, c):
+            o = np.lexsort((c, h))[:K]
+            return h[o], c[o]
+
+        # 200 tiny partial blocks of K rows each
+        parts = []
+        for h, c in zip(np.array_split(hv, 200), np.array_split(cents, 200)):
+            ph, pc_ = bottom_k(h, c)
+            parts.append(pa.table({"hv": pa.array(ph, pa.int64()),
+                                   "cents": pa.array(pc_, pa.int64())}))
+        ds = ray.data.from_arrow(parts)
+
+        def combine(batch: pa.Table) -> pa.Table:
+            h = batch.column("hv").to_numpy(zero_copy_only=False)
+            c = batch.column("cents").to_numpy(zero_copy_only=False)
+            o = np.lexsort((c, h))[:K]
+            return pa.table({"hv": pa.array(h[o], pa.int64()),
+                             "cents": pa.array(c[o], pa.int64())})
+
+        out = (
+            ds.map_batches(combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+            .map_batches(combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+            .take_all()
+        )
+        # (b) bounded: 200 blocks x K = 12,800 flat rows collapse to <= K
+        # per surviving batch (one here, since everything fits one batch)
+        assert len(out) <= K
+        # (a) exact: the global bottom-K survives the tree untouched
+        gh, gc = bottom_k(hv, cents)
+        oh = np.array(sorted((r["hv"], r["cents"]) for r in out))
+        ge = np.array(sorted(zip(gh.tolist(), gc.tolist())))
+        assert (oh == ge).all()
