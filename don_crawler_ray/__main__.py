@@ -55,6 +55,11 @@ def cmd_crawl(args) -> int:
         resume=args.resume,
         seen_restore_dir=args.seen_restore,
     )
+    if args.warc_out:
+        from don_crawler_ray.sources.warc import export_crawl_warc
+
+        export_crawl_warc(args.out, args.warc_out)
+        counters["warc_out"] = args.warc_out
     print(json.dumps(counters, sort_keys=True))
     return 0
 
@@ -84,6 +89,25 @@ def cmd_download_publishers(args) -> int:
 
 
 def cmd_gen_frontier(args) -> int:
+    if args.from_sitemap:
+        # real-seed path: sitemap XML (urlset / sitemapindex) -> the
+        # frontier schema, written as one parquet the crawl can take
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.sources.sitemap import (
+            read_sitemap,
+            sitemap_to_frontier_rows,
+        )
+
+        _ensure_ray(args.num_cpus)
+        ds = read_sitemap(args.from_sitemap).map_batches(
+            sitemap_to_frontier_rows, batch_format="pyarrow"
+        )
+        pq.write_table(pa.Table.from_pylist(ds.take_all()), args.out)
+        print(args.out)
+        return 0
+
     from don_crawler_ray.sources.frontier import generate_frontier_parquet
 
     if args.rows and args.rows > 100_000:
@@ -117,6 +141,7 @@ def main(argv=None) -> int:
     c.add_argument("--max-rounds", type=int, default=None)
     c.add_argument("--resume", action="store_true")
     c.add_argument("--seen-restore", default=None, help="seen dir of a prior run (incremental)")
+    c.add_argument("--warc-out", default=None, help="also export the output as WARC/1.0 archives")
     c.set_defaults(fn=cmd_crawl)
 
     s = sub.add_parser("crawl-software", help="single-URL crawl")
@@ -136,6 +161,10 @@ def main(argv=None) -> int:
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--rows", type=int, default=None)
     g.add_argument("--hosts", type=int, default=None)
+    g.add_argument(
+        "--from-sitemap", nargs="+", default=None,
+        help="build the frontier from sitemap XML files instead of synthesizing",
+    )
     g.set_defaults(fn=cmd_gen_frontier)
 
     v = sub.add_parser("version", help="print the engine version")

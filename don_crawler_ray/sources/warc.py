@@ -281,3 +281,35 @@ def read_warc(paths):
                 yield _records_to_table(rows)
 
     return ray.data.read_datasource(WarcDatasource(paths))
+
+
+def export_crawl_warc(crawl_out_dir: str, warc_dir: str) -> None:
+    """Stream a finished crawl's output (``round=N/`` parquet
+    partitions) into a WARC archive directory — the crawl -> archive
+    hand-off as one Dataset chain (columns pruned at the read, one
+    archive file per write task; nothing materializes on the
+    driver)."""
+    import os
+
+    import pyarrow.compute as pc
+    import ray
+
+    round_dirs = [
+        os.path.join(crawl_out_dir, n)
+        for n in sorted(os.listdir(crawl_out_dir))
+        if n.startswith("round=")
+    ]
+    if not round_dirs:
+        raise ValueError(f"no round= partitions under {crawl_out_dir}")
+    ds = ray.data.read_parquet(round_dirs, columns=["canonical_url", "warc_ts", "text"])
+
+    def to_rec(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "target_uri": pc.cast(batch.column("canonical_url"), pa.string()),
+                "warc_date": pc.cast(batch.column("warc_ts"), pa.string()),
+                "payload": pc.cast(batch.column("text"), pa.string()),
+            }
+        )
+
+    write_warc(ds.map_batches(to_rec, batch_format="pyarrow"), warc_dir)

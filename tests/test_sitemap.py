@@ -140,3 +140,26 @@ class TestW3CDatetime:
         ft = ds.map_batches(sitemap_to_frontier_rows, batch_format="pyarrow")
         out = ft.take_all()
         assert str(out[0]["warc_ts"]).startswith("2026-03-04 10:06:07")
+
+
+class TestCliIntegration:
+    def test_sitemap_to_frontier_to_crawl_to_warc(self, ray_session, tmp_path):
+        """The whole CLI chain in-process: gen-frontier --from-sitemap
+        -> crawl --warc-out -> read the archive back."""
+        from don_crawler_ray.__main__ import main
+        from don_crawler_ray.sources.warc import read_warc
+
+        (tmp_path / "s.xml").write_bytes(URLSET)
+        frontier = str(tmp_path / "frontier.parquet")
+        rc = main(["gen-frontier", "--out", frontier, "--from-sitemap", str(tmp_path / "s.xml")])
+        assert rc == 0
+        out = str(tmp_path / "crawl")
+        warc = str(tmp_path / "warc")
+        rc = main(["crawl", "--frontier", frontier, "--out", out, "--warc-out", warc])
+        assert rc == 0
+        rows = read_warc(warc).take_all()
+        assert {r["target_uri"] for r in rows} == {
+            "https://site-a.example/page/1",
+            "https://site-a.example/page/2",
+            "https://site-b.example/",
+        }
