@@ -163,3 +163,33 @@ class TestCliIntegration:
             "https://site-a.example/page/2",
             "https://site-b.example/",
         }
+
+
+class TestW3CProperty:
+    def test_never_raises_and_always_castable(self):
+        """Any unicode input yields a string pyarrow can cast to
+        timestamp[us] — the read task can never die on a lastmod."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from don_crawler_ray.sources.sitemap import _w3c_to_naive_utc
+
+        D = "2026-01-01T00:00:00"
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.one_of(st.none(), st.text(max_size=40)))
+        def check(lm):
+            out = _w3c_to_naive_utc(lm, D)
+            pa.array([out]).cast(pa.timestamp("us"))
+
+        check()
+
+
+class TestWarcExportErrors:
+    def test_export_requires_round_partitions(self, ray_session, tmp_path):
+        import pytest
+
+        from don_crawler_ray.sources.warc import export_crawl_warc
+
+        with pytest.raises(ValueError, match="no round= partitions"):
+            export_crawl_warc(str(tmp_path), str(tmp_path / "w"))
