@@ -924,8 +924,8 @@ def q_minhash_pairs(sf_dir: str):
     import ray
 
     from don_crawler_ray.functions.dedup import (
-        lsh_band_keys,
-        minhash_signature,
+        lsh_band_keys_batch,
+        minhash_signatures_batch,
         shingle_hashes,
     )
 
@@ -936,16 +936,14 @@ def q_minhash_pairs(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
 
     def sigs(batch: pa.Table) -> pa.Table:
-        ids, bands = [], []
-        for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            sig = minhash_signature(shingle_hashes(t, k=3), n_perm=64)
-            for bk in lsh_band_keys(sig, n_bands=16).tolist():
-                ids.append(d)
-                bands.append(bk)
+        texts = batch.column("text").to_pylist()
+        sig = minhash_signatures_batch(texts, n_perm=64, k=3)  # (n, 64)
+        bands = lsh_band_keys_batch(sig, n_bands=16)  # (n, 16)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "band_key": pa.array(bands, pa.uint64()),
-                "doc_id": pa.array(ids, pa.int64()),
+                "band_key": pa.array(bands.reshape(-1)),
+                "doc_id": pa.array(np.repeat(ids, bands.shape[1])),
             }
         )
 
@@ -1098,7 +1096,7 @@ def q_minhash_pairs(sf_dir: str):
 
 def q_simhash_docs(sf_dir: str):
     """SimHash signatures per document (near-dup by hamming distance)."""
-    from don_crawler_ray.functions.dedup import simhash64
+    from don_crawler_ray.functions.dedup import simhash64_batch
 
     # single-row-group input -> repartition so the per-doc hash kernel
     # parallelizes (see q_minhash_pairs)
@@ -1107,7 +1105,7 @@ def q_simhash_docs(sf_dir: str):
     def sh(batch: pa.Table) -> pa.Table:
         # hex-string signatures: stable across pandas/arrow boundaries
         # (uint64 values >= 2^63 overflow naive int64 conversions)
-        sigs = [f"{simhash64(t):016x}" for t in batch.column("text").to_pylist()]
+        sigs = [f"{s:016x}" for s in simhash64_batch(batch.column("text").to_pylist()).tolist()]
         return pa.table({"doc_id": batch.column("doc_id"), "simhash": pa.array(sigs, pa.string())})
 
     return ds.map_batches(sh, batch_format="pyarrow")
@@ -2176,25 +2174,22 @@ def q_simhash_pairs(sf_dir: str):
     least one identical band by pigeonhole), verified by XOR popcount
     on the signatures alone — text never rides the shuffle. Per-bucket
     256-doc cap as in minhash (deterministic)."""
-    from don_crawler_ray.functions.dedup import simhash64
+    from don_crawler_ray.functions.dedup import simhash64_batch
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
 
     def bands(batch: pa.Table) -> pa.Table:
-        ids, band_idx, band_val, sigs = [], [], [], []
-        for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            sig = simhash64(t)
-            for k in range(4):
-                ids.append(d)
-                band_idx.append(k)
-                band_val.append((sig >> (16 * k)) & 0xFFFF)
-                sigs.append(sig)
+        sig = simhash64_batch(batch.column("text").to_pylist())  # (n,) uint64
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(sig)
+        band_idx = np.tile(np.arange(4, dtype=np.int32), n)
+        band_val = (sig[:, None] >> (np.uint64(16) * np.arange(4, dtype=np.uint64))[None, :]) & np.uint64(0xFFFF)
         return pa.table(
             {
-                "band_idx": pa.array(band_idx, pa.int32()),
-                "band_val": pa.array(band_val, pa.int32()),
-                "doc_id": pa.array(ids, pa.int64()),
-                "sig": pa.array(sigs, pa.uint64()),
+                "band_idx": pa.array(band_idx),
+                "band_val": pa.array(band_val.reshape(-1).astype(np.int32)),
+                "doc_id": pa.array(np.repeat(ids, 4)),
+                "sig": pa.array(np.repeat(sig, 4)),
             }
         )
 
@@ -3319,34 +3314,23 @@ def q_decontaminate(sf_dir: str):
 
     from ray.data.aggregate import Count
 
-    from don_crawler_ray.functions.dedup import shingle_hashes
+    from don_crawler_ray.functions.dedup import shingle_hashes_flat
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(8)
 
     def shingles(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        sh_all, id_all, val_all = [], [], []
-        for i, t in zip(ids.tolist(), batch.column("text").to_pylist()):
-            bucket = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
-            sh = shingle_hashes(t, k=8)
-            sh_all.append(sh)
-            id_all.append(np.full(len(sh), i, np.int64))
-            val_all.append(np.full(len(sh), bucket >= 90, bool))
-        if not sh_all:
-            return pa.table(
-                {
-                    "sh": pa.array([], pa.uint64()),
-                    "doc_id": pa.array([], pa.int64()),
-                    "is_val": pa.array([], pa.bool_()),
-                    "_bucket": pa.array([], pa.int32()),
-                }
-            )
-        sh = np.concatenate(sh_all)
+        is_val_doc = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 >= 90 for i in ids.tolist()),
+            dtype=bool,
+            count=len(ids),
+        )
+        di, sh = shingle_hashes_flat(batch.column("text").to_pylist(), k=8)
         return pa.table(
             {
                 "sh": pa.array(sh, pa.uint64()),
-                "doc_id": pa.array(np.concatenate(id_all), pa.int64()),
-                "is_val": pa.array(np.concatenate(val_all), pa.bool_()),
+                "doc_id": pa.array(ids[di]),
+                "is_val": pa.array(is_val_doc[di]),
                 "_bucket": pa.array((sh % np.uint64(64)).astype(np.int32)),
             }
         )
@@ -3863,21 +3847,19 @@ def _jaccard_df_sketch(ds) -> np.ndarray:
     size regardless of corpus scale, so it broadcasts like the ranges
     config (``ray.put`` once). Collisions only blur the frequency
     ESTIMATE; any fixed total order keeps the prefix lemma exact."""
-    from don_crawler_ray.functions.dedup import fnv1a64, word_ngrams
+    from don_crawler_ray.functions.dedup import fnv1a64_batch, word_ngrams
 
     mask = (1 << _JACCARD_DF_BITS) - 1
     n = JACCARD_NGRAM
 
     def part(batch: pa.Table) -> pa.Table:
         counts = np.zeros(1 << _JACCARD_DF_BITS, np.int64)
+        all_grams: list[str] = []
         for t in batch.column("text").to_pylist():
-            grams = word_ngrams(t, n)
-            if not grams:
-                continue
-            buckets = np.fromiter(
-                (fnv1a64(g) & mask for g in grams), np.int64, len(grams)
-            )
-            counts[buckets] += 1
+            all_grams.extend(word_ngrams(t, n))
+        if all_grams:
+            buckets = (fnv1a64_batch(all_grams) & np.uint64(mask)).astype(np.int64)
+            np.add.at(counts, buckets, 1)
         nz = np.flatnonzero(counts)
         return pa.table(
             {
@@ -3927,7 +3909,7 @@ def _jaccard_pairs_build(sf_dir: str, freq_order: bool = True):
     """
     import ray
 
-    from don_crawler_ray.functions.dedup import fnv1a64, prefix_length, word_ngrams
+    from don_crawler_ray.functions.dedup import fnv1a64_batch, prefix_length, word_ngrams
 
     tau, n = JACCARD_TAU, JACCARD_NGRAM
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
@@ -3950,25 +3932,38 @@ def _jaccard_pairs_build(sf_dir: str, freq_order: bool = True):
             from don_crawler_ray.stages.fetch import _resolve_array
 
             df = _resolve_array(df_ref)
-        ids_out: list[int] = []
-        tok_out: list[int] = []
-        for d, t in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
+        # one vectorized FNV pass over every doc's distinct gram strings
+        # (string-level dedup stays in word_ngrams: prefix_length must
+        # see the true set size for the PPJoin recall proof)
+        all_grams: list[str] = []
+        gram_counts: list[int] = []
+        doc_ids = batch.column("doc_id").to_pylist()
+        for t in batch.column("text").to_pylist():
             grams = word_ngrams(t, n)
-            if not grams:
+            gram_counts.append(len(grams))
+            all_grams.extend(grams)
+        hs_all = fnv1a64_batch(all_grams)
+        ids_np: list[np.ndarray] = []
+        tok_np: list[np.ndarray] = []
+        pos = 0
+        for d, cnt in zip(doc_ids, gram_counts):
+            if cnt == 0:
                 continue
-            p = prefix_length(len(grams), tau)
+            hs = hs_all[pos : pos + cnt]
+            pos += cnt
+            p = prefix_length(cnt, tau)
             if df is None:
-                ordered = sorted(fnv1a64(g) for g in grams)[:p]
+                ordered = np.sort(hs)[:p]
             else:
-                hs = [fnv1a64(g) for g in grams]
                 # rarest-first under the frozen sketch; hash breaks ties
                 # — a fixed global total order either way
-                ordered = [h for h in sorted(hs, key=lambda h: (df[h & mask], h))[:p]]
-            for h in ordered:
-                ids_out.append(d)
-                tok_out.append(h - (1 << 63))  # uint64 -> int64 shift (order-preserving)
+                ordered = hs[np.lexsort((hs, df[(hs & np.uint64(mask)).astype(np.int64)]))[:p]]
+            # uint64 -> int64 shift (order-preserving); top-bit XOR ==
+            # subtracting 2^63 mod 2^64, with no wraparound warnings
+            tok_np.append((ordered ^ np.uint64(1 << 63)).view(np.int64))
+            ids_np.append(np.full(len(ordered), d, np.int64))
+        tok_out = np.concatenate(tok_np) if tok_np else np.empty(0, np.int64)
+        ids_out = np.concatenate(ids_np) if ids_np else np.empty(0, np.int64)
         return pa.table(
             {
                 "tok": pa.array(tok_out, pa.int64()),
@@ -4208,7 +4203,7 @@ def q_vocab_topk(sf_dir: str):
     per-bucket top-ks) -> driver merge of <= 256*k candidate rows."""
     import collections
 
-    from don_crawler_ray.functions.dedup import fnv1a64
+    from don_crawler_ray.functions.dedup import fnv1a64, fnv1a64_batch
 
     k = VOCAB_TOPK
     ds = _read(sf_dir, "documents", columns=["text"]).repartition(32)
@@ -4223,7 +4218,7 @@ def q_vocab_topk(sf_dir: str):
                 "token": pa.array(toks, pa.string()),
                 "n": pa.array([c[t] for t in toks], pa.int64()),
                 "_bucket": pa.array(
-                    np.array([fnv1a64(t) % 256 for t in toks], np.int32)
+                    (fnv1a64_batch(toks) % np.uint64(256)).astype(np.int32)
                 ),
             }
         )
@@ -4456,7 +4451,7 @@ def q_tfidf_topk(sf_dir: str):
 
     import ray
 
-    from don_crawler_ray.functions.dedup import fnv1a64
+    from don_crawler_ray.functions.dedup import fnv1a64, fnv1a64_batch
 
     k = TFIDF_TOPK
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -4472,7 +4467,7 @@ def q_tfidf_topk(sf_dir: str):
                 "token": pa.array(toks, pa.string()),
                 "df": pa.array([c[t] for t in toks], pa.int64()),
                 "_bucket": pa.array(
-                    np.array([fnv1a64(t) % 256 for t in toks], np.int32)
+                    (fnv1a64_batch(toks) % np.uint64(256)).astype(np.int32)
                 ),
             }
         )
@@ -4562,7 +4557,7 @@ def q_cms_tokens(sf_dir: str):
     estimates (>= true count by construction; tested)."""
     import collections
 
-    from don_crawler_ray.functions.dedup import fnv1a64
+    from don_crawler_ray.functions.dedup import fnv1a64, fnv1a64_batch
     from don_crawler_ray.functions.sketch import CMS_DEPTH, CMS_WIDTH, cms_buckets
 
     ds = _read(sf_dir, "documents", columns=["text"]).repartition(32)
@@ -4580,7 +4575,7 @@ def q_cms_tokens(sf_dir: str):
                 }
             )
         toks = list(c.keys())
-        h = np.array([fnv1a64(t) for t in toks], np.uint64)
+        h = fnv1a64_batch(toks)
         cnt = np.array([c[t] for t in toks], np.int64)
         b = cms_buckets(h)
         counters = np.zeros((CMS_DEPTH, CMS_WIDTH), np.int64)
@@ -4993,7 +4988,7 @@ def q_bigram_counts(sf_dir: str):
     heavy pairs ever reach the driver."""
     import collections
 
-    from don_crawler_ray.functions.dedup import fnv1a64
+    from don_crawler_ray.functions.dedup import fnv1a64, fnv1a64_batch
 
     ds = _read(sf_dir, "documents", columns=["text"]).repartition(32)
 
@@ -5009,9 +5004,7 @@ def q_bigram_counts(sf_dir: str):
                 "w2": pa.array([p[1] for p in pairs], pa.string()),
                 "cnt": pa.array([c[p] for p in pairs], pa.int64()),
                 "_bucket": pa.array(
-                    np.array(
-                        [fnv1a64(a + "\x00" + b) % 256 for a, b in pairs], np.int32
-                    )
+                    (fnv1a64_batch([a + "\x00" + b for a, b in pairs]) % np.uint64(256)).astype(np.int32)
                 ),
             }
         )
@@ -5264,30 +5257,17 @@ def q_dup_ngram_docs(sf_dir: str):
     Python. The per-doc tally is a slim groupby-count."""
     from ray.data.aggregate import Count
 
-    from don_crawler_ray.functions.dedup import shingle_hashes
+    from don_crawler_ray.functions.dedup import shingle_hashes_flat
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(8)
 
     def shingles(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        sh_all, id_all = [], []
-        for i, t in zip(ids.tolist(), batch.column("text").to_pylist()):
-            sh = shingle_hashes(t, k=8)
-            sh_all.append(sh)
-            id_all.append(np.full(len(sh), i, np.int64))
-        if not sh_all:
-            return pa.table(
-                {
-                    "sh": pa.array([], pa.uint64()),
-                    "doc_id": pa.array([], pa.int64()),
-                    "_bucket": pa.array([], pa.int32()),
-                }
-            )
-        sh = np.concatenate(sh_all)
+        di, sh = shingle_hashes_flat(batch.column("text").to_pylist(), k=8)
         return pa.table(
             {
                 "sh": pa.array(sh, pa.uint64()),
-                "doc_id": pa.array(np.concatenate(id_all), pa.int64()),
+                "doc_id": pa.array(ids[di]),
                 "_bucket": pa.array((sh % np.uint64(64)).astype(np.int32)),
             }
         )
@@ -6317,7 +6297,7 @@ def q_pmi_bigrams(sf_dir: str):
     at most blocks x k candidate rows reach the driver."""
     import collections
 
-    from don_crawler_ray.functions.dedup import fnv1a64
+    from don_crawler_ray.functions.dedup import fnv1a64, fnv1a64_batch
 
     ds = _read(sf_dir, "documents", columns=["text"]).repartition(32)
 
@@ -6330,7 +6310,7 @@ def q_pmi_bigrams(sf_dir: str):
             {
                 "token": pa.array(toks, pa.string()),
                 "n": pa.array([c[t] for t in toks], pa.int64()),
-                "_bucket": pa.array(np.array([fnv1a64(t) % 256 for t in toks], np.int32)),
+                "_bucket": pa.array((fnv1a64_batch(toks) % np.uint64(256)).astype(np.int32)),
             }
         )
 
@@ -6363,7 +6343,7 @@ def q_pmi_bigrams(sf_dir: str):
                 "w2": pa.array([p[1] for p in pairs], pa.string()),
                 "cnt": pa.array([c[p] for p in pairs], pa.int64()),
                 "_bucket": pa.array(
-                    np.array([fnv1a64(a + "\x00" + b) % 256 for a, b in pairs], np.int32)
+                    (fnv1a64_batch([a + "\x00" + b for a, b in pairs]) % np.uint64(256)).astype(np.int32)
                 ),
             }
         )
@@ -6490,7 +6470,7 @@ def q_winnow_fingerprints(sf_dir: str):
     Python scan); output is 4 scalars per doc — nothing wide ever
     leaves the task. Oracle re-derives FNV-1a + the window rule with
     DuckDB list functions (same machinery as the MinHash oracle)."""
-    from don_crawler_ray.functions.dedup import fnv1a64
+    from don_crawler_ray.functions.dedup import shingle_positions_flat
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
 
@@ -6499,17 +6479,15 @@ def q_winnow_fingerprints(sf_dir: str):
         n_fp = np.zeros(len(ids), np.int64)
         mn = np.zeros(len(ids), np.uint64)
         mx = np.zeros(len(ids), np.uint64)
-        for r, text in enumerate(batch.column("text").to_pylist()):
-            toks = text.lower().split()
-            if len(toks) < 3:
-                toks = toks + [""] * (3 - len(toks))
-            h = np.array(
-                [
-                    fnv1a64(toks[i] + " " + toks[i + 1] + " " + toks[i + 2] + " ")
-                    for i in range(max(1, len(toks) - 2))
-                ],
-                np.uint64,
-            )
+        # padded 3-gram hashes == fnv1a64(tok_i + ' ' + ... + ' ') per
+        # position — one vectorized pass for the whole batch
+        _di, _pos, h_all = shingle_positions_flat(
+            batch.column("text").to_pylist(), k=3, pad=True
+        )
+        counts = np.bincount(_di, minlength=len(ids))
+        offs = np.concatenate([np.zeros(1, np.int64), np.cumsum(counts)])
+        for r in range(len(ids)):
+            h = h_all[offs[r] : offs[r + 1]]
             if len(h) <= WINNOW_W:
                 sel = h[[np.argmin(h)]]
             else:
@@ -6584,7 +6562,7 @@ def q_inverted_index(sf_dir: str):
     exchange on the token hash; per-bucket Arrow group aggregate."""
     import collections
 
-    from don_crawler_ray.functions.dedup import fnv1a64
+    from don_crawler_ray.functions.dedup import fnv1a64, fnv1a64_batch
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
 
@@ -6601,7 +6579,7 @@ def q_inverted_index(sf_dir: str):
                 "token": pa.array(toks, pa.string()),
                 "doc_id": pa.array(docs, pa.int64()),
                 "n_occ": pa.array(occ, pa.int64()),
-                "_bucket": pa.array(np.array([fnv1a64(t) % 256 for t in toks], np.int32)),
+                "_bucket": pa.array((fnv1a64_batch(toks) % np.uint64(256)).astype(np.int32)),
             }
         )
 
@@ -6987,7 +6965,7 @@ def q_topk_tokens_per_lang(sf_dir: str):
     merges <= 256 x langs x k rows."""
     import collections
 
-    from don_crawler_ray.functions.dedup import fnv1a64
+    from don_crawler_ray.functions.dedup import fnv1a64, fnv1a64_batch
 
     k = LANG_TOKEN_TOPK
     ds = _read(sf_dir, "documents", columns=["lang", "text"]).repartition(32)
@@ -7004,7 +6982,7 @@ def q_topk_tokens_per_lang(sf_dir: str):
                 "token": pa.array([p[1] for p in keys], pa.string()),
                 "n": pa.array([c[p] for p in keys], pa.int64()),
                 "_bucket": pa.array(
-                    np.array([fnv1a64(p[1]) % 256 for p in keys], np.int32)
+                    (fnv1a64_batch([p[1] for p in keys]) % np.uint64(256)).astype(np.int32)
                 ),
             }
         )
@@ -7374,7 +7352,7 @@ def q_bpe_merge_step(sf_dir: str):
     pair broadcast as a compiled constant."""
     import collections
 
-    from don_crawler_ray.functions.dedup import fnv1a64
+    from don_crawler_ray.functions.dedup import fnv1a64, fnv1a64_batch
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
 
@@ -7390,7 +7368,7 @@ def q_bpe_merge_step(sf_dir: str):
                 "w2": pa.array([p[1] for p in pairs], pa.string()),
                 "cnt": pa.array([c[p] for p in pairs], pa.int64()),
                 "_bucket": pa.array(
-                    np.array([fnv1a64(a + "\x00" + b) % 256 for a, b in pairs], np.int32)
+                    (fnv1a64_batch([a + "\x00" + b for a, b in pairs]) % np.uint64(256)).astype(np.int32)
                 ),
             }
         )
@@ -9661,7 +9639,7 @@ def q_doc_corpus_fit(sf_dir: str):
     vectorized inference."""
     import collections
 
-    from don_crawler_ray.functions.dedup import fnv1a64
+    from don_crawler_ray.functions.dedup import fnv1a64, fnv1a64_batch
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
 
@@ -9677,7 +9655,7 @@ def q_doc_corpus_fit(sf_dir: str):
                 "w2": pa.array([p[1] for p in pairs], pa.string()),
                 "cnt": pa.array([c[p] for p in pairs], pa.int64()),
                 "_bucket": pa.array(
-                    np.array([fnv1a64(a + "\x00" + b) % 256 for a, b in pairs], np.int32)
+                    (fnv1a64_batch([a + "\x00" + b for a, b in pairs]) % np.uint64(256)).astype(np.int32)
                 ),
             }
         )
@@ -10381,7 +10359,7 @@ def q_span_dedup_docs(sf_dir: str):
     Output: one row per document — ``doc_id``, ``n_removed`` (covered
     token count) and ``text_clean`` (lowercased, whitespace-normalized
     like the rest of the shingle family)."""
-    from don_crawler_ray.functions.dedup import shingle_hash_positions
+    from don_crawler_ray.functions.dedup import shingle_positions_flat
 
     k = SPAN_DEDUP_K
     # materialize once: two consumers (gram pass + doc-row projection)
@@ -10394,29 +10372,12 @@ def q_span_dedup_docs(sf_dir: str):
 
     def grams(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        sh_all, id_all, pos_all = [], [], []
-        for i, t in zip(ids.tolist(), batch.column("text").to_pylist()):
-            sh = shingle_hash_positions(t, k=k)
-            if len(sh) == 0:
-                continue
-            sh_all.append(sh)
-            id_all.append(np.full(len(sh), i, np.int64))
-            pos_all.append(np.arange(len(sh), dtype=np.int64))
-        if not sh_all:
-            return pa.table(
-                {
-                    "sh": pa.array([], pa.uint64()),
-                    "doc_id": pa.array([], pa.int64()),
-                    "pos": pa.array([], pa.int64()),
-                    "_bucket": pa.array([], pa.int32()),
-                }
-            )
-        sh = np.concatenate(sh_all)
+        di, pos, sh = shingle_positions_flat(batch.column("text").to_pylist(), k=k)
         return pa.table(
             {
                 "sh": pa.array(sh, pa.uint64()),
-                "doc_id": pa.array(np.concatenate(id_all), pa.int64()),
-                "pos": pa.array(np.concatenate(pos_all), pa.int64()),
+                "doc_id": pa.array(ids[di]),
+                "pos": pa.array(pos),
                 "_bucket": pa.array((sh % np.uint64(64)).astype(np.int32)),
             }
         )
