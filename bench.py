@@ -266,7 +266,12 @@ if __name__ == "__main__":
         cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         res = bench_main(args.sf_dir, cpus)
         full = res.pop("queries")
-        sidecar = "/tmp/bench_queries.json"
+        # run-unique sidecar (next to --out when given): concurrent or
+        # successive bench runs must not clobber each other's timings
+        if args.out:
+            sidecar = os.path.splitext(args.out)[0] + "_queries.json"
+        else:
+            sidecar = f"/tmp/bench_queries_{os.getpid()}.json"
         with open(sidecar, "w") as f:
             json.dump(full, f)
         # full timings: own line + sidecar; headline LAST and compact

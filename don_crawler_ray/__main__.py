@@ -104,7 +104,28 @@ def cmd_gen_frontier(args) -> int:
         ds = read_sitemap(args.from_sitemap).map_batches(
             sitemap_to_frontier_rows, batch_format="pyarrow"
         )
-        pq.write_table(pa.Table.from_pylist(ds.take_all()), args.out)
+        # explicit frontier schema: an inferred-schema write of zero
+        # rows would produce a zero-column parquet the crawl read then
+        # chokes on, and non-empty types would be inference-dependent
+        frontier_schema = pa.schema(
+            [
+                ("url", pa.string()),
+                ("warc_ts", pa.timestamp("us")),
+                ("html", pa.binary()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+            ]
+        )
+        rows = ds.take_all()
+        if not rows:
+            print(
+                "error: sitemap yielded zero url rows — a sitemapindex "
+                "only lists child sitemaps (kind='sitemap'); fetch the "
+                "children and pass them to --from-sitemap instead",
+                file=sys.stderr,
+            )
+            return 2
+        pq.write_table(pa.Table.from_pylist(rows, schema=frontier_schema), args.out)
         print(args.out)
         return 0
 

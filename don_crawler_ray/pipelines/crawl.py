@@ -884,15 +884,28 @@ def crawl_digests(out_dir: str) -> dict:
     return {"seen_digest": seen_digest, "text_digest": f"{acc:032x}", "rows": rows}
 
 
-def crawl_output_table(out_dir: str, columns=None) -> pa.Table:
-    """Read the crawl output (all rounds) sorted deterministically."""
-    parts = []
+def crawl_output_table(out_dir: str, columns=None, max_rows: int | None = None) -> pa.Table:
+    """Read the crawl output (all rounds) sorted deterministically.
+
+    DRIVER-SIDE materialization — tests / small verification reads
+    only. Guarded by the same cap as ``crawl_dataset`` (the row count
+    comes from parquet metadata, before any data is read) so a large
+    run can't OOM the driver by accident; large outputs should be
+    consumed as a Dataset (``ray.data.read_parquet(out_dir/round=*)``)."""
+    cap = CRAWL_DATASET_MAX_ROWS if max_rows is None else max_rows
+    dsets = []
     for name in sorted(os.listdir(out_dir)):
         if name.startswith("round="):
-            parts.append(pads.dataset(os.path.join(out_dir, name)).to_table(columns=columns))
-    if not parts:
+            dsets.append(pads.dataset(os.path.join(out_dir, name)))
+    if not dsets:
         return pa.table({})
-    t = pa.concat_tables(parts)
+    n_rows = sum(d.count_rows() for d in dsets)
+    if n_rows > cap:
+        raise ValueError(
+            f"crawl_output_table would materialize {n_rows} rows on the "
+            f"driver (> {cap}); read {out_dir}/round=* as a Dataset instead"
+        )
+    t = pa.concat_tables(d.to_table(columns=columns) for d in dsets)
     # large_string offsets: a sorted take on a multi-GiB text column
     # overflows 32-bit string offsets otherwise
     schema = pa.schema(

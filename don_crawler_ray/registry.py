@@ -37,12 +37,23 @@ class Scanner(Protocol):
 
 
 _REGISTRY: dict[str, Callable[[], Scanner]] = {}
+_GENERATION: dict[str, int] = {}
 
 
 def register_scanner(name: str, factory: Callable[[], Scanner]) -> None:
     """Register a scanner factory (overwrites an existing name — the
-    latest registration wins, as a user plug-in replacing a default)."""
+    latest registration wins, as a user plug-in replacing a default).
+    Each (re)registration bumps the name's generation so per-process
+    worker caches keyed on the name can never serve a worker built
+    from a superseded factory — even one with the same qualname but
+    different baked-in config."""
     _REGISTRY[name] = factory
+    _GENERATION[name] = _GENERATION.get(name, 0) + 1
+
+
+def scanner_generation(name: str) -> int:
+    """Monotonic per-name registration counter (0 = never registered)."""
+    return _GENERATION.get(name, 0)
 
 
 def get_scanner(name: str) -> Scanner:

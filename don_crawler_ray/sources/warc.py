@@ -6,7 +6,10 @@ Pure-Python, deterministic, streaming both ways:
 
 - ``WarcDatasink``: a Ray Data ``Datasink`` — each write task turns
   its blocks into one ``part-{task_idx:06d}.warc`` file of
-  ``response`` records (one per row). Record IDs are deterministic
+  ``resource`` records (one per row; the payload is extracted text,
+  so ``resource`` + ``text/plain`` is the ISO 28500-valid pairing —
+  the reader also accepts foreign ``response`` records). Record IDs
+  are deterministic
   (md5 of the target URI formatted as ``urn:uuid:``), so re-running
   the same write produces byte-identical record bodies — only the
   task->file grouping depends on parallelism, which is the resumable
@@ -54,7 +57,15 @@ def _check_header_value(name: str, value: str) -> str:
 
 
 def record_bytes(target_uri: str, warc_date: str, payload: str) -> bytes:
-    """One WARC/1.0 ``response`` record, deterministic bytes."""
+    """One WARC/1.0 ``resource`` record, deterministic bytes.
+
+    ``resource`` (not ``response``) because the payload is extracted
+    text, not captured HTTP protocol bytes — per ISO 28500 a resource
+    record's Content-Type is the resource's own type, so
+    ``text/plain`` is profile-valid here (a ``response`` record would
+    require ``application/http; msgtype=response``). ``warc_date``
+    must be an ISO-8601 UTC string (``YYYY-MM-DDThh:mm:ssZ``) for
+    external WARC tooling; see ``export_crawl_warc``."""
     target_uri = _check_header_value("target_uri", target_uri)
     warc_date = _check_header_value("warc_date", warc_date)
     if payload is None:
@@ -62,7 +73,7 @@ def record_bytes(target_uri: str, warc_date: str, payload: str) -> bytes:
     body = payload.encode("utf-8")
     head = (
         "WARC/1.0" + _CRLF
-        + "WARC-Type: response" + _CRLF
+        + "WARC-Type: resource" + _CRLF
         + f"WARC-Record-ID: {_record_id(target_uri)}" + _CRLF
         + f"WARC-Date: {warc_date}" + _CRLF
         + f"WARC-Target-URI: {target_uri}" + _CRLF
@@ -161,11 +172,12 @@ def _records_to_table(rows: list[tuple[str, str, str]]) -> pa.Table:
 
 
 def _response_rows(records: Iterator[tuple[dict, bytes]]) -> Iterator[tuple[str, str, str]]:
-    """Filter to ``response`` records with a target URI — foreign
-    WARCs lead with ``warcinfo`` and interleave ``request`` records;
-    those are skipped, not errors."""
+    """Filter to payload-bearing (``resource`` — our own sink — or
+    ``response`` — foreign crawl archives) records with a target URI;
+    ``warcinfo`` / ``request`` / ``metadata`` records are skipped, not
+    errors."""
     for fields, payload in records:
-        if fields.get("warc-type") != "response":
+        if fields.get("warc-type") not in ("resource", "response"):
             continue
         if "warc-target-uri" not in fields:
             continue
@@ -307,7 +319,9 @@ def export_crawl_warc(crawl_out_dir: str, warc_dir: str) -> None:
         return pa.table(
             {
                 "target_uri": pc.cast(batch.column("canonical_url"), pa.string()),
-                "warc_date": pc.cast(batch.column("warc_ts"), pa.string()),
+                # WARC/1.0 requires ISO-8601 UTC with 'T'/'Z' — Arrow's
+                # default timestamp->string cast is not profile-valid
+                "warc_date": pc.strftime(batch.column("warc_ts"), format="%Y-%m-%dT%H:%M:%SZ"),
                 "payload": pc.cast(batch.column("text"), pa.string()),
             }
         )

@@ -276,13 +276,23 @@ def make_fetch_extract_fn(members_ref, rounds_ref=None, scanner="html", scanner_
     scanner object, so an ``id()``-based key would never hit and (worse)
     a recycled id could alias a stale worker built with a different
     scanner (ADVICE r03)."""
-    from don_crawler_ray.registry import portable_scanner
+    from don_crawler_ray.registry import portable_scanner, scanner_generation
 
     name = scanner if isinstance(scanner, str) else None
     scanner = portable_scanner(scanner)  # driver side: ship plug-ins as factories
     if name is not None:
-        resolved = "" if scanner is name else getattr(scanner, "__qualname__", "")
-        cache_key = ("name", name, resolved)
+        # module + qualname + the name's registration GENERATION: two
+        # distinct plug-in factories can share a bare qualname (classes
+        # produced by one factory function, or a re-registration of the
+        # same class with different config baked in) — the generation
+        # bump on every register_scanner() guarantees a cache miss for
+        # superseded factories (ADVICE r04)
+        resolved = (
+            ""
+            if scanner is name
+            else f"{getattr(scanner, '__module__', '')}:{getattr(scanner, '__qualname__', '')}"
+        )
+        cache_key = ("name", name, resolved, scanner_generation(name))
     elif scanner_key is not None:
         cache_key = ("user", scanner_key)
     else:

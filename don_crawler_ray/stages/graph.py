@@ -244,6 +244,11 @@ def pagerank(
     ``(d_num * r) // (d_den * outdeg)``, teleport
     ``((d_den - d_num) * scale) // (d_den * n)``; floor-division mass
     is not redistributed (same on both sides)."""
+    if n_nodes == 0:
+        raise ValueError(
+            "empty graph: no nodes (an empty edge dataset with no "
+            "nodes_ds has nothing to rank)"
+        )
     n_buckets = len(edge_refs)
     rank_refs = [_init_const.remote(nr, scale // n_nodes) for nr in node_refs]
     base = ((d_den - d_num) * scale) // (d_den * n_nodes)

@@ -581,6 +581,19 @@ def test_crawl_dataset_size_gate(ray_session, frontier_tiny, politeness_cfg, mon
         crawl_dataset(frontier_tiny, politeness_cfg)
 
 
+def test_crawl_output_table_size_gate(ray_session, frontier_tiny, politeness_cfg, tmp_path):
+    """crawl_output_table concatenates every round on the driver; the
+    same cap as crawl_dataset must reject a large output (checked via
+    parquet metadata before any data is read) — explicit max_rows
+    overrides for tests."""
+    out_dir = str(tmp_path / "gate_out")
+    run_crawl(frontier_tiny, out_dir, politeness_cfg, n_seen_shards=2, n_salts=4)
+    with pytest.raises(ValueError, match="Dataset instead"):
+        crawl_output_table(out_dir, max_rows=10)
+    t = crawl_output_table(out_dir)  # default cap admits the tiny run
+    assert t.num_rows > 10
+
+
 def test_restore_shard_count_mismatch(ray_session, frontier_tiny, politeness_cfg, tmp_path):
     first = str(tmp_path / "first")
     run_crawl(frontier_tiny, first, politeness_cfg, n_seen_shards=2, n_salts=4)

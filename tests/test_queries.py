@@ -1667,7 +1667,9 @@ class TestWarc:
         a = record_bytes("https://x/y", "2026-01-01T00:00:00Z", "hello")
         b = record_bytes("https://x/y", "2026-01-01T00:00:00Z", "hello")
         assert a == b
-        assert b"WARC-Type: response" in a
+        # extracted-text payloads write as `resource` records: that is
+        # the ISO 28500 pairing that keeps Content-Type: text/plain valid
+        assert b"WARC-Type: resource" in a
         assert b"Content-Length: 5" in a
 
     def test_crawl_output_to_warc(self, ray_session, tmp_path):
@@ -1685,7 +1687,7 @@ class TestWarc:
             return pa.table(
                 {
                     "target_uri": batch.column("canonical_url"),
-                    "warc_date": pc.cast(batch.column("warc_ts"), pa.string()),
+                    "warc_date": pc.strftime(batch.column("warc_ts"), format="%Y-%m-%dT%H:%M:%SZ"),
                     "payload": batch.column("text"),
                 }
             )
