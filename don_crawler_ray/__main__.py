@@ -67,8 +67,14 @@ def cmd_crawl(args) -> int:
 def cmd_crawl_software(args) -> int:
     from don_crawler_ray.pipelines.crawl import crawl_single_url
 
-    _ensure_ray(args.num_cpus)
-    out = crawl_single_url(args.url, args.frontier)
+    if args.transport == "store":
+        if not args.frontier:
+            print("error: --frontier is required with --transport store", file=sys.stderr)
+            return 2
+        _ensure_ray(args.num_cpus)  # the live path never touches the page store
+    out = crawl_single_url(
+        args.url, args.frontier, transport=args.transport, timeout_s=args.timeout
+    )
     print(json.dumps(out.to_pylist()[0], default=str))
     return 0
 
@@ -167,7 +173,14 @@ def main(argv=None) -> int:
 
     s = sub.add_parser("crawl-software", help="single-URL crawl")
     s.add_argument("url")
-    s.add_argument("--frontier", required=True)
+    s.add_argument("--frontier", default=None, help="page store (required with --transport store)")
+    s.add_argument(
+        "--transport",
+        choices=["store", "http"],
+        default="store",
+        help="store = page-store lookup (default); http = live GET with the reference retry loop",
+    )
+    s.add_argument("--timeout", type=float, default=10.0, help="live-transport deadline (seconds)")
     s.set_defaults(fn=cmd_crawl_software)
 
     d = sub.add_parser("download-publishers", help="merge publisher seed lists")

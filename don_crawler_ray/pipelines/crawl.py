@@ -989,15 +989,26 @@ def crawl_dataset(
     )
 
 
-def crawl_single_url(url: str, frontier_path: str, politeness: PolitenessConfig | None = None):
+def crawl_single_url(
+    url: str,
+    frontier_path: str,
+    politeness: PolitenessConfig | None = None,
+    transport: str = "store",
+    timeout_s: float = 10.0,
+):
     """Single-URL crawl mode — the ``crawl-software`` entry point
     (``cmd/crawl-software.go:28-42`` -> ``CrawlSoftwareByID``,
     ``crawler/crawler.go:106-153``): one row through the same pipeline.
 
     The URL is canonicalized (``.git`` suffix stripped per
-    ``crawler/crawler.go:121`` intent), matched against the page store,
-    robots-checked, and extracted. Returns a pyarrow Table with 0 or 1
-    rows.
+    ``crawler/crawler.go:121`` intent), robots-checked, fetched, and
+    extracted. Returns a pyarrow Table with 0 or 1 rows.
+
+    ``transport="store"`` (default) matches against the frontier page
+    store; ``transport="http"`` performs a LIVE GET with the
+    reference's rate-limit retry loop (``stages/http_fetch.py``,
+    ``publiccodeGetStatusWithRetry`` parity) — ``frontier_path`` is
+    ignored on that path.
     """
     import ray
 
@@ -1015,6 +1026,10 @@ def crawl_single_url(url: str, frontier_path: str, politeness: PolitenessConfig 
                 "text": pa.array([None], pa.string()),
             }
         )
+    if transport == "http":
+        return _crawl_single_url_http(canon, timeout_s)
+    if transport != "store":
+        raise ValueError(f"unknown transport {transport!r} (expected 'store' or 'http')")
     target = url_hash64(canon)
 
     ds = _read_frontier(frontier_path, FETCH_COLUMNS)
@@ -1047,3 +1062,40 @@ def crawl_single_url(url: str, frontier_path: str, politeness: PolitenessConfig 
             "description": pa.array([description_from_readme(text)]),
         }
     )
+
+
+def _crawl_single_url_http(canon: str, timeout_s: float) -> pa.Table:
+    """Live-transport single-URL path: GET with the reference retry
+    loop, then the standard extract kernel. Failure classes map to the
+    same status strings the store path uses (plus the live-only
+    ``rate_limit_exhausted`` / ``fetch_failed``)."""
+    import urllib.error
+
+    from don_crawler_ray.functions.extract import description_from_readme, extract_text
+    from don_crawler_ray.stages.http_fetch import (
+        FetchContext,
+        FetchDeadlineExceeded,
+        RateLimitExhausted,
+        get_with_retry,
+    )
+
+    def _row(status: str, text=None, description=None):
+        return pa.table(
+            {
+                "canonical_url": pa.array([canon]),
+                "status": pa.array([status]),
+                "text": pa.array([text], pa.string()),
+                "description": pa.array([description], pa.string()),
+            }
+        )
+
+    try:
+        code, _hdrs, body = get_with_retry(canon, ctx=FetchContext(timeout_s=timeout_s))
+    except RateLimitExhausted:
+        return _row("rate_limit_exhausted")
+    except (FetchDeadlineExceeded, urllib.error.URLError, OSError):
+        return _row("fetch_failed")
+    if code != 200:
+        return _row("not_found" if code == 404 else "fetch_failed")
+    text = extract_text(body.decode("utf-8", errors="replace"))
+    return _row("fetched", text, description_from_readme(text))
