@@ -84,6 +84,118 @@ class CachedTokenProvider:
             self._expires_at_ms = 0
 
 
+class TokenExchangeError(Exception):
+    """Installation-token HTTP exchange failed (non-2xx / bad body)."""
+
+
+class InstallationTokenProvider:
+    """ST1 end-to-end: the GitHub App installation-token exchange
+    (``internal/githubapp/token.go:55-192``) — ``build_jwt`` (M24/M25,
+    ``functions/jwtauth.py``) signs an app JWT, POSTed to
+    ``{base_url}/app/installations/{id}/access_tokens`` with the
+    reference's headers; the ``(token, expires_at)`` response feeds the
+    double-checked ≤2-minute-refresh cache (``CachedTokenProvider``).
+
+    ``base_url`` / ``opener`` / clocks are injectable — tests drive a
+    loopback server (the sandbox has no external network); a real
+    deployment passes the default GitHub endpoint."""
+
+    GITHUB_API = "https://api.github.com"
+
+    def __init__(
+        self,
+        app_id: int | str,
+        installation_id: int,
+        private_key_pem: str,
+        base_url: str = GITHUB_API,
+        opener=None,
+        now_ms: Callable[[], int] = _wall_ms,
+        api_version: str = "2022-11-28",
+        timeout_s: float = 15.0,  # http.Client{Timeout: 15s}, token.go:106
+    ):
+        from don_crawler_ray.functions.jwtauth import parse_rsa_private_key
+
+        self._app_id = app_id
+        self._installation_id = int(installation_id)
+        self._key = parse_rsa_private_key(private_key_pem)
+        self._base_url = base_url.rstrip("/")
+        self._opener = opener
+        self._now_ms = now_ms
+        self._api_version = api_version
+        self._timeout_s = timeout_s
+        self._cache = CachedTokenProvider(self._exchange, now_ms=now_ms)
+
+    @classmethod
+    def from_env(cls, environ=None, **kwargs) -> "InstallationTokenProvider":
+        """``NewTokenProviderFromEnv`` (``token.go:78-109``): build from
+        ``GIT_OAUTH_CLIENTID`` / ``GIT_OAUTH_INSTALLATION_ID`` /
+        ``GIT_OAUTH_SECRET``."""
+        import os
+
+        env = os.environ if environ is None else environ
+        app = env.get("GIT_OAUTH_CLIENTID", "").strip()
+        inst = env.get("GIT_OAUTH_INSTALLATION_ID", "").strip()
+        secret = env.get("GIT_OAUTH_SECRET", "").strip()
+        if not (app and inst and secret):
+            raise ValueError(
+                "GIT_OAUTH_CLIENTID, GIT_OAUTH_INSTALLATION_ID, and "
+                "GIT_OAUTH_SECRET must all be set"
+            )
+        return cls(int(app), int(inst), secret, **kwargs)
+
+    def _exchange(self) -> tuple[str, int]:
+        """One POST /app/installations/{id}/access_tokens
+        (``refreshToken``, ``token.go:134-192``). Runs under the
+        cache's lock, so concurrent callers cause exactly one POST."""
+        import json as _json
+        import urllib.error
+        import urllib.request
+        from datetime import datetime
+
+        from don_crawler_ray.functions.jwtauth import build_jwt
+
+        jwt = build_jwt(self._app_id, self._key, self._now_ms() // 1000)
+        req = urllib.request.Request(
+            f"{self._base_url}/app/installations/{self._installation_id}/access_tokens",
+            method="POST",
+        )
+        req.add_header("Authorization", f"Bearer {jwt}")
+        req.add_header("Accept", "application/vnd.github+json")
+        req.add_header("X-GitHub-Api-Version", self._api_version)
+        req.add_header("User-Agent", "publiccode-crawler")
+        op = self._opener or urllib.request.build_opener()
+        try:
+            with op.open(req, timeout=self._timeout_s) as resp:
+                status, raw = resp.status, resp.read()
+        except urllib.error.HTTPError as e:  # non-2xx is a plain result
+            status, raw = e.code, e.read()
+        if not (200 <= status < 300):
+            raise TokenExchangeError(f"github app token request failed: {status}")
+        try:
+            body = _json.loads(raw)
+        except ValueError as e:
+            raise TokenExchangeError(f"github app token response decode failed: {e}") from None
+        tok = body.get("token", "")
+        if not tok:
+            raise TokenExchangeError("github app token response missing token")
+        try:
+            exp = datetime.fromisoformat(str(body.get("expires_at", "")).replace("Z", "+00:00"))
+        except ValueError:
+            raise TokenExchangeError(
+                f"github app token response invalid expires_at: {body.get('expires_at')!r}"
+            ) from None
+        return tok, int(exp.timestamp() * 1000)
+
+    def token(self) -> tuple[str, int]:
+        """Cached installation token + expiry (ms); refreshes when less
+        than 2 minutes remain, double-checked under the cache lock."""
+        return self._cache.token()
+
+    @property
+    def fetch_count(self) -> int:
+        return self._cache.fetch_count
+
+
 class Unauthorized(Exception):
     """The 401 signal a transport raises when the bearer is rejected."""
 

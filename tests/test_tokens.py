@@ -112,3 +112,136 @@ class TestBearerClient:
         for _ in range(3):
             assert client.call(lambda tok: tok) == "tok-1"
         assert state["n"] == 1
+
+
+class TestInstallationTokenProvider:
+    """The live exchange (token.go:55-192) against a loopback server:
+    request shape, refresh-≤2-min caching, double-checked concurrency,
+    and the error contract."""
+
+    @staticmethod
+    def _pem():
+        from tests.test_jwtauth import KEY, _pem, _pkcs1_der
+
+        return _pem("RSA PRIVATE KEY", _pkcs1_der(KEY))
+
+    @staticmethod
+    def _server(script):
+        """script: callable(server) -> (status, json_body_bytes)."""
+        import http.server
+        import threading
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                srv = self.server
+                srv.calls += 1
+                srv.paths.append(self.path)
+                srv.auths.append(self.headers.get("Authorization", ""))
+                srv.accepts.append(self.headers.get("Accept", ""))
+                status, body = script(srv)
+                self.send_response(status)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        srv.calls, srv.paths, srv.auths, srv.accepts = 0, [], [], []
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+    def _provider(self, base_url, clock, **kw):
+        from don_crawler_ray.state.tokens import InstallationTokenProvider
+
+        return InstallationTokenProvider(
+            app_id=7, installation_id=42, private_key_pem=self._pem(),
+            base_url=base_url, now_ms=clock.now, **kw,
+        )
+
+    def test_exchange_request_shape_and_cache(self):
+        import json
+
+        clock = Clock(t0=1_700_000_000_000)
+
+        def script(srv):
+            exp = (clock.now() + 3_600_000) // 1000
+            import datetime
+            iso = datetime.datetime.fromtimestamp(exp, datetime.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+            return 201, json.dumps({"token": f"ghs_{srv.calls}", "expires_at": iso}).encode()
+
+        srv, url = self._server(script)
+        try:
+            p = self._provider(url, clock)
+            tok, exp = p.token()
+            assert tok == "ghs_1" and exp > clock.now()
+            assert srv.paths == ["/app/installations/42/access_tokens"]
+            assert srv.auths[0].startswith("Bearer eyJ")  # a signed JWT
+            assert srv.accepts[0] == "application/vnd.github+json"
+            # cached while > 2 min remain
+            assert p.token()[0] == "ghs_1" and srv.calls == 1
+            # < 2 min to expiry -> refresh
+            clock.t += 3_600_000 - 60_000
+            assert p.token()[0] == "ghs_2" and srv.calls == 2
+        finally:
+            srv.shutdown(); srv.server_close()
+
+    def test_double_checked_refresh_single_post(self):
+        import json
+
+        clock = Clock(t0=1_700_000_000_000)
+
+        def script(srv):
+            import time as _t
+            _t.sleep(0.05)  # widen the race window
+            return 200, json.dumps(
+                {"token": f"ghs_{srv.calls}", "expires_at": "2100-01-01T00:00:00Z"}
+            ).encode()
+
+        srv, url = self._server(script)
+        try:
+            p = self._provider(url, clock)
+            results = []
+            threads = [threading.Thread(target=lambda: results.append(p.token()[0])) for _ in range(8)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert srv.calls == 1 and set(results) == {"ghs_1"}
+            assert p.fetch_count == 1
+        finally:
+            srv.shutdown(); srv.server_close()
+
+    def test_error_contract(self):
+        import json
+
+        clock = Clock(t0=1_700_000_000_000)
+        from don_crawler_ray.state.tokens import TokenExchangeError
+
+        for status, body, match in [
+            (500, b"{}", "request failed: 500"),
+            (201, b"not-json", "decode failed"),
+            (201, json.dumps({"token": ""}).encode(), "missing token"),
+            (201, json.dumps({"token": "t", "expires_at": "yesterday"}).encode(), "invalid expires_at"),
+        ]:
+            srv, url = self._server(lambda srv: (status, body))
+            try:
+                with pytest.raises(TokenExchangeError, match=match):
+                    self._provider(url, clock).token()
+            finally:
+                srv.shutdown(); srv.server_close()
+
+    def test_from_env(self):
+        from don_crawler_ray.state.tokens import InstallationTokenProvider
+
+        with pytest.raises(ValueError, match="must all be set"):
+            InstallationTokenProvider.from_env(environ={})
+        p = InstallationTokenProvider.from_env(
+            environ={
+                "GIT_OAUTH_CLIENTID": "7",
+                "GIT_OAUTH_INSTALLATION_ID": "42",
+                "GIT_OAUTH_SECRET": self._pem(),
+            }
+        )
+        assert p._installation_id == 42
