@@ -10822,3 +10822,84 @@ FROM documents
 
 QUERIES.update({"warc_roundtrip": q_warc_roundtrip})
 ORACLE_SQL.update({"warc_roundtrip": SQL_WARC_ROUNDTRIP})
+
+
+def q_warc_headers_roundtrip(sf_dir: str):
+    """Map-typed ``headers`` column (the reference's ``Headers
+    map[string]string``, ``common/repository.go:21``) carried through
+    the WARC sink -> source path: each document writes a resource
+    record with a two-entry headers map (``content-language`` from
+    ``lang``, ``x-source`` from ``source``) riding as ``X-Hdr-*``
+    extension fields; the read surfaces them as an Arrow
+    ``map<string,string>`` column, exploded here to plain
+    ``(doc_id, key, value)`` rows so the SQL oracle compares values
+    exactly. Scale shape: identical to ``warc_roundtrip`` (one archive
+    per write task, per-file parallel read); the explode is a per-batch
+    kernel."""
+    import shutil
+    import tempfile
+
+    from don_crawler_ray.sources.warc import read_warc, write_warc
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+
+    def to_records(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        sources = batch.column("source").to_pylist()
+        return pa.table(
+            {
+                "target_uri": pa.array(
+                    [f"https://corpus.example/doc/{i}" for i in ids], pa.string()
+                ),
+                "warc_date": pa.array(["2026-01-01T00:00:00Z"] * len(ids), pa.string()),
+                "payload": batch.column("text"),
+                "headers": pa.array(
+                    [
+                        [("content-language", lg), ("x-source", sc)]
+                        for lg, sc in zip(langs, sources)
+                    ],
+                    pa.map_(pa.string(), pa.string()),
+                ),
+            }
+        )
+
+    out = tempfile.mkdtemp(prefix="don_warc_hdrs_")
+    try:
+
+        def explode(batch: pa.Table) -> pa.Table:
+            uris = batch.column("target_uri").to_pylist()
+            hdrs = batch.column("headers").to_pylist()
+            doc_ids, keys, values = [], [], []
+            for uri, entries in zip(uris, hdrs):
+                did = int(uri.rsplit("/", 1)[1])
+                for k, v in entries or []:
+                    doc_ids.append(did)
+                    keys.append(k)
+                    values.append(v)
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc_ids, pa.int64()),
+                    "key": pa.array(keys, pa.string()),
+                    "value": pa.array(values, pa.string()),
+                }
+            )
+
+        write_warc(ds.map_batches(to_records, batch_format="pyarrow"), out)
+        result = pa.Table.from_pylist(
+            read_warc(out).map_batches(explode, batch_format="pyarrow").take_all()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return result.sort_by([("doc_id", "ascending"), ("key", "ascending")])
+
+
+SQL_WARC_HEADERS_ROUNDTRIP = """
+SELECT doc_id, 'content-language' AS key, lang AS value FROM documents
+UNION ALL
+SELECT doc_id, 'x-source' AS key, source AS value FROM documents
+ORDER BY doc_id, key
+"""
+
+QUERIES.update({"warc_headers_roundtrip": q_warc_headers_roundtrip})
+ORACLE_SQL.update({"warc_headers_roundtrip": SQL_WARC_HEADERS_ROUNDTRIP})

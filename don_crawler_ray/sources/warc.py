@@ -56,7 +56,26 @@ def _check_header_value(name: str, value: str) -> str:
     return value
 
 
-def record_bytes(target_uri: str, warc_date: str, payload: str) -> bytes:
+_HDR_PREFIX = "X-Hdr-"  # extension-field carrier for the headers map
+_HDR_NAME_OK = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-_."
+)
+
+
+def _check_header_name(name: str) -> str:
+    """Carried header KEYS must be WARC field-name tokens (letters,
+    digits, ``-_.``) — anything else would corrupt the header block."""
+    if not name or not set(name) <= _HDR_NAME_OK:
+        raise ValueError(f"WARC carried header name is not token-safe: {name!r}")
+    return name
+
+
+def record_bytes(
+    target_uri: str,
+    warc_date: str,
+    payload: str,
+    headers: dict[str, str] | None = None,
+) -> bytes:
     """One WARC/1.0 ``resource`` record, deterministic bytes.
 
     ``resource`` (not ``response``) because the payload is extracted
@@ -65,18 +84,30 @@ def record_bytes(target_uri: str, warc_date: str, payload: str) -> bytes:
     ``text/plain`` is profile-valid here (a ``response`` record would
     require ``application/http; msgtype=response``). ``warc_date``
     must be an ISO-8601 UTC string (``YYYY-MM-DDThh:mm:ssZ``) for
-    external WARC tooling; see ``export_crawl_warc``."""
+    external WARC tooling; see ``export_crawl_warc``.
+
+    ``headers`` (the reference's ``Headers map[string]string``,
+    ``common/repository.go:21``) ride as ``X-Hdr-<key>`` extension
+    fields, sorted by key for determinism. Keys round-trip LOWERCASED
+    (WARC/HTTP field names are case-insensitive and the parser folds
+    them); values must be CR/LF-free like every header value."""
     target_uri = _check_header_value("target_uri", target_uri)
     warc_date = _check_header_value("warc_date", warc_date)
     if payload is None:
         raise ValueError(f"WARC payload is null (uri={target_uri!r})")
     body = payload.encode("utf-8")
+    extra = ""
+    for k in sorted(headers or {}):
+        name = _check_header_name(k).lower()
+        val = _check_header_value(f"header {k!r}", headers[k])
+        extra += f"{_HDR_PREFIX}{name}: {val}" + _CRLF
     head = (
         "WARC/1.0" + _CRLF
         + "WARC-Type: resource" + _CRLF
         + f"WARC-Record-ID: {_record_id(target_uri)}" + _CRLF
         + f"WARC-Date: {warc_date}" + _CRLF
         + f"WARC-Target-URI: {target_uri}" + _CRLF
+        + extra
         + "Content-Type: text/plain" + _CRLF
         + f"Content-Length: {len(body)}" + _CRLF
         + _CRLF
@@ -89,13 +120,22 @@ def batch_to_warc_bytes(
     uri_col: str = "target_uri",
     date_col: str = "warc_date",
     payload_col: str = "payload",
+    headers_col: str = "headers",
 ) -> bytes:
+    """Blocks with a ``headers`` column (Arrow ``map<string,string>``)
+    carry it through; blocks without one write plain records."""
+    if headers_col in batch.column_names:
+        # map array -> list of [(k, v), ...] per row (None for null)
+        hdrs = [dict(h) if h else None for h in batch.column(headers_col).to_pylist()]
+    else:
+        hdrs = [None] * batch.num_rows
     parts = [
-        record_bytes(u, d, p)
-        for u, d, p in zip(
+        record_bytes(u, d, p, h)
+        for u, d, p, h in zip(
             batch.column(uri_col).to_pylist(),
             batch.column(date_col).to_pylist(),
             batch.column(payload_col).to_pylist(),
+            hdrs,
         )
     ]
     return b"".join(parts)
@@ -161,21 +201,25 @@ def iter_warc_records(chunks: Iterable[bytes]) -> Iterator[tuple[dict, bytes]]:
             pos = 0
 
 
-def _records_to_table(rows: list[tuple[str, str, str]]) -> pa.Table:
+def _records_to_table(rows: list[tuple[str, str, str, list]]) -> pa.Table:
     return pa.table(
         {
             "target_uri": pa.array([r[0] for r in rows], pa.string()),
             "warc_date": pa.array([r[1] for r in rows], pa.string()),
             "payload": pa.array([r[2] for r in rows], pa.string()),
+            "headers": pa.array(
+                [r[3] for r in rows], pa.map_(pa.string(), pa.string())
+            ),
         }
     )
 
 
-def _response_rows(records: Iterator[tuple[dict, bytes]]) -> Iterator[tuple[str, str, str]]:
+def _response_rows(records: Iterator[tuple[dict, bytes]]) -> Iterator[tuple[str, str, str, list]]:
     """Filter to payload-bearing (``resource`` — our own sink — or
     ``response`` — foreign crawl archives) records with a target URI;
     ``warcinfo`` / ``request`` / ``metadata`` records are skipped, not
-    errors."""
+    errors. The 4th element is the carried-headers map (``X-Hdr-*``
+    extension fields) as sorted ``(key, value)`` pairs."""
     for fields, payload in records:
         if fields.get("warc-type") not in ("resource", "response"):
             continue
@@ -185,6 +229,11 @@ def _response_rows(records: Iterator[tuple[dict, bytes]]) -> Iterator[tuple[str,
             fields["warc-target-uri"],
             fields.get("warc-date", ""),
             payload.decode("utf-8"),
+            sorted(
+                (k[len(_HDR_PREFIX) :], v)
+                for k, v in fields.items()
+                if k.startswith(_HDR_PREFIX.lower())
+            ),
         )
 
 

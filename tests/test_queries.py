@@ -1657,9 +1657,57 @@ class TestWarc:
         ds = ray.data.from_arrow(pa.table(rows)).repartition(4)
         write_warc(ds, str(tmp_path / "w"))
         back = pa.Table.from_pylist(read_warc(str(tmp_path / "w")).take_all())
-        assert back.sort_by("target_uri").to_pydict() == pa.table(rows).sort_by(
-            "target_uri"
-        ).to_pydict()
+        assert back.select(list(rows)).sort_by("target_uri").to_pydict() == pa.table(
+            rows
+        ).sort_by("target_uri").to_pydict()
+        # no headers written -> empty maps back
+        assert all(h == [] for h in back.column("headers").to_pylist())
+
+    def test_headers_map_roundtrip(self, ray_session, tmp_path):
+        """The map<string,string> headers column survives the sink ->
+        source path via X-Hdr-* extension fields (keys lowercased —
+        HTTP field names are case-insensitive)."""
+        import ray
+
+        from don_crawler_ray.sources.warc import read_warc, write_warc
+
+        rows = pa.table(
+            {
+                "target_uri": pa.array([f"https://ex.com/h/{i}" for i in range(9)]),
+                "warc_date": pa.array(["2026-08-18T00:00:00Z"] * 9),
+                "payload": pa.array([f"p{i}" for i in range(9)]),
+                "headers": pa.array(
+                    [[("Content-Language", f"l{i}"), ("x-source", f"s{i}")] for i in range(9)],
+                    pa.map_(pa.string(), pa.string()),
+                ),
+            }
+        )
+        write_warc(ray.data.from_arrow(rows).repartition(3), str(tmp_path / "w"))
+        back = pa.Table.from_pylist(read_warc(str(tmp_path / "w")).take_all())
+        back = back.sort_by("target_uri")
+        got = {
+            u: dict(h)
+            for u, h in zip(
+                back.column("target_uri").to_pylist(), back.column("headers").to_pylist()
+            )
+        }
+        for i in range(9):
+            assert got[f"https://ex.com/h/{i}"] == {
+                "content-language": f"l{i}",
+                "x-source": f"s{i}",
+            }
+
+    def test_header_name_injection_rejected(self):
+        from don_crawler_ray.sources.warc import record_bytes
+
+        with pytest.raises(ValueError, match="token-safe"):
+            record_bytes(
+                "https://x/y", "2026-01-01T00:00:00Z", "p", {"bad: name": "v"}
+            )
+        with pytest.raises(ValueError, match="CR/LF"):
+            record_bytes(
+                "https://x/y", "2026-01-01T00:00:00Z", "p", {"ok-name": "v\r\nInjected: yes"}
+            )
 
     def test_record_bytes_deterministic(self):
         from don_crawler_ray.sources.warc import record_bytes
