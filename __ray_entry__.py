@@ -47,10 +47,16 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    """One entry per implemented operator/pipeline from SURVEY.md §2.
+
+    SQL-oracled entries first (stable registration order), then the
+    crawl-native no-oracle entries — a driver sampling a prefix of the
+    roster always prefers the strongest (value-hash) checks."""
     from don_crawler_ray.pipelines import queries as q
 
-    return q.QUERIES
+    oracled = {k: v for k, v in q.QUERIES.items() if k in q.ORACLE_SQL}
+    rest = {k: v for k, v in q.QUERIES.items() if k not in q.ORACLE_SQL}
+    return {**oracled, **rest}
 
 
 def oracle_sql() -> dict[str, str]:
