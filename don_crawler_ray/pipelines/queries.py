@@ -10903,3 +10903,231 @@ ORDER BY doc_id, key
 
 QUERIES.update({"warc_headers_roundtrip": q_warc_headers_roundtrip})
 ORACLE_SQL.update({"warc_headers_roundtrip": SQL_WARC_HEADERS_ROUNDTRIP})
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication — cluster the embedding space, then prune
+    within-cluster vectors whose cosine similarity to another cluster
+    member exceeds a threshold, keeping one representative per
+    near-duplicate set.
+
+    SQL-checkable contract: vectors are assigned to their nearest
+    label-centroid (the same broadcast IVF codebook as
+    ``embedding_neardup``); within a cluster a vector is REMOVED iff
+    ANY lower-id vector of the same cluster has cosine >= 0.40 with it
+    (deterministic first-wins; the id plays the paper's
+    keep-one-per-group role). Output: every vector with its cluster id
+    and kept flag.
+
+    Scale shape: identical to ``embedding_neardup`` — the codebook is
+    built by distributed partial sums and broadcast; the prune is one
+    numpy matmul per ``groupby(bucket).map_groups`` call. Cluster count
+    grows with data so group sizes stay bounded; never all-pairs across
+    clusters (the paper's design point: within-cluster pairwise only)."""
+    cents = _label_centroids(sf_dir)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch.column("embedding"))
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        best = np.argmax(mn @ cn.T, axis=1)
+        return pa.table(
+            {
+                "vec_id": pc.cast(batch.column("vec_id"), pa.int64()),
+                "embedding": batch.column("embedding"),
+                "bucket": pa.array(best.astype(np.int64)),
+            }
+        )
+
+    THRESH = 0.40  # same near-orthogonal-synthetic threshold as embedding_neardup
+
+    def prune(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _emb_matrix(group.column("embedding"))
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mn = mn[order]
+        sims = mn @ mn.T
+        # removed iff any LOWER-id row in this cluster is >= THRESH
+        removed = np.tril(sims >= THRESH, k=-1).any(axis=1)
+        cid = int(group.column("bucket")[0].as_py())
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cid": pa.array(np.full(len(ids), cid, np.int64)),
+                "kept": pa.array(~removed),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(prune, batch_format="pyarrow")
+    )
+
+
+SQL_SEMDEDUP = f"""
+WITH {_SQL_EMB_DIMS}, {_SQL_EMB_CENTROIDS},
+nd AS (SELECT d.vec_id, d.dim, d.v / vn.vn AS nv
+       FROM d JOIN vnorm vn ON vn.vec_id = d.vec_id),
+assign AS (
+  SELECT nd.vec_id, c.cid,
+         row_number() OVER (
+           PARTITION BY nd.vec_id
+           ORDER BY sum(nd.nv * c.cv / cn.cn) DESC, c.cid ASC
+         ) AS rn
+  FROM nd JOIN cent c ON nd.dim = c.dim JOIN cnorm cn ON cn.cid = c.cid
+  GROUP BY nd.vec_id, c.cid
+),
+bucket AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+cos AS (
+  SELECT a.vec_id AS a, b.vec_id AS b, sum(na.nv * nb.nv) AS cosine
+  FROM bucket a JOIN bucket b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN nd na ON na.vec_id = a.vec_id
+  JOIN nd nb ON nb.vec_id = b.vec_id AND nb.dim = na.dim
+  GROUP BY 1, 2
+)
+SELECT bk.vec_id, bk.cid,
+       NOT EXISTS (SELECT 1 FROM cos
+                   WHERE cos.b = bk.vec_id AND cos.cosine >= 0.40) AS kept
+FROM bucket bk
+"""
+
+QUERIES.update({"semdedup": q_semdedup})
+ORACLE_SQL.update({"semdedup": SQL_SEMDEDUP})
+
+
+def q_ccnet_ppl_buckets(sf_dir: str):
+    """CCNet-style quality bucketing (Wenzek et al., LREC 2020,
+    arXiv:1911.00359): score every document by mean negative
+    log-likelihood under a unigram language model and split each
+    language into head/middle/tail terciles — the curation shape
+    "keep the most-fluent third of the crawl per language".
+
+    The LM here is trained on the corpus itself (the deterministic
+    stand-in for CCNet's fixed pretrained KenLM): one distributed
+    token-count pass with per-batch ``np.unique`` pre-aggregation
+    before the vocab-keyed shuffle, then the (token -> ln p) table is
+    BROADCAST (``ray.put``) and every batch scores via one
+    ``np.searchsorted`` lookup — the corpus is never re-shuffled per
+    doc. At 100 TB the LM is exactly this broadcast artifact (CCNet
+    ships a 64k-vocab model); the count pass caps the vocab upstream.
+
+    SQL-checkable contract: ``nll_e6 = round(1e6 * (-sum ln p(tok)) /
+    n_tok)`` (doubles; fp summation-order error ~1e-10 is far below
+    the 1e-6 grid); ``bucket`` = DuckDB ``ntile(3)`` ordered by
+    ``(nll_e6, doc_id)`` within lang (first ``n % 3`` terciles get the
+    extra row). Zero-token documents are excluded on both sides."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch.column("text").to_pylist():
+            toks.extend(t.split())
+        if not toks:
+            return pa.table({"tok": pa.array([], pa.string()), "c": pa.array([], pa.int64())})
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "tok": pa.array(uniq.tolist(), pa.string()),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cnt = (
+        ds.map_batches(tok_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )  # O(vocab) rows on the driver — the LM artifact, not the corpus
+    vocab = np.asarray([r["tok"] for r in cnt], dtype=object)
+    counts = np.asarray([r["c"] for r in cnt], dtype=np.float64)
+    order = np.argsort(vocab, kind="stable")
+    vocab = vocab[order]
+    logp = np.log(counts[order] / counts.sum())
+
+    import ray
+
+    lm_ref = ray.put((vocab, logp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vb, lp = ray.get(lm_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        langs_np = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        toks: list[str] = []
+        lens = np.empty(len(ids), np.int64)
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            parts = t.split()
+            lens[i] = len(parts)
+            toks.extend(parts)
+        keep = lens > 0
+        lens_k = lens[keep]  # zero-token docs add no tokens, so cumsum
+        # over the kept lengths still lands on the flat-array boundaries
+        if lens_k.size:
+            per_tok = lp[np.searchsorted(vb, np.asarray(toks, dtype=object))]
+            starts = np.r_[0, np.cumsum(lens_k)[:-1]]
+            sums = np.add.reduceat(per_tok, starts)
+            nll = np.rint(-sums / lens_k * 1e6).astype(np.int64)
+        else:
+            nll = np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "lang": pa.array(langs_np[keep].tolist(), pa.string()),
+                "nll_e6": pa.array(nll, pa.int64()),
+            }
+        )
+
+    def terciles(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nll = group.column("nll_e6").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, nll))
+        n = len(ids)
+        sizes = [n // 3 + (1 if i < n % 3 else 0) for i in range(3)]
+        bucket = np.empty(n, np.int64)
+        bucket[order] = np.repeat(np.array([1, 2, 3], np.int64), sizes)
+        lang = group.column("lang")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": lang,
+                "nll_e6": pa.array(nll, pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(terciles, batch_format="pyarrow")
+    )
+
+
+SQL_CCNET_PPL_BUCKETS = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+cnt AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c) AS t FROM cnt),
+doc AS (
+  SELECT tk.doc_id, tk.lang,
+         sum(ln(cnt.c / (SELECT t FROM tot))) AS lp,
+         count(*) AS n
+  FROM toks tk JOIN cnt ON tk.tok = cnt.tok
+  GROUP BY 1, 2),
+s AS (SELECT doc_id, lang,
+             CAST(round(-lp / n * 1000000) AS BIGINT) AS nll_e6 FROM doc)
+SELECT doc_id, lang, nll_e6,
+       CAST(ntile(3) OVER (PARTITION BY lang ORDER BY nll_e6, doc_id) AS BIGINT) AS bucket
+FROM s
+"""
+
+QUERIES.update({"ccnet_ppl_buckets": q_ccnet_ppl_buckets})
+ORACLE_SQL.update({"ccnet_ppl_buckets": SQL_CCNET_PPL_BUCKETS})
