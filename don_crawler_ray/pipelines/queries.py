@@ -11131,3 +11131,154 @@ FROM s
 
 QUERIES.update({"ccnet_ppl_buckets": q_ccnet_ppl_buckets})
 ORACLE_SQL.update({"ccnet_ppl_buckets": SQL_CCNET_PPL_BUCKETS})
+
+DSIR_B = 8192  # hashed-feature buckets (the paper uses 10^4; power of 2 here)
+DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR — Data Selection with Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): score every raw document by the
+    log-importance weight ``ln p_target(x) - ln p_raw(x)`` under
+    bag-of-hashed-bigram unigram-feature models, the standard
+    pretraining-data selection op ("resample the crawl toward the
+    target domain"). Target domain here = the ``lang = 'en'`` slice
+    (deterministic stand-in for the paper's Wikipedia+books target);
+    features = word bigrams hashed with the engine's vectorized FNV-1a
+    kernel into ``DSIR_B`` buckets; both models add-one smoothed.
+
+    Scale shape — NO shuffle anywhere: pass 1 emits per-batch sparse
+    ``(feature, raw_count, target_count)`` cells (<= DSIR_B rows per
+    batch regardless of batch size) merged by two chained
+    coalesced-batch re-sum levels (the CMS fold doctrine); the driver
+    folds O(DSIR_B) cells into the (DSIR_B,) log-ratio vector and
+    BROADCASTS it (``ray.put``) exactly as DSIR ships its fitted
+    models; pass 2 is a pure per-batch map (one FNV pass + one
+    ``np.bincount`` with weights per batch). Integer-exact feature
+    derivation (the minhash oracle's FNV re-derivation), fp error of
+    the per-doc double sum ~1e-13 — far below the 1e-6 output grid."""
+    from don_crawler_ray.functions.dedup import shingle_positions_flat
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        langs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        doc_idx, _pos, h = shingle_positions_flat(texts, k=2, pad=False)
+        if len(h) == 0:
+            return pa.table(
+                {
+                    "f": pa.array([], pa.int64()),
+                    "cr": pa.array([], pa.int64()),
+                    "ct": pa.array([], pa.int64()),
+                }
+            )
+        f = (h % np.uint64(DSIR_B)).astype(np.int64)
+        cr = np.bincount(f, minlength=DSIR_B)
+        is_tgt = (langs == DSIR_TARGET_LANG)[doc_idx]
+        ct = np.bincount(f[is_tgt], minlength=DSIR_B)
+        nz = np.flatnonzero((cr > 0) | (ct > 0))
+        return pa.table(
+            {
+                "f": pa.array(nz.astype(np.int64), pa.int64()),
+                "cr": pa.array(cr[nz].astype(np.int64), pa.int64()),
+                "ct": pa.array(ct[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        f = batch.column("f").to_numpy(zero_copy_only=False).astype(np.int64)
+        cr = np.bincount(f, weights=batch.column("cr").to_numpy(zero_copy_only=False), minlength=DSIR_B)
+        ct = np.bincount(f, weights=batch.column("ct").to_numpy(zero_copy_only=False), minlength=DSIR_B)
+        nz = np.flatnonzero((cr > 0) | (ct > 0))
+        return pa.table(
+            {
+                "f": pa.array(nz.astype(np.int64), pa.int64()),
+                "cr": pa.array(cr[nz].astype(np.int64), pa.int64()),
+                "ct": pa.array(ct[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    cr = np.zeros(DSIR_B, np.float64)
+    ct = np.zeros(DSIR_B, np.float64)
+    for row in (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .take_all()
+    ):
+        cr[int(row["f"])] += row["cr"]
+        ct[int(row["f"])] += row["ct"]
+    t_raw, t_tgt = cr.sum(), ct.sum()
+    # identical expression order to the SQL: ln((ct+1)/(Tt+B)) - ln((cr+1)/(Tr+B))
+    logdiff = np.log((ct + 1.0) / (t_tgt + DSIR_B)) - np.log((cr + 1.0) / (t_raw + DSIR_B))
+
+    import ray
+
+    ld_ref = ray.put(logdiff)
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        ld = ray.get(ld_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch.column("text").to_pylist()
+        doc_idx, _pos, h = shingle_positions_flat(texts, k=2, pad=False)
+        if len(h):
+            f = (h % np.uint64(DSIR_B)).astype(np.int64)
+            lw = np.bincount(doc_idx, weights=ld[f], minlength=len(ids))
+        else:
+            lw = np.zeros(len(ids), np.float64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": batch.column("lang"),
+                "logw_e6": pa.array(np.rint(lw * 1e6).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(weigh, batch_format="pyarrow")
+
+
+def _build_dsir_sql() -> str:
+    """Bit-exact DSIR oracle: re-derives the hashed bigram features
+    with the same FNV-1a-over-"tok1 tok2 " list_reduce the minhash
+    oracle uses, rebuilds both smoothed models in SQL, and sums the
+    identical ln-ratio expression per document."""
+    m64 = 1 << 64
+    fnv_prime, fnv_offset = 1099511628211, 1469598103934665603
+    return f"""
+WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
+pos AS (SELECT doc_id, lang, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 2),
+shstr AS (SELECT doc_id, lang,
+                 coalesce(toks[i], '') || ' ' || coalesce(toks[i+1], '') || ' ' AS s
+          FROM pos),
+feat AS (
+  SELECT doc_id, lang,
+    list_reduce(
+      list_prepend(CAST({fnv_offset} AS UBIGINT),
+        list_transform(regexp_extract_all(s, '.'), c -> CAST(ascii(c) AS UBIGINT))),
+      (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * {fnv_prime}) % {m64} AS UBIGINT)
+    ) % {DSIR_B} AS f
+  FROM shstr
+),
+cr AS (SELECT f, CAST(count(*) AS DOUBLE) AS c FROM feat GROUP BY f),
+ct AS (SELECT f, CAST(count(*) AS DOUBLE) AS c FROM feat WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY f),
+tr AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM feat),
+tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM feat WHERE lang = '{DSIR_TARGET_LANG}'),
+w AS (
+  SELECT feat.doc_id,
+         sum( ln((coalesce(ct.c, 0) + 1) / ((SELECT t FROM tt) + {DSIR_B}))
+            - ln((cr.c + 1) / ((SELECT t FROM tr) + {DSIR_B})) ) AS lw
+  FROM feat JOIN cr ON cr.f = feat.f LEFT JOIN ct ON ct.f = feat.f
+  GROUP BY 1
+)
+SELECT d.doc_id, d.lang,
+       CAST(round(coalesce(w.lw, 0) * 1000000) AS BIGINT) AS logw_e6
+FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+"""
+
+
+SQL_DSIR_WEIGHTS = _build_dsir_sql()
+
+QUERIES.update({"dsir_weights": q_dsir_weights})
+ORACLE_SQL.update({"dsir_weights": SQL_DSIR_WEIGHTS})
