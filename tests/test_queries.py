@@ -1891,3 +1891,54 @@ class TestCombineTreeBounds:
         oh = np.array(sorted((r["hv"], r["cents"]) for r in out))
         ge = np.array(sorted(zip(gh.tolist(), gc.tolist())))
         assert (oh == ge).all()
+
+
+class TestCurationOps:
+    """Invariants of the round-5 curation trio beyond the generic
+    oracle gate (which already pins exact values at sf0.001)."""
+
+    def test_semdedup_first_wins_brute_force(self, ray_session):
+        """Per cluster, kept == greedy 'no lower-id member within
+        threshold' recomputed by brute force on the driver."""
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import QUERIES, _emb_matrix
+
+        out = QUERIES["semdedup"](SF_DIR).to_pandas()
+        emb = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+        m = _emb_matrix(emb.column("embedding"))
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        by_id = dict(zip(emb.column("vec_id").to_pylist(), m))
+        for _, grp in out.groupby("cid"):
+            grp = grp.sort_values("vec_id")
+            ids = grp.vec_id.to_numpy()
+            g = np.stack([by_id[i] for i in ids])
+            sims = g @ g.T
+            expect = ~np.tril(sims >= 0.40, k=-1).any(axis=1)
+            assert (grp.kept.to_numpy() == expect).all()
+
+    def test_ccnet_terciles_balanced_and_ordered(self, ray_session):
+        """Within each language: tercile sizes follow the ntile rule and
+        bucket boundaries respect the (nll_e6, doc_id) order."""
+        from don_crawler_ray.pipelines.queries import QUERIES
+
+        out = QUERIES["ccnet_ppl_buckets"](SF_DIR).to_pandas()
+        assert set(out.bucket.unique()) <= {1, 2, 3}
+        for _, grp in out.groupby("lang"):
+            n = len(grp)
+            sizes = grp.bucket.value_counts().sort_index().to_numpy()
+            expect = [n // 3 + (1 if i < n % 3 else 0) for i in range(3)]
+            assert sizes.tolist() == [s for s in expect if s > 0]
+            g = grp.sort_values(["nll_e6", "doc_id"])
+            assert (np.diff(g.bucket.to_numpy()) >= 0).all()
+
+    def test_dsir_target_language_scores_highest(self, ray_session):
+        """The importance weight must actually select for the target
+        domain: mean log-weight of lang='en' strictly exceeds every
+        other language's mean (the paper's sanity check)."""
+        from don_crawler_ray.pipelines.queries import DSIR_TARGET_LANG, QUERIES
+
+        out = QUERIES["dsir_weights"](SF_DIR).to_pandas()
+        means = out.groupby("lang").logw_e6.mean()
+        tgt = means[DSIR_TARGET_LANG]
+        assert (means.drop(DSIR_TARGET_LANG) < tgt).all()
