@@ -11282,3 +11282,146 @@ SQL_DSIR_WEIGHTS = _build_dsir_sql()
 
 QUERIES.update({"dsir_weights": q_dsir_weights})
 ORACLE_SQL.update({"dsir_weights": SQL_DSIR_WEIGHTS})
+
+BITEXT_SRC_LANG = "en"
+
+
+def q_bitext_mine(sf_dir: str):
+    """Bitext mining (Artetxe & Schwenk 2019, arXiv:1812.10464 — the
+    forward nearest-neighbor retrieval step): for every source-language
+    (``en``) document, find the single highest-cosine document in ANY
+    other language over the shared embedding space — the pipeline that
+    harvests translation pairs from a multilingual crawl. ``vec_id``
+    aligns with ``documents.doc_id`` in the testdata contract.
+
+    Scale shape: the TARGET side streams (never materialized); the
+    source-query block is broadcast once (``ray.put``) — the per-shard
+    unit of the real pipeline, which chunks the query side and repeats
+    (the IVF path, `ann_ivf_topk`, is the sub-linear variant). Each
+    batch computes one (batch x queries) matmul and emits ONE
+    best-candidate row per query; two chained re-max levels (argmax is
+    a semilattice) bound the driver fold to O(queries) rows at any
+    block count. Tiebreak: higher cosine, then lower nn_id — the exact
+    ``row_number()`` order of the oracle."""
+    import ray
+
+    docs = _read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    lang_by_id = dict(
+        zip(docs.column("doc_id").to_pylist(), docs.column("lang").to_pylist())
+    )
+    src_ids = frozenset(i for i, lg in lang_by_id.items() if lg == BITEXT_SRC_LANG)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def pick_src(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.array([int(i) in src_ids for i in ids], dtype=bool)
+        return batch.filter(pa.array(keep))
+
+    src_rows = ds.map_batches(pick_src, batch_format="pyarrow").take_all()
+    q_ids = np.array([int(r["vec_id"]) for r in src_rows], np.int64)
+    order = np.argsort(q_ids, kind="stable")
+    q_ids = q_ids[order]
+    qmat = np.stack([np.asarray(src_rows[i]["embedding"], np.float64) for i in order])
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    q_ref = ray.put((q_ids, qn))
+
+    def partial_best(batch: pa.Table) -> pa.Table:
+        qi, qm = ray.get(q_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.array([int(i) not in src_ids for i in ids], dtype=bool)
+        ids = ids[keep]
+        if not len(ids):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "nn_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        mat = _emb_matrix(batch.filter(pa.array(keep)).column("embedding"))
+        mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        # rows sorted by nn_id asc, so argmax (first max) IS the
+        # (score desc, nn_id asc) winner per query — one vectorized
+        # argmax over the whole (batch x queries) score matrix
+        row_order = np.argsort(ids, kind="stable")
+        ids = ids[row_order]
+        scores = mn[row_order] @ qm.T  # (n_batch, n_queries)
+        best_j = scores.argmax(axis=0)
+        return pa.table(
+            {
+                "doc_id": pa.array(qi.astype(np.int64), pa.int64()),
+                "nn_id": pa.array(ids[best_j], pa.int64()),
+                "score": pa.array(scores[best_j, np.arange(scores.shape[1])], pa.float64()),
+            }
+        )
+
+    def remax(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.column("nn_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch.column("score").to_numpy(zero_copy_only=False)
+        order = np.lexsort((n, -s, d))  # doc asc, score desc, nn asc
+        d, n, s = d[order], n[order], s[order]
+        first = np.ones(len(d), dtype=bool)
+        first[1:] = d[1:] != d[:-1]
+        return pa.table(
+            {
+                "doc_id": pa.array(d[first], pa.int64()),
+                "nn_id": pa.array(n[first], pa.int64()),
+                "score": pa.array(s[first], pa.float64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial_best, batch_format="pyarrow")
+        .map_batches(remax, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(remax, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .take_all()
+    )
+    best: dict[int, tuple[float, int]] = {}
+    for r in rows:
+        key = int(r["doc_id"])
+        cand = (-float(r["score"]), int(r["nn_id"]))
+        if key not in best or cand < best[key]:
+            best[key] = cand
+    out_ids = sorted(best)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "nn_id": pa.array([best[i][1] for i in out_ids], pa.int64()),
+            "nn_lang": pa.array([lang_by_id[best[i][1]] for i in out_ids], pa.string()),
+            "cosine_e6": pa.array(
+                [int(np.rint(-best[i][0] * 1e6)) for i in out_ids], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_BITEXT_MINE = f"""
+WITH {_SQL_EMB_DIMS},
+nd AS (SELECT d.vec_id, d.dim, d.v / vn.vn AS nv
+       FROM d JOIN vnorm vn ON vn.vec_id = d.vec_id),
+lng AS (SELECT doc_id, lang FROM documents),
+src AS (SELECT doc_id FROM lng WHERE lang = '{BITEXT_SRC_LANG}'),
+tgt AS (SELECT doc_id FROM lng WHERE lang <> '{BITEXT_SRC_LANG}'),
+pairs AS (
+  SELECT q.doc_id AS doc_id, t.doc_id AS nn_id, sum(nq.nv * nt.nv) AS cosine
+  FROM src q CROSS JOIN tgt t
+  JOIN nd nq ON nq.vec_id = q.doc_id
+  JOIN nd nt ON nt.vec_id = t.doc_id AND nt.dim = nq.dim
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, nn_id, cosine,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cosine DESC, nn_id ASC) AS rn
+  FROM pairs
+)
+SELECT b.doc_id, b.nn_id, l.lang AS nn_lang,
+       CAST(round(b.cosine * 1000000) AS BIGINT) AS cosine_e6
+FROM best b JOIN lng l ON l.doc_id = b.nn_id
+WHERE b.rn = 1
+"""
+
+QUERIES.update({"bitext_mine": q_bitext_mine})
+ORACLE_SQL.update({"bitext_mine": SQL_BITEXT_MINE})
