@@ -11309,14 +11309,15 @@ def q_bitext_mine(sf_dir: str):
     lang_by_id = dict(
         zip(docs.column("doc_id").to_pylist(), docs.column("lang").to_pylist())
     )
-    src_ids = frozenset(i for i, lg in lang_by_id.items() if lg == BITEXT_SRC_LANG)
+    src_arr = np.sort(
+        np.array([i for i, lg in lang_by_id.items() if lg == BITEXT_SRC_LANG], np.int64)
+    )
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def pick_src(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = np.array([int(i) in src_ids for i in ids], dtype=bool)
-        return batch.filter(pa.array(keep))
+        return batch.filter(pa.array(np.isin(ids, src_arr)))
 
     src_rows = ds.map_batches(pick_src, batch_format="pyarrow").take_all()
     q_ids = np.array([int(r["vec_id"]) for r in src_rows], np.int64)
@@ -11329,7 +11330,7 @@ def q_bitext_mine(sf_dir: str):
     def partial_best(batch: pa.Table) -> pa.Table:
         qi, qm = ray.get(q_ref)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = np.array([int(i) not in src_ids for i in ids], dtype=bool)
+        keep = ~np.isin(ids, src_arr)
         ids = ids[keep]
         if not len(ids):
             return pa.table(
