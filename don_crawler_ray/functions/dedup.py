@@ -380,14 +380,26 @@ def fnv1a64_batch(strings) -> np.ndarray:
     column-parallel FNV kernel."""
     import pyarrow as pa
 
-    if isinstance(strings, (pa.Array, pa.ChunkedArray)):
-        arr = pa.array(strings.to_pylist(), type=pa.large_string())
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if isinstance(strings, pa.Array):
+        # zero-copy widen (string -> large_string shares the data
+        # buffer); the offset-aware slice below handles sliced inputs
+        arr = (
+            strings
+            if pa.types.is_large_string(strings.type)
+            else strings.cast(pa.large_string())
+        )
     else:
         strings = list(strings)
         if not strings:
             return np.empty(0, dtype=np.uint64)
         arr = pa.array(strings, type=pa.large_string())
-    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[: len(arr) + 1]
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
     data_buf = arr.buffers()[2]
     data = (
         np.frombuffer(data_buf, dtype=np.uint8)

@@ -11426,3 +11426,350 @@ WHERE b.rn = 1
 
 QUERIES.update({"bitext_mine": q_bitext_mine})
 ORACLE_SQL.update({"bitext_mine": SQL_BITEXT_MINE})
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (Dolma / CCNet paragraph-hash dedup, re-expressed
+# for the single-line corpus as fixed-K token-segment dedup)
+# ---------------------------------------------------------------------------
+
+PARA_SEG_TOKENS = 8
+_PARA_BUCKETS = 64
+
+
+def _split_token_segments(batch: pa.Table, k: int):
+    """Vectorized doc -> K-token segments: Arrow split_whitespace gives
+    one flat token buffer + offsets; numpy derives the segment
+    boundaries; ``pc.binary_join`` re-joins each segment WITHOUT any
+    per-row Python. Returns (doc_rep_idx, seg_idx, seg StringArray)."""
+    txt = pc.utf8_trim_whitespace(batch.column("text").combine_chunks())
+    toks = pc.utf8_split_whitespace(txt)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    off = np.asarray(toks.offsets, np.int64)
+    vals = toks.values
+    n = np.diff(off)
+    # Arrow's split_whitespace('') yields [''] where str.split() / the
+    # SQL trim-guard yield no tokens: zero out empty-text docs (their
+    # one 0-byte token slot in ``vals`` is simply never referenced)
+    tlen = np.asarray(pc.utf8_length(txt).to_numpy(zero_copy_only=False), np.int64)
+    empty = tlen == 0
+    if empty.any():
+        # a list's extent runs to the NEXT list's offset, so a skipped
+        # phantom slot would be absorbed into the preceding segment:
+        # compact the token buffer to drop empty-doc slots entirely
+        slot_doc = np.repeat(np.arange(len(n), dtype=np.int64), n)
+        vals = vals.filter(pa.array(~empty[slot_doc]))
+        n = np.where(empty, 0, n)
+        off = np.concatenate(([0], np.cumsum(n)))
+    nseg = -(-n // k)  # ceil(n / k); 0 for token-less docs
+    doc_rep = np.repeat(np.arange(len(n), dtype=np.int64), nseg)
+    cum = np.concatenate(([0], np.cumsum(nseg)))
+    seg_idx = np.arange(int(cum[-1]), dtype=np.int64) - np.repeat(cum[:-1], nseg)
+    starts = off[doc_rep] + seg_idx * k
+    new_off = np.append(starts, off[-1]).astype(np.int32)
+    seg_list = pa.ListArray.from_arrays(pa.array(new_off, pa.int32()), vals)
+    segs = pc.binary_join(seg_list, " ")
+    return doc_rep, seg_idx, segs
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """Paragraph-level exact dedup (the Dolma / CCNet paragraph-hash
+    dedup pass, Soldaini et al. 2024 / Wenzek et al. 2020): every doc
+    splits into consecutive ``PARA_SEG_TOKENS``-token segments (the
+    single-line corpus's paragraph analogue); a segment is kept only at
+    its FIRST corpus-wide occurrence (order: doc_id, seg_idx); each doc
+    is rebuilt from its surviving segments. Docs whose every segment
+    was seen earlier vanish entirely — exactly the paragraph-dedup
+    contract.
+
+    Scale shape: two slim bucket exchanges, never all-pairs —
+      1. explode (vectorized: one Arrow split + one binary_join per
+         batch, no Python row loop) -> rows (doc_id, seg_idx, seg,
+         bucket = fnv1a64(seg) %% B);
+      2. per-bucket winners: ONE sort + adjacent-inequality run mask
+         per bucket (every distinct segment hashed there handled in one
+         vectorized pass — the _int_bucket_stage doctrine, not one
+         map_groups call per distinct segment);
+      3. re-bucket winners by doc_id %% B; per-bucket rebuild = one sort
+         + run-length segments + one binary_join.
+    The exchange rows carry the segment text (~K tokens) so the dedup
+    is EXACT (no hash-collision risk); at 100 TB swap the groupby
+    payload for a 128-bit digest + verify pass if exchange width ever
+    dominates."""
+    from don_crawler_ray.functions.dedup import fnv1a64_batch
+
+    k = PARA_SEG_TOKENS
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_rep, seg_idx, segs = _split_token_segments(batch, k)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (fnv1a64_batch(segs) % np.uint64(_PARA_BUCKETS)).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_rep], pa.int64()),
+                "seg_idx": pa.array(seg_idx, pa.int64()),
+                "seg": segs,
+                "_bucket": pa.array(bucket),
+            }
+        )
+
+    def winners(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "seg_idx": pa.array([], pa.int64()),
+                    "seg": pa.array([], pa.string()),
+                    "_b2": pa.array([], pa.int32()),
+                }
+            )
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("seg", "ascending"),
+                ("doc_id", "ascending"),
+                ("seg_idx", "ascending"),
+            ],
+        )
+        g = group.take(idx).combine_chunks()
+        seg = g.column("seg").combine_chunks()
+        first = np.ones(len(seg), dtype=bool)
+        if len(seg) > 1:
+            neq = pc.not_equal(seg.slice(1), seg.slice(0, len(seg) - 1))
+            first[1:] = np.asarray(neq.to_numpy(zero_copy_only=False), dtype=bool)
+        kept = g.filter(pa.array(first))
+        b2 = (
+            kept.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            % _PARA_BUCKETS
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": kept.column("doc_id"),
+                "seg_idx": kept.column("seg_idx"),
+                "seg": kept.column("seg"),
+                "_b2": pa.array(b2),
+            }
+        )
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                    "n_kept": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(
+            group, sort_keys=[("doc_id", "ascending"), ("seg_idx", "ascending")]
+        )
+        g = group.take(idx).combine_chunks()
+        dids = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        _, seg_starts, seg_len = _segments(dids)
+        segs = g.column("seg").combine_chunks()
+        off = np.append(seg_starts, len(dids)).astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(off, pa.int32()), segs)
+        text = pc.binary_join(lst, " ")
+        return pa.table(
+            {
+                "doc_id": pa.array(dids[seg_starts], pa.int64()),
+                "text": text,
+                "n_kept": pa.array(seg_len.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(winners, batch_format="pyarrow")
+        .groupby("_b2")
+        .map_groups(rebuild, batch_format="pyarrow")
+    )
+
+
+SQL_PARAGRAPH_DEDUP = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, u.seg_idx AS seg_idx, u.seg AS seg FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(CAST(ceil(len(toks) / {PARA_SEG_TOKENS}.0) AS BIGINT)),
+             i -> struct_pack(
+               seg_idx := i,
+               seg := array_to_string(
+                 list_slice(toks, i * {PARA_SEG_TOKENS} + 1,
+                            i * {PARA_SEG_TOKENS} + {PARA_SEG_TOKENS}), ' ')))) AS u
+    FROM t WHERE len(toks) > 0)
+),
+ranked AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       string_agg(seg, ' ' ORDER BY seg_idx) AS text,
+       CAST(count(*) AS BIGINT) AS n_kept
+FROM ranked WHERE rn = 1
+GROUP BY doc_id
+"""
+
+QUERIES.update({"paragraph_dedup": q_paragraph_dedup})
+ORACLE_SQL.update({"paragraph_dedup": SQL_PARAGRAPH_DEDUP})
+
+
+# ---------------------------------------------------------------------------
+# token-budget mixture sampling (the Dolma / LLaMA data-recipe
+# rebalancing pass: per-source keep rates derived from a target token
+# mixture, applied with a deterministic hash coin)
+# ---------------------------------------------------------------------------
+
+def _ws_token_counts(col) -> np.ndarray:
+    """Vectorized whitespace-token count per row (Python ``.split()``
+    semantics: empty/whitespace-only rows count 0): one Arrow trim +
+    split per batch, no per-row Python."""
+    txt = pc.utf8_trim_whitespace(
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    )
+    toks = pc.utf8_split_whitespace(txt)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n = np.diff(np.asarray(toks.offsets, np.int64))
+    tlen = np.asarray(pc.utf8_length(txt).to_numpy(zero_copy_only=False), np.int64)
+    return np.where(tlen == 0, 0, n)
+
+
+# target mixture weights (integer so the weight sum is FP-exact on
+# both sides); unnamed sources weigh 1
+MIXTURE_WEIGHTS = {"src0": 3, "src1": 2}
+_MIXTURE_DEFAULT_W = 1
+_MIXTURE_COIN_MOD = 1_000_000
+
+
+def q_mixture_sample(sf_dir: str):
+    """Token-budget mixture sampling (Soldaini et al. 2024 "Dolma" /
+    Touvron et al. 2023 data recipes): pass 1 measures per-source
+    whitespace-token totals; the driver turns the target mixture
+    weights into per-source keep rates
+    ``rate_s = min(1, share_s * grand_total / total_s)`` (sources over
+    their target share are downsampled, under-share sources keep
+    everything — sampling cannot upsample); pass 2 keeps a doc iff
+    ``splitmix64(doc_id) %% 1e6 < floor(rate_s * 1e6)`` — the same
+    deterministic coin the other sampling ops use, reproducible at any
+    parallelism.
+
+    Scale shape: pass 1 is a per-batch Arrow group_by partial + one
+    tiny keyed aggregate (O(sources) rows to the driver); the
+    threshold dict rides into pass 2 inside the task closure
+    (O(sources) ints — below the ray.put broadcast threshold); pass 2
+    is one vectorized filter per batch, zero shuffles. All rate
+    arithmetic is a fixed parenthesization of exact-int -> double
+    conversions, so the SQL oracle reproduces it bit-for-bit."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from don_crawler_ray.functions.dedup import _mix64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        n = _ws_token_counts(batch.column("text"))
+        slim = pa.table(
+            {
+                "source": batch.column("source"),
+                "ws_tokens": pa.array(n, pa.int64()),
+            }
+        )
+        part = slim.group_by(["source"]).aggregate([("ws_tokens", "sum")])
+        return part.rename_columns(["source", "p_t"])
+
+    totals = pa.Table.from_pylist(
+        ds.map_batches(tok_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("p_t", alias_name="t"))
+        .take_all()
+    )
+    srcs = totals.column("source").to_pylist() if totals.num_rows else []
+    ts = [int(x) for x in totals.column("t").to_pylist()] if srcs else []
+    wts = {s: MIXTURE_WEIGHTS.get(s, _MIXTURE_DEFAULT_W) for s in srcs}
+    wsum = sum(wts.values()) or 1
+    grand = sum(ts)
+    thr: dict[str, int] = {}
+    for s, t in zip(srcs, ts):
+        if t == 0:
+            thr[s] = _MIXTURE_COIN_MOD
+        else:
+            rate = min(1.0, (wts[s] / float(wsum)) * (float(grand) / float(t)))
+            thr[s] = math.floor(_MIXTURE_COIN_MOD * rate)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        n = _ws_token_counts(batch.column("text"))
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        coin = (_mix64(doc.astype(np.uint64)) % np.uint64(_MIXTURE_COIN_MOD)).astype(
+            np.int64
+        )
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(src, return_inverse=True)
+        lut = np.array([thr.get(s, _MIXTURE_COIN_MOD) for s in uniq], np.int64)
+        lim = lut[inv]
+        mask = coin < lim
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[mask], pa.int64()),
+                "source": pa.array(src[mask], pa.string()),
+                "ws_tokens": pa.array(n[mask], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _build_mixture_sql() -> str:
+    m64 = 1 << 64
+    c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    mulmod = _sql_mulmod
+    wcase = " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in sorted(MIXTURE_WEIGHTS.items())
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens
+  FROM documents
+),
+tot AS (SELECT source, CAST(sum(ws_tokens) AS BIGINT) AS t FROM tok GROUP BY source),
+w AS (SELECT source, t,
+             CASE source {wcase} ELSE {_MIXTURE_DEFAULT_W} END AS wt
+      FROM tot),
+g AS (SELECT CAST(sum(t) AS BIGINT) AS grand, CAST(sum(wt) AS BIGINT) AS wsum FROM w),
+th AS (SELECT source,
+              CASE WHEN t = 0 THEN {_MIXTURE_COIN_MOD}
+                   ELSE CAST(floor({_MIXTURE_COIN_MOD} * least(
+                     1.0,
+                     (wt / CAST(wsum AS DOUBLE))
+                       * (CAST(grand AS DOUBLE) / CAST(t AS DOUBLE)))) AS BIGINT)
+              END AS thr
+       FROM w, g),
+ma AS (SELECT doc_id, source, ws_tokens,
+       CAST((CAST(doc_id AS HUGEINT) + {c1}) % {m64} AS UBIGINT) AS z FROM tok),
+mb AS (SELECT doc_id, source, ws_tokens, {mulmod('xor(z, z >> 30)', c2)} AS z FROM ma),
+mc AS (SELECT doc_id, source, ws_tokens, {mulmod('xor(z, z >> 27)', c3)} AS z FROM mb),
+md AS (SELECT doc_id, source, ws_tokens, xor(z, z >> 31) AS hv FROM mc)
+SELECT md.doc_id, md.source, CAST(md.ws_tokens AS BIGINT) AS ws_tokens
+FROM md JOIN th ON th.source = md.source
+WHERE CAST(md.hv % {_MIXTURE_COIN_MOD} AS BIGINT) < th.thr
+"""
+
+
+SQL_MIXTURE_SAMPLE = _build_mixture_sql()
+
+QUERIES.update({"mixture_sample": q_mixture_sample})
+ORACLE_SQL.update({"mixture_sample": SQL_MIXTURE_SAMPLE})

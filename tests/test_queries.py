@@ -1942,3 +1942,99 @@ class TestCurationOps:
         means = out.groupby("lang").logw_e6.mean()
         tgt = means[DSIR_TARGET_LANG]
         assert (means.drop(DSIR_TARGET_LANG) < tgt).all()
+
+
+class TestParagraphDedupMixture:
+    """Invariants of the session-3 additions beyond the generic oracle
+    gate (which already pins exact values at sf0.001)."""
+
+    def test_paragraph_dedup_segments_globally_unique(self, ray_session):
+        """Re-splitting every rebuilt doc into PARA_SEG_TOKENS-token
+        chunks must reproduce the kept segments exactly once
+        corpus-wide (each interior segment is a full K-token chunk and
+        only a doc's last segment can be short, so the re-split is
+        boundary-exact)."""
+        from don_crawler_ray.pipelines.queries import PARA_SEG_TOKENS, QUERIES
+
+        out = QUERIES["paragraph_dedup"](SF_DIR).to_pandas()
+        seen: set[str] = set()
+        k = PARA_SEG_TOKENS
+        for _, row in out.iterrows():
+            toks = row.text.split()
+            segs = [" ".join(toks[i : i + k]) for i in range(0, len(toks), k)]
+            assert len(segs) == row.n_kept
+            for s in segs:
+                assert s not in seen, f"segment kept twice: {s!r}"
+                seen.add(s)
+
+    def test_paragraph_dedup_min_doc_survives_whole(self, ray_session):
+        """The minimum doc_id is the first corpus-wide occurrence of all
+        its segments, so it must survive byte-identical (modulo the
+        single-space normalization both sides apply)."""
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import QUERIES
+
+        out = QUERIES["paragraph_dedup"](SF_DIR).to_pandas().set_index("doc_id")
+        docs = pq.read_table(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas().set_index("doc_id")
+        first = docs.index.min()
+        assert " ".join(docs.loc[first, "text"].split()) == out.loc[first, "text"]
+
+    def test_paragraph_dedup_duplicate_doc_vanishes(self, ray_session, tmp_path):
+        """A corpus where doc B repeats doc A's text verbatim must drop
+        B entirely (every segment of B was seen at A)."""
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import QUERIES
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "a b c d e f g h i j",
+                        "a b c d e f g h i j",
+                        "z z2 z3 a b c d e f g h i j",
+                    ]
+                ),
+            }
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+        out = QUERIES["paragraph_dedup"](str(tmp_path)).to_pandas().set_index("doc_id")
+        assert 2 not in out.index  # fully shadowed by doc 1
+        # doc 3: its first segment ('z z2 z3 a b c d e') is novel; its
+        # tail ('f g h i j') differs from doc 1's chunking, so survives
+        assert out.loc[3, "n_kept"] == 2
+        assert out.loc[1, "text"] == "a b c d e f g h i j"
+
+    def test_mixture_sample_respects_weights(self, ray_session):
+        """Over-weighted sources keep everything (rate clamps at 1);
+        every source's kept count is <= its total (sampling never
+        upsamples); kept rows reproduce the deterministic coin."""
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.functions.dedup import _mix64
+        from don_crawler_ray.pipelines.queries import MIXTURE_WEIGHTS, QUERIES
+
+        out = QUERIES["mixture_sample"](SF_DIR).to_pandas()
+        docs = pq.read_table(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "source"]
+        ).to_pandas()
+        totals = docs.groupby("source").size()
+        kept = out.groupby("source").size()
+        for s in MIXTURE_WEIGHTS:
+            assert kept.get(s, 0) == totals[s], f"{s} should keep all docs"
+        assert (kept <= totals[kept.index]).all()
+        assert out.doc_id.is_unique
+        # keep rule is "coin(doc_id) < thr_s", so within every source
+        # the kept coins sit strictly below every dropped coin
+        merged = docs.merge(out[["doc_id"]], on="doc_id", how="left", indicator=True)
+        for _s, grp in merged.groupby("source"):
+            k = (grp._merge == "both").to_numpy()
+            if k.any() and (~k).any():
+                c = _mix64(grp.doc_id.to_numpy().astype(np.uint64)) % np.uint64(
+                    1_000_000
+                )
+                assert c[k].max() < c[~k].min()
