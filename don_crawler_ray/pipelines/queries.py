@@ -65,7 +65,7 @@ def _emb_matrix(col) -> np.ndarray:
     return flat.reshape(n, -1)
 
 
-def _label_centroids(sf_dir: str) -> np.ndarray:
+def _label_centroids(sf_dir: str, return_labels: bool = False):
     """Label centroids (the IVF codebook) via DISTRIBUTED partial sums.
 
     ``map_batches`` emits one ``(label, sum_vec, n)`` row per label per
@@ -104,7 +104,15 @@ def _label_centroids(sf_dir: str) -> np.ndarray:
         else:
             got[0] = got[0] + s
             got[1] += int(row["n"])
-    return np.stack([acc[label][0] / acc[label][1] for label in sorted(acc)])
+    order = sorted(acc)
+    cents = np.stack([acc[label][0] / acc[label][1] for label in order])
+    if return_labels:
+        return (
+            cents,
+            np.asarray(order, np.int64),
+            np.asarray([acc[label][1] for label in order], np.int64),
+        )
+    return cents
 
 
 def _int_bucket_stage(col: str, n_buckets: int = 64):
@@ -11773,3 +11781,151 @@ SQL_MIXTURE_SAMPLE = _build_mixture_sql()
 
 QUERIES.update({"mixture_sample": q_mixture_sample})
 ORACLE_SQL.update({"mixture_sample": SQL_MIXTURE_SAMPLE})
+
+
+# ---------------------------------------------------------------------------
+# embedding outlier flagging (distance-to-own-centroid quality gate —
+# the embedding-space analogue of CLIP-score filtering)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_outliers(sf_dir: str):
+    """Embedding outlier flagging: every vector's squared euclidean
+    distance to its OWN label centroid; the farthest 5% per label
+    (rank rule ``rn <= n_label // 20`` over ``(dist2_e6 DESC, vec_id
+    ASC)``) are flagged — the embedding-space quality gate (drop
+    off-manifold / mislabeled points before training, the CLIP-score
+    filter analogue for this corpus).
+
+    Determinism contract: distances round to ``dist2_e6`` integers
+    (``np.rint`` <-> SQL ``round``, the repo-wide e6 convention) and
+    the flag is a pure integer RANK rule over the unique
+    ``(dist2_e6, vec_id)`` total order — no float threshold can flip
+    between engine and oracle.
+
+    Scale shape: centroids + label counts via ``_label_centroids``
+    distributed partial sums; the per-label cut point is found WITHOUT
+    ranking the full table — each batch emits only its local top
+    ``k_l = n_l // 20`` candidate rows per label, chained
+    ``map_batches`` combine levels re-truncate to ``k_l`` (the
+    mergeable bottom-k semilattice, same doctrine as
+    ``quantile_sketch``), and the driver folds O(sum k_l) rows to ONE
+    (kth_dist, kth_vec) threshold pair per label; the flag pass is one
+    vectorized kernel per batch against the broadcast O(labels)
+    threshold table. No keyed shuffle anywhere."""
+    cents, labels, counts = _label_centroids(sf_dir, return_labels=True)
+    k_per = {int(l): int(n) // 20 for l, n in zip(labels, counts)}
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    def dist_e6(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        lbl = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _emb_matrix(batch.column("embedding"))
+        idx = np.searchsorted(labels, lbl)
+        diff = m - cents[idx]
+        d2 = np.einsum("ij,ij->i", diff, diff)
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return vid, lbl, np.rint(d2 * 1e6).astype(np.int64)
+
+    def _truncate(lbl, e6, vid) -> pa.Table:
+        """Keep each label's local top k_l by (dist2_e6 DESC, vec_id
+        ASC) — one lexsort + run-length segments, no per-label loop."""
+        order = np.lexsort((vid, -e6, lbl))
+        lbl, e6, vid = lbl[order], e6[order], vid[order]
+        _, seg_starts, seg_len = _segments(lbl)
+        pos = np.arange(len(lbl)) - np.repeat(seg_starts, seg_len)
+        kcap = np.array([k_per.get(int(l), 0) for l in lbl[seg_starts]], np.int64)
+        keep = pos < np.repeat(kcap, seg_len)
+        return pa.table(
+            {
+                "label": pa.array(lbl[keep], pa.int64()),
+                "dist2_e6": pa.array(e6[keep], pa.int64()),
+                "vec_id": pa.array(vid[keep], pa.int64()),
+            }
+        )
+
+    def cand_partial(batch: pa.Table) -> pa.Table:
+        vid, lbl, e6 = dist_e6(batch)
+        return _truncate(lbl, e6, vid)
+
+    def cand_combine(batch: pa.Table) -> pa.Table:
+        return _truncate(
+            batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64),
+            batch.column("dist2_e6").to_numpy(zero_copy_only=False).astype(np.int64),
+            batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+
+    cand = ds.map_batches(cand_partial, batch_format="pyarrow")
+    for _ in range(2):  # chained re-truncate levels bound the driver fold
+        cand = cand.map_batches(
+            cand_combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+        )
+    folded = pa.Table.from_pylist(cand.take_all())
+
+    def _col(t: pa.Table, name: str) -> np.ndarray:
+        if t.num_rows == 0:
+            return np.empty(0, np.int64)
+        return t.column(name).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    top = _truncate(
+        _col(folded, "label"), _col(folded, "dist2_e6"), _col(folded, "vec_id")
+    )
+    # per-label cut point = the k_l-th (last kept) candidate
+    tl = top.column("label").to_numpy(zero_copy_only=False)
+    te = top.column("dist2_e6").to_numpy(zero_copy_only=False)
+    tv = top.column("vec_id").to_numpy(zero_copy_only=False)
+    kth: dict[int, tuple[int, int]] = {}
+    if len(tl):
+        _, seg_starts, seg_len = _segments(tl)
+        for s, ln in zip(seg_starts, seg_len):
+            lab = int(tl[s])
+            if ln >= k_per.get(lab, 0) > 0:
+                j = s + k_per[lab] - 1
+                kth[lab] = (int(te[j]), int(tv[j]))
+
+    kd = np.array([kth.get(int(l), (-1, -1))[0] for l in labels], np.int64)
+    kv = np.array([kth.get(int(l), (-1, -1))[1] for l in labels], np.int64)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        vid, lbl, e6 = dist_e6(batch)
+        idx = np.searchsorted(labels, lbl)
+        d, v = kd[idx], kv[idx]
+        out = ((e6 > d) | ((e6 == d) & (vid <= v))).astype(np.int64)
+        out[d < 0] = 0  # labels with n < 20: no outliers
+        return pa.table(
+            {
+                "vec_id": pa.array(vid, pa.int64()),
+                "label": pa.array(lbl, pa.int64()),
+                "dist2_e6": pa.array(e6, pa.int64()),
+                "is_outlier": pa.array(out, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_OUTLIERS = f"""
+WITH {_SQL_EMB_DIMS},
+cl AS (SELECT label, dim, avg(v) AS cv FROM d GROUP BY 1, 2),
+dist AS (
+  SELECT d.vec_id, CAST(d.label AS BIGINT) AS label,
+         CAST(round(sum((d.v - cl.cv) * (d.v - cl.cv)) * 1000000.0) AS BIGINT)
+           AS dist2_e6
+  FROM d JOIN cl ON cl.label = d.label AND cl.dim = d.dim
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT vec_id, label, dist2_e6,
+         row_number() OVER (
+           PARTITION BY label ORDER BY dist2_e6 DESC, vec_id ASC) AS rn,
+         count(*) OVER (PARTITION BY label) AS n
+  FROM dist
+)
+SELECT vec_id, label, dist2_e6,
+       CAST(CASE WHEN rn <= n // 20 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+FROM ranked
+"""
+
+
+QUERIES.update({"embedding_outliers": q_embedding_outliers})
+ORACLE_SQL.update({"embedding_outliers": SQL_EMBEDDING_OUTLIERS})

@@ -2038,3 +2038,43 @@ class TestParagraphDedupMixture:
                     1_000_000
                 )
                 assert c[k].max() < c[~k].min()
+
+
+class TestEmbeddingOutliers:
+    def test_flags_match_brute_force(self, ray_session):
+        """Distances and flags recomputed on the driver from the raw
+        parquet (numpy, same e6 rounding) must agree exactly."""
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import QUERIES, _emb_matrix
+
+        out = (
+            QUERIES["embedding_outliers"](SF_DIR)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        emb = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+        m = _emb_matrix(emb.column("embedding"))
+        lbl = emb.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        vid = emb.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(vid)
+        m, lbl, vid = m[order], lbl[order], vid[order]
+        assert (out.vec_id.to_numpy() == vid).all()
+        for label in np.unique(lbl):
+            sel = lbl == label
+            c = m[sel].mean(axis=0)
+            d2 = ((m[sel] - c) ** 2).sum(axis=1)
+            e6 = np.rint(d2 * 1e6).astype(np.int64)
+            got = out[out.label == label]
+            assert (got.dist2_e6.to_numpy() == e6).all()
+            # top n//20 by (dist2 DESC, vec_id ASC) are the outliers
+            k = len(e6) // 20
+            order = np.lexsort((vid[sel], -e6))
+            expect = np.zeros(len(e6), bool)
+            expect[order[:k]] = True
+            assert (got.is_outlier.to_numpy().astype(bool) == expect).all()
+            assert got.is_outlier.sum() == k
+        # the 5%-per-label rule fires without dominating
+        frac = out.is_outlier.mean()
+        assert 0 < frac < 0.1
