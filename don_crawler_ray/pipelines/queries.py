@@ -11929,3 +11929,87 @@ FROM ranked
 
 QUERIES.update({"embedding_outliers": q_embedding_outliers})
 ORACLE_SQL.update({"embedding_outliers": SQL_EMBEDDING_OUTLIERS})
+
+
+# ---------------------------------------------------------------------------
+# keep-best near-dup resolution (argmax-by-length per cluster — the
+# "keep the best member, not the first" upgrade over neardup_survivors)
+# ---------------------------------------------------------------------------
+
+
+def q_neardup_keep_best(sf_dir: str):
+    """Near-dup KEEP-BEST resolution: within every exact-Jaccard
+    connected component, keep the LONGEST member (``n_chars`` DESC,
+    ``doc_id`` ASC tiebreak) instead of the minimum-id one — the
+    canonical fuzzy-dedup policy when duplicates differ by truncation
+    (keep the fullest copy, e.g. Penedo et al. 2024 RefinedWeb's
+    longest-document rule). Output: one row per document with its
+    component rep, length, and an integer ``kept`` flag.
+
+    Scale shape: rides the memoized converged components
+    (``_dedup_cluster_shards`` — sharded object-store labels); a
+    native Ray Data hash join attaches ``n_chars`` to (doc_id, rep);
+    one 64-way bucket exchange on ``rep`` then resolves EVERY cluster
+    in a bucket with one lexsort + run-length first-of-run mask — no
+    per-cluster Python, no driver materialization. The argmax key is
+    an integer, so no float threshold can diverge from the oracle."""
+    from don_crawler_ray.stages.graph import state_dataset
+
+    node_refs, labels = _dedup_cluster_shards(sf_dir)
+    clusters = state_dataset(node_refs, labels, "doc_id", "rep")
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"]).repartition(4)
+    joined = clusters.repartition(8).join(
+        docs, join_type="inner", num_partitions=8, on=("doc_id",)
+    )
+
+    def winner(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "rep": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "kept": pa.array([], pa.int64()),
+                }
+            )
+        rep = group.column("rep").to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = group.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        did = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((did, -nch, rep))
+        rep, nch, did = rep[order], nch[order], did[order]
+        change, _starts, _len = _segments(rep)
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "rep": pa.array(rep, pa.int64()),
+                "n_chars": pa.array(nch, pa.int64()),
+                "kept": pa.array(change.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(_int_bucket_stage("rep"), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(winner, batch_format="pyarrow")
+    )
+
+
+SQL_NEARDUP_KEEP_BEST = f"""
+WITH j AS (
+  SELECT c.doc_id, c.rep, CAST(d.n_chars AS BIGINT) AS n_chars
+  FROM ({SQL_DEDUP_CLUSTERS}) c JOIN documents d ON d.doc_id = c.doc_id
+),
+r AS (
+  SELECT doc_id, rep, n_chars,
+         row_number() OVER (
+           PARTITION BY rep ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM j
+)
+SELECT doc_id, rep, n_chars,
+       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM r
+"""
+
+QUERIES.update({"neardup_keep_best": q_neardup_keep_best})
+ORACLE_SQL.update({"neardup_keep_best": SQL_NEARDUP_KEEP_BEST})

@@ -2078,3 +2078,25 @@ class TestEmbeddingOutliers:
         # the 5%-per-label rule fires without dominating
         frac = out.is_outlier.mean()
         assert 0 < frac < 0.1
+
+
+class TestNeardupKeepBest:
+    def test_one_winner_per_cluster_and_argmax(self, ray_session):
+        from don_crawler_ray.pipelines.queries import QUERIES
+
+        out = QUERIES["neardup_keep_best"](SF_DIR).to_pandas()
+        clus = QUERIES["dedup_clusters"](SF_DIR).to_pandas()
+        # same component assignment as dedup_clusters
+        assert (
+            out.sort_values("doc_id").rep.to_numpy()
+            == clus.sort_values("doc_id").rep.to_numpy()
+        ).all()
+        for rep, grp in out.groupby("rep"):
+            assert grp.kept.sum() == 1, f"cluster {rep}"
+            g = grp.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+            assert g.iloc[0].kept == 1
+        # singletons keep themselves
+        sizes = out.groupby("rep").size()
+        singles = out[out.rep.isin(sizes[sizes == 1].index)]
+        assert (singles.kept == 1).all()
+        assert (singles.rep == singles.doc_id).all()
