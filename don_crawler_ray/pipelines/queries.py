@@ -12013,3 +12013,387 @@ FROM r
 
 QUERIES.update({"neardup_keep_best": q_neardup_keep_best})
 ORACLE_SQL.update({"neardup_keep_best": SQL_NEARDUP_KEEP_BEST})
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH bucketed ANN + kNN label voting + OOV-rate quality signal
+# ---------------------------------------------------------------------------
+
+_LSH_N_PLANES = 8  # two 4-bit signed-random-projection bands
+_LSH_BAND_BITS = 4
+
+
+def _srp_planes(dim: int = 64) -> np.ndarray:
+    """Deterministic signed-random-projection hyperplanes with small
+    INTEGER entries in {-2..2} (splitmix64 finalizer over the flat
+    plane index), so the SQL oracle can embed them as exact literals —
+    no float-formatting drift between the engine and DuckDB."""
+    from don_crawler_ray.functions.dedup import _mix64
+
+    idx = np.arange(_LSH_N_PLANES * dim, dtype=np.uint64)
+    vals = (_mix64(idx) % np.uint64(5)).astype(np.int64) - 2
+    return vals.reshape(_LSH_N_PLANES, dim).astype(np.float64)
+
+
+def _srp_bands(mat: np.ndarray, planes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two 4-bit LSH band keys per vector: bit_j = (v . h_j >= 0).
+    Signs are computed on the RAW vectors (sign is norm-invariant), so
+    the SQL oracle's ``sum(v*h) >= 0`` agrees bit-for-bit."""
+    bits = (mat @ planes.T) >= 0.0
+    w = 1 << np.arange(_LSH_BAND_BITS, dtype=np.int64)
+    b1 = bits[:, :_LSH_BAND_BITS] @ w
+    b2 = bits[:, _LSH_BAND_BITS:] @ w
+    return b1.astype(np.int64), b2.astype(np.int64)
+
+
+def _ann_final_merge(partials: list[dict], q_ids: np.ndarray) -> pa.Table:
+    """Driver-side final merge shared by the ANN variants: global
+    top-10 per query with (score desc, vec_id) tiebreak, scores
+    quantized to 1e-6 (the SQL-checkable contract — float dots are not
+    bit-reproducible across engines)."""
+    t = pa.Table.from_pylist(partials)
+    out_rows = []
+    for qid in q_ids:
+        sub = t.filter(pc.equal(t.column("query_id"), int(qid)))
+        s = sub.column("score").to_numpy(zero_copy_only=False)
+        v = sub.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -s))[:10]
+        for rank, j in enumerate(order):
+            out_rows.append(
+                {
+                    "query_id": int(qid),
+                    "rank": rank,
+                    "vec_id": int(v[j]),
+                    "score_e6": int(np.rint(s[j] * 1e6)),
+                }
+            )
+    return pa.Table.from_pylist(out_rows)
+
+
+def q_lsh_ann_topk(sf_dir: str):
+    """SRP-LSH bucketed ANN top-10 — the LSH-table scale path next to
+    the IVF one (``ann_ivf_topk``). Each vector gets two 4-bit
+    signed-random-projection band keys; a vector is a candidate for a
+    query iff it collides with the query in EITHER band (classic
+    multi-table LSH OR-amplification). Query signatures are computed
+    once on the driver and broadcast in the batch closure, so the
+    whole search is a broadcast-probe ``map_batches`` — zero shuffles,
+    the right topology when queries << corpus. At 10^10 vectors the
+    same band keys become the shuffle key for a query-heavy workload
+    (groupby(band) like the MinHash LSH family); here per-batch
+    candidate masks + partial top-k + the exact re-truncation tree
+    keep the driver fold at O(queries * 10) rows."""
+    q_ids, qmat = _query_vectors(sf_dir, k=5)
+    planes = _srp_planes(qmat.shape[1])
+    qb1, qb2 = _srp_bands(qmat, planes)
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _emb_matrix(batch.column("embedding"))
+        b1, b2 = _srp_bands(mat, planes)
+        mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            m = np.flatnonzero((b1 == qb1[qi]) | (b2 == qb2[qi]))
+            if m.size == 0:
+                continue
+            s = mn[m] @ qn[qi]
+            order = np.lexsort((ids[m], -s))[:10]
+            sel = m[order]
+            out_q.extend([int(q_ids[qi])] * len(sel))
+            out_v.extend(ids[sel].tolist())
+            out_s.extend(s[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .map_batches(_retopk_by_query, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(_retopk_by_query, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .take_all()
+    )
+    return _ann_final_merge(partials, q_ids)
+
+
+def _srp_planes_sql(dim: int = 64) -> str:
+    pl = _srp_planes(dim).astype(np.int64)
+    rows = ",".join(
+        f"({p},{d + 1},{int(pl[p, d])})"
+        for p in range(pl.shape[0])
+        for d in range(pl.shape[1])
+    )
+    return f"planes(pid, dim, h) AS (VALUES {rows})"
+
+
+SQL_LSH_ANN_TOPK = f"""
+WITH {_SQL_EMB_DIMS},
+{_srp_planes_sql()},
+sig AS (
+  SELECT d.vec_id, p.pid,
+         CASE WHEN sum(d.v * p.h) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM d JOIN planes p ON p.dim = d.dim GROUP BY 1, 2
+),
+bands AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN pid < {_LSH_BAND_BITS} THEN bit * (1 << pid) ELSE 0 END) AS BIGINT) AS b1,
+         CAST(sum(CASE WHEN pid >= {_LSH_BAND_BITS} THEN bit * (1 << (pid - {_LSH_BAND_BITS})) ELSE 0 END) AS BIGINT) AS b2
+  FROM sig GROUP BY 1
+),
+qb AS (SELECT vec_id AS qid, b1, b2 FROM bands WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT qb.qid, b.vec_id
+  FROM qb JOIN bands b ON (b.b1 = qb.b1 OR b.b2 = qb.b2)
+),
+nm AS (SELECT d.vec_id, d.dim, d.v / vn.vn AS nv
+       FROM d JOIN vnorm vn ON vn.vec_id = d.vec_id),
+scores AS (
+  SELECT c.qid AS query_id, c.vec_id, sum(nq.nv * nv2.nv) AS score
+  FROM cand c
+  JOIN nm nq ON nq.vec_id = c.qid
+  JOIN nm nv2 ON nv2.vec_id = c.vec_id AND nv2.dim = nq.dim
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) - 1 AS rank
+  FROM scores
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+       CAST(round(score * 1000000) AS BIGINT) AS score_e6
+FROM ranked WHERE rank < 10
+"""
+
+QUERIES.update({"lsh_ann_topk": q_lsh_ann_topk})
+ORACLE_SQL.update({"lsh_ann_topk": SQL_LSH_ANN_TOPK})
+
+
+def q_knn_classify(sf_dir: str):
+    """kNN label voting (the weak-labeling / quality-classifier step of
+    an embedding curation pipeline): for each query vector (vec_id<5)
+    find its 10 nearest neighbours by cosine EXCLUDING itself, then
+    majority-vote their labels (ties -> smaller label). Same
+    broadcast-probe + exact re-truncation tree as the ANN family; the
+    label ride-along column survives ``Table.take`` so no second
+    lookup join is needed."""
+    q_ids, qmat = _query_vectors(sf_dir, k=5)
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    q_true = {}
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        labels = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _emb_matrix(batch.column("embedding"))
+        mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        out_q, out_v, out_s, out_l = [], [], [], []
+        for qi in range(len(q_ids)):
+            m = np.flatnonzero(ids != int(q_ids[qi]))
+            s = mn[m] @ qn[qi]
+            order = np.lexsort((ids[m], -s))[:10]
+            sel = m[order]
+            out_q.extend([int(q_ids[qi])] * len(sel))
+            out_v.extend(ids[sel].tolist())
+            out_s.extend(s[order].tolist())
+            out_l.extend(labels[sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+                "label": pa.array(out_l, pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .map_batches(_retopk_by_query, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(_retopk_by_query, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .take_all()
+    )
+    t = pa.Table.from_pylist(partials)
+
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(f"{sf_dir}/embeddings.parquet")
+    qt = dset.to_table(columns=["vec_id", "label"], filter=pads.field("vec_id") < 5)
+    for row in qt.to_pylist():
+        q_true[int(row["vec_id"])] = int(row["label"])
+
+    out_rows = []
+    for qid in q_ids:
+        sub = t.filter(pc.equal(t.column("query_id"), int(qid)))
+        s = sub.column("score").to_numpy(zero_copy_only=False)
+        v = sub.column("vec_id").to_numpy(zero_copy_only=False)
+        lab = sub.column("label").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -s))[:10]
+        top_labels = lab[order]
+        uniq, counts = np.unique(top_labels, return_counts=True)
+        best = np.lexsort((uniq, -counts))[0]
+        out_rows.append(
+            {
+                "query_id": int(qid),
+                "pred_label": int(uniq[best]),
+                "votes": int(counts[best]),
+                "true_label": q_true[int(qid)],
+            }
+        )
+    return pa.Table.from_pylist(out_rows)
+
+
+SQL_KNN_CLASSIFY = f"""
+WITH {_SQL_EMB_DIMS},
+nm AS (SELECT d.vec_id, d.label, d.dim, d.v / vn.vn AS nv
+       FROM d JOIN vnorm vn ON vn.vec_id = d.vec_id),
+q AS (SELECT vec_id AS qid, dim, nv FROM nm WHERE vec_id < 5),
+scores AS (
+  SELECT q.qid AS query_id, m.vec_id, sum(m.nv * q.nv) AS score
+  FROM nm m JOIN q ON m.dim = q.dim AND m.vec_id <> q.qid
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scores
+),
+votes AS (
+  SELECT t.query_id, CAST(e.label AS BIGINT) AS label, count(*) AS votes
+  FROM ranked t JOIN embeddings e ON e.vec_id = t.vec_id
+  WHERE t.rn <= 10 GROUP BY 1, 2
+),
+best AS (
+  SELECT query_id, label, votes,
+         row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rn
+  FROM votes
+)
+SELECT b.query_id, b.label AS pred_label, CAST(b.votes AS BIGINT) AS votes,
+       CAST(e.label AS BIGINT) AS true_label
+FROM best b JOIN embeddings e ON e.vec_id = b.query_id
+WHERE b.rn = 1
+"""
+
+QUERIES.update({"knn_classify": q_knn_classify})
+ORACLE_SQL.update({"knn_classify": SQL_KNN_CLASSIFY})
+
+
+# vocab floor: a token is in-vocab iff count * OOV_VOCAB_DENOM >= total
+# tokens (frequency >= 0.2%) — scale-relative, so the same rule holds at
+# every sf and at web scale.
+OOV_VOCAB_DENOM = 500
+
+
+def q_oov_rate(sf_dir: str):
+    """Per-document out-of-vocabulary rate (the tokenizer-fit /
+    gibberish quality signal of an LLM curation pipeline). Pass 1:
+    distributed per-token totals — per-batch Counter partials (one row
+    per DISTINCT token per batch) -> 256-way bucket exchange on the
+    token hash -> per-bucket Arrow group-sum -> driver folds
+    O(distinct-token) rows and derives the frequency-floor vocabulary
+    (at web scale a count-min prefilter — ``cms_tokens`` — would gate
+    which tails reach the exchange; the vocab itself is broadcast-sized
+    by contract). Pass 2: broadcast the vocab as an Arrow value_set and
+    score every doc with one vectorized ``utf8_split_whitespace`` +
+    ``is_in`` + bincount per batch — no shuffle, no Python row loop.
+    ``oov_permille`` is integer floor-division so the SQL contract is
+    exact (no float rounding ties)."""
+    import collections
+
+    from don_crawler_ray.functions.dedup import fnv1a64_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(t.split())
+        toks = list(c.keys())
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "n": pa.array([c[t] for t in toks], pa.int64()),
+                "_bucket": pa.array(
+                    (fnv1a64_batch(toks) % np.uint64(256)).astype(np.int32)
+                ),
+            }
+        )
+
+    def bucket_sum(group: pa.Table) -> pa.Table:
+        return (
+            group.select(["token", "n"])
+            .group_by("token")
+            .aggregate([("n", "sum")])
+            .rename_columns(["token", "n"])
+        )
+
+    totals = (
+        ds.map_batches(tok_partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_sum, batch_format="pyarrow")
+        .take_all()
+    )
+    grand = sum(int(r["n"]) for r in totals)
+    vocab = pa.array(
+        sorted(r["token"] for r in totals if int(r["n"]) * OOV_VOCAB_DENOM >= grand),
+        pa.string(),
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        lists = pc.utf8_split_whitespace(batch.column("text"))
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.num_rows
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        inv = pc.is_in(flat, value_set=vocab).to_numpy(zero_copy_only=False)
+        n_tok = np.bincount(doc_idx, weights=nonempty, minlength=n).astype(np.int64)
+        n_in = np.bincount(
+            doc_idx, weights=(inv & nonempty), minlength=n
+        ).astype(np.int64)
+        n_oov = n_tok - n_in
+        keep = n_tok > 0
+        permille = np.zeros(n, np.int64)
+        permille[keep] = (n_oov[keep] * 1000) // n_tok[keep]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(pa.array(keep)),
+                "n_tok": pa.array(n_tok[keep], pa.int64()),
+                "n_oov": pa.array(n_oov[keep], pa.int64()),
+                "oov_permille": pa.array(permille[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_OOV_RATE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+  FROM documents
+),
+tot AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
+grand AS (SELECT sum(n) AS g FROM tot),
+vocab AS (SELECT token FROM tot, grand WHERE n * {OOV_VOCAB_DENOM} >= g),
+per AS (
+  SELECT t.doc_id, count(*) AS n_tok,
+         count(CASE WHEN v.token IS NULL THEN 1 END) AS n_oov
+  FROM toks t LEFT JOIN vocab v ON v.token = t.token
+  GROUP BY 1
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, CAST(n_oov AS BIGINT) AS n_oov,
+       CAST((n_oov * 1000) // n_tok AS BIGINT) AS oov_permille
+FROM per
+"""
+
+QUERIES.update({"oov_rate": q_oov_rate})
+ORACLE_SQL.update({"oov_rate": SQL_OOV_RATE})

@@ -2100,3 +2100,107 @@ class TestNeardupKeepBest:
         singles = out[out.rep.isin(sizes[sizes == 1].index)]
         assert (singles.kept == 1).all()
         assert (singles.rep == singles.doc_id).all()
+
+
+class TestLshKnnOov:
+    """Invariants of the session-4 additions (SRP-LSH ANN, kNN label
+    voting, OOV rate) beyond the generic oracle gate."""
+
+    def test_lsh_hits_actually_collide_and_scores_exact(self, ray_session):
+        """Every returned (query, vec) pair collides in band1 OR band2,
+        the self-hit sits at rank 0 with score 1.0, and each quantized
+        score equals the brute-force cosine."""
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import (
+            QUERIES,
+            _emb_matrix,
+            _srp_bands,
+            _srp_planes,
+        )
+
+        out = QUERIES["lsh_ann_topk"](SF_DIR).to_pandas()
+        emb = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+        ids = np.asarray(emb.column("vec_id").to_pylist(), np.int64)
+        mat = _emb_matrix(emb.column("embedding"))
+        b1, b2 = _srp_bands(mat, _srp_planes(mat.shape[1]))
+        mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        pos = {int(v): i for i, v in enumerate(ids)}
+        for row in out.itertuples():
+            qi, vi = pos[row.query_id], pos[row.vec_id]
+            assert b1[qi] == b1[vi] or b2[qi] == b2[vi]
+            assert row.score_e6 == int(np.rint(float(mn[vi] @ mn[qi]) * 1e6))
+        rank0 = out[out["rank"] == 0]
+        assert (rank0.vec_id.to_numpy() == rank0.query_id.to_numpy()).all()
+        assert (rank0.score_e6.to_numpy() == 1_000_000).all()
+        for _, grp in out.groupby("query_id"):
+            g = grp.sort_values("rank")
+            assert (np.diff(g.score_e6.to_numpy()) <= 0).all()
+
+    def test_lsh_is_subset_of_brute_force_candidates(self, ray_session):
+        """LSH top-10 scores can never beat the brute-force top-10 at
+        the same rank (the candidate set is a subset of the corpus)."""
+        from don_crawler_ray.pipelines.queries import QUERIES
+
+        lsh = QUERIES["lsh_ann_topk"](SF_DIR).to_pandas()
+        full = QUERIES["ann_topk"](SF_DIR).to_pandas()
+        for qid in lsh.query_id.unique():
+            ls = lsh[lsh.query_id == qid].sort_values("rank").score_e6.to_numpy()
+            fs = full[full.query_id == qid].sort_values("rank").score_e6.to_numpy()
+            assert (ls <= fs[: len(ls)] + 1).all()  # +1 for e6 rounding
+
+    def test_knn_majority_matches_brute_force(self, ray_session):
+        """pred_label == majority label of the true 10 nearest
+        neighbours (self excluded), recomputed on the driver."""
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import QUERIES, _emb_matrix
+
+        out = QUERIES["knn_classify"](SF_DIR).to_pandas()
+        emb = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+        ids = np.asarray(emb.column("vec_id").to_pylist(), np.int64)
+        labels = np.asarray(emb.column("label").to_pylist(), np.int64)
+        mat = _emb_matrix(emb.column("embedding"))
+        mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        assert len(out) == 5
+        for row in out.itertuples():
+            qi = int(np.flatnonzero(ids == row.query_id)[0])
+            s = mn @ mn[qi]
+            m = np.flatnonzero(ids != row.query_id)
+            order = m[np.lexsort((ids[m], -s[m]))[:10]]
+            uniq, counts = np.unique(labels[order], return_counts=True)
+            best = np.lexsort((uniq, -counts))[0]
+            assert row.pred_label == uniq[best]
+            assert row.votes == counts[best]
+            assert row.true_label == labels[qi]
+
+    def test_oov_rate_bounds_and_totals(self, ray_session):
+        """n_oov <= n_tok per doc; corpus token total matches a driver
+        recount; permille is exact floor division; and the one rare
+        token ('dup'-class, freq < 0.2%) is the only OOV source."""
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import OOV_VOCAB_DENOM, QUERIES
+
+        out = QUERIES["oov_rate"](SF_DIR).to_pandas()
+        assert (out.n_oov <= out.n_tok).all()
+        assert (out.oov_permille == (out.n_oov * 1000) // out.n_tok).all()
+
+        docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        import collections
+
+        c: collections.Counter = collections.Counter()
+        texts = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
+        for t in texts.values():
+            c.update(t.split())
+        grand = sum(c.values())
+        assert out.n_tok.sum() == grand
+        vocab = {t for t, n in c.items() if n * OOV_VOCAB_DENOM >= grand}
+        by_id = out.set_index("doc_id")
+        for doc_id, text in list(texts.items())[:50]:
+            toks = text.split()
+            if not toks:
+                assert doc_id not in by_id.index
+                continue
+            expect = sum(1 for t in toks if t not in vocab)
+            assert by_id.loc[doc_id, "n_oov"] == expect
