@@ -12397,3 +12397,418 @@ FROM per
 
 QUERIES.update({"oov_rate": q_oov_rate})
 ORACLE_SQL.update({"oov_rate": SQL_OOV_RATE})
+
+
+# ---------------------------------------------------------------------------
+# Hashed-linear quality classifier (fastText / HashingVectorizer pattern)
+# ---------------------------------------------------------------------------
+
+FASTTEXT_BUCKETS = 4096  # hashed feature space (2^12)
+FASTTEXT_WMOD = 17  # weights in [-8..8]
+
+
+def _fasttext_weights() -> np.ndarray:
+    """The model: one deterministic integer weight per hash bucket,
+    w[b] = splitmix64(b) % 17 - 8 in [-8, 8]. Derived, not stored —
+    the HashingVectorizer trick means batched inference ships ZERO
+    model state (32 KiB recomputed in the closure), and the SQL oracle
+    re-derives the same weights from the bucket id."""
+    from don_crawler_ray.functions.dedup import _mix64
+
+    b = np.arange(FASTTEXT_BUCKETS, dtype=np.uint64)
+    return (_mix64(b) % np.uint64(FASTTEXT_WMOD)).astype(np.int64) - 8
+
+
+def q_fasttext_quality(sf_dir: str):
+    """Batched linear-model inference — the fastText-style quality
+    classifier step of a web-curation pipeline (CCNet/RefinedWeb keep
+    a doc iff a linear classifier over hashed n-gram features scores
+    it past a threshold). Features are hashed BIGRAMS (FNV-1a of
+    ``"tok1 tok2 "`` % 4096, the engine-wide gram contract); weights
+    are derived from the bucket id (see ``_fasttext_weights``), score
+    is the integer sum over bigram OCCURRENCES, label = score > 0.
+
+    Ray shape: ONE zero-shuffle ``map_batches`` pass; per batch the
+    token explode, bigram join, FNV hash, weight gather and per-doc
+    bincount are all Arrow/numpy kernels — no Python row loop, no
+    model broadcast (weights are a 32 KiB closure constant). This is
+    the template for any embarrassingly-parallel scoring stage at
+    100 TB: stateless, vectorized, scales with input blocks only."""
+    from don_crawler_ray.functions.dedup import _mix64, fnv1a64_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        lists = pc.utf8_split_whitespace(batch.column("text"))
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.num_rows
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        doc_idx = doc_idx[nonempty]
+        scores = np.zeros(n, np.int64)
+        n_big = np.zeros(n, np.int64)
+        if len(flat) >= 2:
+            valid = doc_idx[:-1] == doc_idx[1:]
+            grams = pc.binary_join_element_wise(
+                flat.slice(0, len(flat) - 1), flat.slice(1), "", " "
+            )
+            h = fnv1a64_batch(grams)
+            bucket = (h % np.uint64(FASTTEXT_BUCKETS)).astype(np.uint64)
+            w = (_mix64(bucket) % np.uint64(FASTTEXT_WMOD)).astype(np.int64) - 8
+            d = doc_idx[:-1][valid]
+            scores = np.bincount(d, weights=w[valid], minlength=n).astype(np.int64)
+            n_big = np.bincount(d, minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bigrams": pa.array(n_big, pa.int64()),
+                "score": pa.array(scores, pa.int64()),
+                "label": pa.array((scores > 0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _build_fasttext_sql() -> str:
+    fnv_prime, fnv_offset = 1099511628211, 1469598103934665603
+    m64 = 1 << 64
+    c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    mulmod = _sql_mulmod
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+  FROM t WHERE len(toks) >= 2
+),
+sh AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' AS s FROM pos),
+h AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(CAST({fnv_offset} AS UBIGINT),
+        list_transform(regexp_extract_all(s, '.'), c -> CAST(ascii(c) AS UBIGINT))),
+      (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * {fnv_prime}) % {m64} AS UBIGINT)
+    ) AS hv
+  FROM sh
+),
+bk AS (SELECT doc_id, hv % {FASTTEXT_BUCKETS} AS b FROM h),
+ma AS (SELECT doc_id, CAST((CAST(b AS HUGEINT) + {c1}) % {m64} AS UBIGINT) AS z FROM bk),
+mb AS (SELECT doc_id, {mulmod('xor(z, z >> 30)', c2)} AS z FROM ma),
+mc AS (SELECT doc_id, {mulmod('xor(z, z >> 27)', c3)} AS z FROM mb),
+md AS (SELECT doc_id, CAST(xor(z, z >> 31) % {FASTTEXT_WMOD} AS BIGINT) - 8 AS w FROM mc),
+per AS (SELECT doc_id, count(*) AS n_bigrams, sum(w) AS score FROM md GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(p.score, 0) AS BIGINT) AS score,
+       CAST(CASE WHEN coalesce(p.score, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+SQL_FASTTEXT_QUALITY = _build_fasttext_sql()
+
+QUERIES.update({"fasttext_quality": q_fasttext_quality})
+ORACLE_SQL.update({"fasttext_quality": SQL_FASTTEXT_QUALITY})
+
+
+# ---------------------------------------------------------------------------
+# Calendar-day activity streaks (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+
+def q_user_streaks(sf_dir: str):
+    """Per-user longest consecutive-calendar-day activity streak — the
+    gaps-and-islands engagement metric (SQL idiom: day minus
+    row_number is constant within an island). Distinct (user, day)
+    partials per batch -> 256-way bucket exchange on ``user_id`` (each
+    user's full day set lands in ONE group, the partition-ownership
+    contract) -> per-group global dedup + one vectorized islands pass:
+    sort by (user, day), an island starts where the user changes or
+    the day gap isn't 1, per-island lengths by segment subtraction,
+    per-user max via ``np.maximum.at``. All integer (epoch-day
+    numbers), so exact at any parallelism. Exchange volume is
+    O(distinct user-days) of 12 B rows — at web scale the per-batch
+    distinct already collapses the event multiplicity."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        day = ts.astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+        order = np.lexsort((day, uid))
+        su, sd = uid[order], day[order]
+        keep = np.ones(len(su), dtype=bool)
+        keep[1:] = (su[1:] != su[:-1]) | (sd[1:] != sd[:-1])
+        first = order[keep]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[first], pa.int64()),
+                "day": pa.array(day[first], pa.int64()),
+                "_bucket": pa.array((uid[first] % 256).astype(np.int32)),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("user_id", "ascending"), ("day", "ascending")]
+            )
+        )
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        day = g.column("day").to_numpy(zero_copy_only=False)
+        n = len(uid)
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])
+        uid, day = uid[keep], day[keep]
+        n = len(uid)
+        new_island = np.ones(n, dtype=bool)
+        new_island[1:] = (uid[1:] != uid[:-1]) | (day[1:] - day[:-1] != 1)
+        starts = np.flatnonzero(new_island)
+        lengths = np.diff(np.append(starts, n))
+        users, inv = np.unique(uid[starts], return_inverse=True)
+        longest = np.zeros(len(users), np.int64)
+        np.maximum.at(longest, inv, lengths)
+        active = np.bincount(inv, weights=lengths, minlength=len(users)).astype(np.int64)
+        n_str = np.bincount(inv, minlength=len(users)).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "active_days": pa.array(active, pa.int64()),
+                "longest_streak": pa.array(longest, pa.int64()),
+                "n_streaks": pa.array(n_str, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+        .select_columns(["user_id", "active_days", "longest_streak", "n_streaks"])
+    )
+
+
+SQL_USER_STREAKS = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS day
+  FROM events
+),
+g AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS anchor
+  FROM d
+),
+runs AS (SELECT user_id, anchor, count(*) AS len FROM g GROUP BY 1, 2)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS active_days,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM runs GROUP BY 1
+"""
+
+QUERIES.update({"user_streaks": q_user_streaks})
+ORACLE_SQL.update({"user_streaks": SQL_USER_STREAKS})
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (Okapi, rational-idf variant)
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_NTERMS = 5
+
+
+def _bm25_stats(sf_dir: str):
+    """Distributed corpus statistics for BM25: one pass emits per-batch
+    (token, tf, df) partials (tf with multiplicity, df distinct-doc),
+    256-way token-hash bucket exchange, per-bucket Arrow group-sum;
+    the driver folds O(vocabulary) rows. Returns (n_docs, grand_tokens,
+    [(term, df)] for the top-``BM25_NTERMS`` terms by (df desc, term))."""
+    import collections
+
+    from don_crawler_ray.functions.dedup import fnv1a64_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tf: collections.Counter = collections.Counter()
+        df: collections.Counter = collections.Counter()
+        for t in batch.column("text").to_pylist():
+            toks = t.split()
+            tf.update(toks)
+            df.update(set(toks))
+        keys = list(tf.keys())
+        return pa.table(
+            {
+                "token": pa.array(keys, pa.string()),
+                "tf": pa.array([tf[k] for k in keys], pa.int64()),
+                "df": pa.array([df[k] for k in keys], pa.int64()),
+                "_bucket": pa.array(
+                    (fnv1a64_batch(keys) % np.uint64(256)).astype(np.int32)
+                ),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(["token", "tf", "df"])
+            .group_by("token")
+            .aggregate([("tf", "sum"), ("df", "sum")])
+        )
+        return g.rename_columns(["token", "tf", "df"])
+
+    rows = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pyarrow")
+        .take_all()
+    )
+    grand = sum(int(r["tf"]) for r in rows)
+    top = sorted(rows, key=lambda r: (-int(r["df"]), r["token"]))[:BM25_NTERMS]
+    return n_docs, grand, [(r["token"], int(r["df"])) for r in top]
+
+
+def q_bm25_topk(sf_dir: str):
+    """Okapi BM25 top-10 docs per query term (k1=1.2, b=0.75) with the
+    RATIONAL idf ``(N - df + 0.5) / (df + 0.5)`` — no log, so every
+    score is one fixed-shape double expression over exact integers and
+    the DuckDB oracle reproduces it bit for bit (same reason
+    ``tfidf_topk`` uses linear idf). Query terms are the top-5 tokens
+    by document frequency, found by the same distributed stats pass.
+
+    Ray shape: stats pass (see ``_bm25_stats``) -> per-batch vectorized
+    scoring (one Arrow ``equal`` + bincount per term — terms are a
+    broadcast-sized closure constant) with per-batch top-10 partials ->
+    two chained re-truncation tree levels -> O(terms * 10) driver
+    merge. No full-corpus shuffle anywhere; at open vocabulary the
+    stats fold keeps only the head (the tail can't enter a df top-k)."""
+    n_docs, grand, terms = _bm25_stats(sf_dir)
+    avgdl = grand / n_docs
+    term_names = [t for t, _ in terms]
+    idf = {t: (n_docs - df + 0.5) / (df + 0.5) for t, df in terms}
+    dfs = dict(terms)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = pc.utf8_split_whitespace(batch.column("text"))
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.num_rows
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        dl = np.bincount(doc_idx, weights=nonempty, minlength=n).astype(np.int64)
+        out = {"query_id": [], "vec_id": [], "score": [], "tf": [], "dl": []}
+        for qi, term in enumerate(term_names):
+            hit = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            tf = np.bincount(doc_idx, weights=hit, minlength=n).astype(np.int64)
+            m = np.flatnonzero(tf > 0)
+            if m.size == 0:
+                continue
+            s = (idf[term] * (tf[m] * (BM25_K1 + 1.0))) / (
+                tf[m] + BM25_K1 * ((1.0 - BM25_B) + BM25_B * (dl[m] / avgdl))
+            )
+            order = np.lexsort((ids[m], -s))[:10]
+            sel = m[order]
+            out["query_id"].extend([qi] * len(sel))
+            out["vec_id"].extend(ids[sel].tolist())
+            out["score"].extend(s[order].tolist())
+            out["tf"].extend(tf[sel].tolist())
+            out["dl"].extend(dl[sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "vec_id": pa.array(out["vec_id"], pa.int64()),
+                "score": pa.array(out["score"], pa.float64()),
+                "tf": pa.array(out["tf"], pa.int64()),
+                "dl": pa.array(out["dl"], pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .map_batches(_retopk_by_query, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(_retopk_by_query, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .take_all()
+    )
+    t = pa.Table.from_pylist(partials)
+    out_rows = []
+    for qi, term in enumerate(term_names):
+        sub = t.filter(pc.equal(t.column("query_id"), qi)) if t.num_rows else t
+        if t.num_rows == 0 or sub.num_rows == 0:
+            continue
+        s = sub.column("score").to_numpy(zero_copy_only=False)
+        v = sub.column("vec_id").to_numpy(zero_copy_only=False)
+        tf = sub.column("tf").to_numpy(zero_copy_only=False)
+        dl = sub.column("dl").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -s))[:10]
+        for rank, j in enumerate(order):
+            out_rows.append(
+                {
+                    "term": term,
+                    "rank": rank,
+                    "doc_id": int(v[j]),
+                    "tf": int(tf[j]),
+                    "dl": int(dl[j]),
+                    "df": dfs[term],
+                    "score_e6": int(np.rint(s[j] * 1e6)),
+                }
+            )
+    return pa.Table.from_pylist(out_rows)
+
+
+SQL_BM25_TOPK = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+stats AS (
+  SELECT token, count(*) AS tf_total, count(DISTINCT doc_id) AS df
+  FROM tok GROUP BY 1
+),
+avgdl AS (SELECT CAST(sum(tf_total) AS DOUBLE) / (SELECT n_docs FROM n) AS v FROM stats),
+terms AS (
+  SELECT token, df FROM stats ORDER BY df DESC, token ASC LIMIT {BM25_NTERMS}
+),
+dls AS (SELECT doc_id, len(toks) AS dl FROM t),
+tfs AS (
+  SELECT k.doc_id, q.token, q.df, count(*) AS tf
+  FROM tok k JOIN terms q USING (token)
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT f.token AS term, f.doc_id, f.tf, d.dl, f.df,
+         (((((SELECT n_docs FROM n) - f.df) + 0.5) / (f.df + 0.5))
+            * (f.tf * ({BM25_K1} + 1.0)))
+         / (f.tf + {BM25_K1} * ((1.0 - {BM25_B}) + {BM25_B} * (CAST(d.dl AS DOUBLE) / (SELECT v FROM avgdl)))) AS score
+  FROM tfs f JOIN dls d USING (doc_id)
+),
+ranked AS (
+  SELECT term, doc_id, tf, dl, df, score,
+         row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id ASC) - 1 AS rank
+  FROM scored
+)
+SELECT term, CAST(rank AS BIGINT) AS rank, doc_id,
+       CAST(tf AS BIGINT) AS tf, CAST(dl AS BIGINT) AS dl, CAST(df AS BIGINT) AS df,
+       CAST(round(score * 1000000) AS BIGINT) AS score_e6
+FROM ranked WHERE rank < 10
+"""
+
+QUERIES.update({"bm25_topk": q_bm25_topk})
+ORACLE_SQL.update({"bm25_topk": SQL_BM25_TOPK})

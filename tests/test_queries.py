@@ -2204,3 +2204,91 @@ class TestLshKnnOov:
                 continue
             expect = sum(1 for t in toks if t not in vocab)
             assert by_id.loc[doc_id, "n_oov"] == expect
+
+
+class TestFasttextStreaksBm25:
+    """Invariants of the hashed-linear classifier, streaks, and BM25
+    operators beyond the generic oracle gate."""
+
+    def test_fasttext_score_recomputed(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.functions.dedup import _mix64, fnv1a64
+        from don_crawler_ray.pipelines.queries import (
+            FASTTEXT_BUCKETS,
+            FASTTEXT_WMOD,
+            QUERIES,
+        )
+
+        out = QUERIES["fasttext_quality"](SF_DIR).to_pandas().set_index("doc_id")
+        docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        texts = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
+        assert len(out) == len(texts)
+        for doc_id, text in list(texts.items())[:40]:
+            toks = text.split()
+            score = 0
+            for a, b in zip(toks, toks[1:]):
+                bucket = fnv1a64(f"{a} {b} ") % FASTTEXT_BUCKETS
+                w = int(_mix64(np.array([bucket], np.uint64))[0] % np.uint64(FASTTEXT_WMOD)) - 8
+                score += w
+            row = out.loc[doc_id]
+            assert row.score == score
+            assert row.n_bigrams == max(0, len(toks) - 1)
+            assert row.label == (1 if score > 0 else 0)
+
+    def test_user_streaks_recomputed(self, ray_session):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import QUERIES
+
+        out = QUERIES["user_streaks"](SF_DIR).to_pandas().set_index("user_id")
+        ev = pq.read_table(f"{SF_DIR}/events.parquet", columns=["user_id", "ts"]).to_pandas()
+        ev["day"] = (ev.ts.values.astype("datetime64[D]").astype(np.int64))
+        assert (out.longest_streak <= out.active_days).all()
+        assert (out.n_streaks >= 1).all()
+        for uid, grp in list(ev.groupby("user_id"))[:40]:
+            days = np.unique(grp.day.to_numpy())
+            runs = np.split(days, np.flatnonzero(np.diff(days) != 1) + 1)
+            row = out.loc[uid]
+            assert row.active_days == len(days)
+            assert row.longest_streak == max(len(r) for r in runs)
+            assert row.n_streaks == len(runs)
+
+    def test_bm25_terms_and_scores(self, ray_session):
+        import collections
+
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import BM25_B, BM25_K1, QUERIES
+
+        out = QUERIES["bm25_topk"](SF_DIR).to_pandas()
+        docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        texts = docs.column("text").to_pylist()
+        n_docs = len(texts)
+        df: collections.Counter = collections.Counter()
+        grand = 0
+        for t in texts:
+            toks = t.split()
+            grand += len(toks)
+            df.update(set(toks))
+        top5 = sorted(df, key=lambda k: (-df[k], k))[:5]
+        assert sorted(out.term.unique()) == sorted(top5)
+        avgdl = grand / n_docs
+        dls = {int(i): len(t.split()) for i, t in zip(docs.column("doc_id").to_pylist(), texts)}
+        tfs = {
+            int(i): collections.Counter(t.split())
+            for i, t in zip(docs.column("doc_id").to_pylist(), texts)
+        }
+        for row in out.itertuples():
+            tf = tfs[row.doc_id][row.term]
+            assert tf == row.tf and dls[row.doc_id] == row.dl and df[row.term] == row.df
+            idf = (n_docs - row.df + 0.5) / (row.df + 0.5)
+            s = (idf * (tf * (BM25_K1 + 1.0))) / (
+                tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * (row.dl / avgdl))
+            )
+            assert row.score_e6 == int(np.rint(s * 1e6))
+        for _, grp in out.groupby("term"):
+            g = grp.sort_values("rank")
+            assert (np.diff(g.score_e6.to_numpy()) <= 0).all()
+            assert list(g["rank"]) == list(range(len(g)))
