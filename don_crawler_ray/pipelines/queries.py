@@ -12812,3 +12812,319 @@ FROM ranked WHERE rank < 10
 
 QUERIES.update({"bm25_topk": q_bm25_topk})
 ORACLE_SQL.update({"bm25_topk": SQL_BM25_TOPK})
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / local clustering coefficient (part co-purchase graph)
+# ---------------------------------------------------------------------------
+
+
+def q_triangle_count(sf_dir: str):
+    """Per-node triangle count and local clustering coefficient over
+    the part co-purchase graph (parts are adjacent iff some order
+    contains both) — the compact-forward / MapReduce "wedge check"
+    algorithm (Cohen 2009): orient every edge low-id -> high-id, emit
+    each node's out-neighbour pairs as wedges, and a wedge (u, v) is a
+    triangle iff (u, v) is itself an edge.
+
+    Ray shape, four bucketed exchanges and NO driver state:
+      1. (order, part) partials -> order-bucket groupby -> per-order
+         sorted-distinct parts -> oriented pair rows (vectorized
+         ``np.triu_indices`` per segment; baskets are small).
+      2. pair-hash bucket groupby -> exact distinct edge set
+         (materialized once — O(edges) object-store state, reused by
+         both consumers below), plus per-bucket degree partials.
+      3. src-bucket groupby -> wedge rows (a; w1 < w2) per out-
+         neighbour segment, tagged-UNIONed with the edge rows under
+         the same (w1, w2)-hash bucket -> per-bucket vectorized
+         ``np.isin`` membership test -> per-bucket (node, n) triangle
+         partials (each triangle votes at all 3 vertices).
+      4. node-bucket groupby folding degree + triangle partials ->
+         (node, degree, triangles, lcc_permille = (2000 * t) //
+         (deg * (deg - 1))). Integer throughout => exact at any
+         parallelism.
+
+    Scale notes: wedge volume is sum C(outdeg, 2); id-orientation is
+    exact for any graph, and the standard refinement when hubs appear
+    is degree-orientation (one extra degree broadcast) which bounds
+    outdeg by sqrt(edges). Node ids must fit 32 bits for the packed
+    pair key (partkeys do; widen the pack for larger universes)."""
+    from don_crawler_ray.functions.dedup import _mix64
+
+    PK = np.int64(1) << np.int64(32)
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def op_partial(batch: pa.Table) -> pa.Table:
+        o = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((p, o))
+        so, sp = o[order], p[order]
+        keep = np.ones(len(so), dtype=bool)
+        keep[1:] = (so[1:] != so[:-1]) | (sp[1:] != sp[:-1])
+        return pa.table(
+            {
+                "o": pa.array(so[keep], pa.int64()),
+                "p": pa.array(sp[keep], pa.int64()),
+                "_ob": pa.array((so[keep] % 256).astype(np.int32)),
+            }
+        )
+
+    def pair_kernel(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(group, sort_keys=[("o", "ascending"), ("p", "ascending")])
+        )
+        o = g.column("o").to_numpy(zero_copy_only=False)
+        p = g.column("p").to_numpy(zero_copy_only=False)
+        keep = np.ones(len(o), dtype=bool)
+        keep[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
+        o, p = o[keep], p[keep]
+        _, starts, lens = _segments(o)
+        us, vs = [], []
+        for s, ln in zip(starts, lens):
+            if ln < 2:
+                continue
+            i, j = np.triu_indices(int(ln), k=1)
+            us.append(p[s + i])
+            vs.append(p[s + j])
+        u = np.concatenate(us) if us else np.empty(0, np.int64)
+        v = np.concatenate(vs) if vs else np.empty(0, np.int64)
+        eb = (_mix64((u * PK + v).astype(np.uint64)) % np.uint64(256)).astype(np.int32)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "_eb": pa.array(eb),
+            }
+        )
+
+    def edge_dedup(group: pa.Table) -> pa.Table:
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        key = np.unique(u * PK + v)
+        du = key // PK
+        return pa.table(
+            {
+                "u": pa.array(du, pa.int64()),
+                "v": pa.array(key % PK, pa.int64()),
+                "_ub": pa.array((du % 256).astype(np.int32)),
+            }
+        )
+
+    edges = (
+        ds.map_batches(op_partial, batch_format="pyarrow")
+        .groupby("_ob")
+        .map_groups(pair_kernel, batch_format="pyarrow")
+        .groupby("_eb")
+        .map_groups(edge_dedup, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        nodes, counts = np.unique(np.concatenate([u, v]), return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+                "is_tri": pa.array(np.zeros(len(nodes), np.int8)),
+                "_nb": pa.array((nodes % 256).astype(np.int32)),
+            }
+        )
+
+    def wedge_rows(batch: pa.Table) -> pa.Table:
+        # wedges from this batch's (already per-src-complete) adjacency
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        _, starts, lens = _segments(u)
+        aa, w1, w2 = [], [], []
+        for s, ln in zip(starts, lens):
+            if ln < 2:
+                continue
+            i, j = np.triu_indices(int(ln), k=1)
+            aa.append(np.full(len(i), u[s], np.int64))
+            w1.append(v[s + i])
+            w2.append(v[s + j])
+        a = np.concatenate(aa) if aa else np.empty(0, np.int64)
+        x = np.concatenate(w1) if w1 else np.empty(0, np.int64)
+        y = np.concatenate(w2) if w2 else np.empty(0, np.int64)
+        tb = (_mix64((x * PK + y).astype(np.uint64)) % np.uint64(256)).astype(np.int32)
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "u": pa.array(x, pa.int64()),
+                "v": pa.array(y, pa.int64()),
+                "is_edge": pa.array(np.zeros(len(a), np.int8)),
+                "_tb": pa.array(tb),
+            }
+        )
+
+    def edge_tag(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        tb = (_mix64((u * PK + v).astype(np.uint64)) % np.uint64(256)).astype(np.int32)
+        return pa.table(
+            {
+                "a": pa.array(np.full(len(u), -1, np.int64)),
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "is_edge": pa.array(np.ones(len(u), np.int8)),
+                "_tb": pa.array(tb),
+            }
+        )
+
+    def tri_kernel(group: pa.Table) -> pa.Table:
+        a = group.column("a").to_numpy(zero_copy_only=False)
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        is_e = group.column("is_edge").to_numpy(zero_copy_only=False).astype(bool)
+        key = u * PK + v
+        hit = np.isin(key[~is_e], key[is_e])
+        wa, wu, wv = a[~is_e][hit], u[~is_e][hit], v[~is_e][hit]
+        nodes, counts = np.unique(np.concatenate([wa, wu, wv]), return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+                "is_tri": pa.array(np.ones(len(nodes), np.int8)),
+                "_nb": pa.array((nodes % 256).astype(np.int32)),
+            }
+        )
+
+    # wedges need each src's FULL out-adjacency in one task; the edge
+    # dedup bucketed by pair hash, so re-exchange on the src bucket
+    # (256 groups, not one per node — wedge_rows segments by u inside)
+    adjacency = edges.groupby("_ub").map_groups(wedge_rows, batch_format="pyarrow")
+    tagged = adjacency.union(edges.map_batches(edge_tag, batch_format="pyarrow"))
+    tri_partials = tagged.groupby("_tb").map_groups(tri_kernel, batch_format="pyarrow")
+    deg_partials = edges.map_batches(deg_partial, batch_format="pyarrow")
+
+    def final_kernel(group: pa.Table) -> pa.Table:
+        node = group.column("node").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        is_tri = group.column("is_tri").to_numpy(zero_copy_only=False).astype(bool)
+        uniq, inv = np.unique(node, return_inverse=True)
+        deg = np.zeros(len(uniq), np.int64)
+        tri = np.zeros(len(uniq), np.int64)
+        np.add.at(deg, inv[~is_tri], n[~is_tri])
+        np.add.at(tri, inv[is_tri], n[is_tri])
+        lcc = np.zeros(len(uniq), np.int64)
+        m = deg >= 2
+        lcc[m] = (2000 * tri[m]) // (deg[m] * (deg[m] - 1))
+        return pa.table(
+            {
+                "node": pa.array(uniq, pa.int64()),
+                "degree": pa.array(deg, pa.int64()),
+                "triangles": pa.array(tri, pa.int64()),
+                "lcc_permille": pa.array(lcc, pa.int64()),
+            }
+        )
+
+    return (
+        deg_partials.union(tri_partials)
+        .groupby("_nb")
+        .map_groups(final_kernel, batch_format="pyarrow")
+        .select_columns(["node", "degree", "triangles", "lcc_permille"])
+    )
+
+
+SQL_TRIANGLE_COUNT = """
+WITH pe AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pe a JOIN pe b ON a.o = b.o AND a.p < b.p),
+nodes AS (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e),
+deg AS (SELECT node, count(*) AS degree FROM nodes GROUP BY 1),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tn AS (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b AS node FROM tri
+    UNION ALL SELECT c AS node FROM tri
+  ) GROUP BY 1
+)
+SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+       CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+       CAST(CASE WHEN d.degree >= 2
+                 THEN (2000 * coalesce(t.triangles, 0)) // (d.degree * (d.degree - 1))
+                 ELSE 0 END AS BIGINT) AS lcc_permille
+FROM deg d LEFT JOIN tn t USING (node)
+"""
+
+QUERIES.update({"triangle_count": q_triangle_count})
+ORACLE_SQL.update({"triangle_count": SQL_TRIANGLE_COUNT})
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled language mixture (multilingual sampling weights)
+# ---------------------------------------------------------------------------
+
+TEMPMIX_BUDGET = 100_000
+
+
+def q_temperature_mix(sf_dir: str):
+    """Temperature-scaled multilingual sampling weights (the XLM-R /
+    mT5 rebalancing rule, alpha = 0.5): p_lang proportional to
+    n_lang ** 0.5, so low-resource languages are upsampled relative to
+    their corpus share. Per-batch (lang, n) count partials -> driver
+    fold of O(langs x blocks) tiny rows; the heavy input never moves.
+
+    Bit-exactness: sqrt is IEEE-754 exact-rounded (numpy and DuckDB
+    agree to the bit), and the denominator is a LEFT FOLD in lang-
+    ascending order on both sides (SQL ``list_reduce(list(s ORDER BY
+    lang))``) — float addition isn't associative, so an unordered SUM
+    would be ulp-unstable. One division + one multiply later, p and
+    the floored budget allocation are bit-identical."""
+    ds = _read(sf_dir, "documents", columns=["lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = batch.column("lang").value_counts()
+        return pa.table(
+            {
+                "lang": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc: dict[str, int] = {}
+    for r in rows:
+        acc[r["lang"]] = acc.get(r["lang"], 0) + int(r["n"])
+    langs = sorted(acc)
+    s = {lang: float(np.sqrt(np.float64(acc[lang]))) for lang in langs}
+    total = 0.0
+    for lang in langs:  # ordered left fold — mirrors the SQL list_reduce
+        total = total + s[lang]
+    out = []
+    for lang in langs:
+        p = s[lang] / total
+        out.append(
+            {
+                "lang": lang,
+                "n_docs": acc[lang],
+                "p": p,
+                "alloc": int(np.floor(p * float(TEMPMIX_BUDGET))),
+            }
+        )
+    return pa.Table.from_pylist(out)
+
+
+SQL_TEMPERATURE_MIX = f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+sq AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS s FROM c),
+tot AS (
+  SELECT list_reduce(list(s ORDER BY lang ASC), (a, b) -> a + b) AS t FROM sq
+)
+SELECT lang, CAST(n AS BIGINT) AS n_docs,
+       s / (SELECT t FROM tot) AS p,
+       CAST(floor((s / (SELECT t FROM tot)) * {float(TEMPMIX_BUDGET)}) AS BIGINT) AS alloc
+FROM sq
+"""
+
+QUERIES.update({"temperature_mix": q_temperature_mix})
+ORACLE_SQL.update({"temperature_mix": SQL_TEMPERATURE_MIX})

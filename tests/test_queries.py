@@ -2292,3 +2292,71 @@ class TestFasttextStreaksBm25:
             g = grp.sort_values("rank")
             assert (np.diff(g.score_e6.to_numpy()) <= 0).all()
             assert list(g["rank"]) == list(range(len(g)))
+
+
+class TestTrianglesTempMix:
+    """Invariants of triangle counting and the temperature mixture."""
+
+    def test_triangles_match_driver_recount(self, ray_session):
+        import itertools
+
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import QUERIES
+
+        out = QUERIES["triangle_count"](SF_DIR).to_pandas().set_index("node")
+        li = pq.read_table(
+            f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+        ).to_pandas()
+        edges = set()
+        for _, grp in li.groupby("l_orderkey"):
+            for a, b in itertools.combinations(sorted(set(grp.l_partkey)), 2):
+                edges.add((a, b))
+        adj: dict[int, set] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        assert len(out) == len(adj)
+        tri = dict.fromkeys(adj, 0)
+        for a, b in edges:
+            for c in adj[a] & adj[b]:
+                if c > b:  # a<b<c counted once, voted at all three
+                    tri[a] += 1
+                    tri[b] += 1
+                    tri[c] += 1
+        for node, nbrs in adj.items():
+            row = out.loc[node]
+            assert row.degree == len(nbrs)
+            assert row.triangles == tri[node]
+            d = len(nbrs)
+            expect = (2000 * tri[node]) // (d * (d - 1)) if d >= 2 else 0
+            assert row.lcc_permille == expect
+
+    def test_triangle_totals_consistent(self, ray_session):
+        from don_crawler_ray.pipelines.queries import QUERIES
+
+        out = QUERIES["triangle_count"](SF_DIR).to_pandas()
+        # every triangle votes at exactly 3 vertices
+        assert out.triangles.sum() % 3 == 0
+        assert (out.lcc_permille <= 1000).all()
+        assert (out.lcc_permille >= 0).all()
+
+    def test_temperature_mix_upsamples_tail(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import TEMPMIX_BUDGET, QUERIES
+
+        out = QUERIES["temperature_mix"](SF_DIR).to_pandas().sort_values("n_docs")
+        docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["lang"])
+        n_total = docs.num_rows
+        assert out.n_docs.sum() == n_total
+        assert abs(out.p.sum() - 1.0) < 1e-12
+        assert out.alloc.sum() <= TEMPMIX_BUDGET
+        # alpha<1 flattens the distribution: sampled share > corpus share
+        # for the rarest lang, < for the most common (when they differ)
+        lo, hi = out.iloc[0], out.iloc[-1]
+        if lo.n_docs < hi.n_docs:
+            assert lo.p > lo.n_docs / n_total
+            assert hi.p < hi.n_docs / n_total
+        # monotone: more docs never gets a smaller share
+        assert (np.diff(out.p.to_numpy()) >= 0).all()
