@@ -13128,3 +13128,170 @@ FROM sq
 
 QUERIES.update({"temperature_mix": q_temperature_mix})
 ORACLE_SQL.update({"temperature_mix": SQL_TEMPERATURE_MIX})
+
+
+# ---------------------------------------------------------------------------
+# N-gram language identification (langid.py-style multinomial profiles)
+# ---------------------------------------------------------------------------
+
+LANGID_SCALE = 10**9
+
+
+def _text_bytes(col) -> tuple[np.ndarray, np.ndarray]:
+    """(data_bytes, offsets) of a string column via the Arrow buffers —
+    zero-copy, no per-row Python. Raises on non-ASCII input where byte
+    bigrams would diverge from the SQL oracle's character bigrams."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = arr if pa.types.is_large_string(arr.type) else arr.cast(pa.large_string())
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    buf = arr.buffers()[2]
+    data = (
+        np.frombuffer(buf, dtype=np.uint8)
+        if buf is not None and len(buf) > 0
+        else np.empty(0, np.uint8)
+    )
+    if data.size and data.max() >= 128:
+        raise ValueError("langid byte-bigram kernel requires ASCII text")
+    return data, offs
+
+
+def q_langid_ngram(sf_dir: str):
+    """Character-bigram language identification (the langid.py /
+    CLD-style n-gram heuristic): phase 1 trains per-language bigram
+    profiles from the corpus's own labels; phase 2 scores every doc
+    against every profile and predicts the argmax. The likelihood is
+    the INTEGER rational ``count(lang, bigram) * 1e9 // total(lang)``
+    summed over the doc's bigram occurrences — exact at any
+    parallelism and reproducible in SQL (a log-prob would differ in
+    libm ULPs; argmax over these monotone scores is the same rule).
+
+    Ray shape: train = per-batch vectorized (lang, bigram-code) count
+    partials (byte pairs via the Arrow data buffer — zero Python rows)
+    -> two chained combine passes -> O(langs x 64Ki) driver fold into
+    dense lookup tables (~0.5 MiB/lang, broadcast-sized by contract);
+    score = one zero-shuffle ``map_batches`` doing ``langs`` bincounts
+    per batch. Classic train-once / broadcast / batched-inference."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def train_partial(batch: pa.Table) -> pa.Table:
+        data, offs = _text_bytes(batch.column("text"))
+        langs = batch.column("lang").to_pylist()
+        uniq_langs = sorted(set(langs))
+        lang_code = {l: i for i, l in enumerate(uniq_langs)}
+        doc_lang = np.array([lang_code[l] for l in langs], np.int64)
+        lens = np.diff(offs)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        if len(data) < 2:
+            return pa.table(
+                {"lang": pa.array([], pa.string()), "code": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        valid = doc_idx[:-1] == doc_idx[1:]
+        codes = data[:-1].astype(np.int64) * 256 + data[1:]
+        key = doc_lang[doc_idx[:-1][valid]] * 65536 + codes[valid]
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "lang": pa.array([uniq_langs[k] for k in (uniq // 65536)], pa.string()),
+                "code": pa.array(uniq % 65536, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "code"]).aggregate([("n", "sum")])
+        return g.rename_columns(["lang", "code", "n"])
+
+    rows = (
+        ds.map_batches(train_partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .take_all()
+    )
+    acc: dict[tuple[str, int], int] = {}
+    for r in rows:
+        k = (r["lang"], int(r["code"]))
+        acc[k] = acc.get(k, 0) + int(r["n"])
+    langs = sorted({k[0] for k in acc})
+    totals = {l: 0 for l in langs}
+    for (l, _), n in acc.items():
+        totals[l] += n
+    w = {l: np.zeros(65536, np.int64) for l in langs}
+    for (l, code), n in acc.items():
+        w[l][code] = (n * LANGID_SCALE) // totals[l]
+
+    def score(batch: pa.Table) -> pa.Table:
+        data, offs = _text_bytes(batch.column("text"))
+        n = batch.num_rows
+        lens = np.diff(offs)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        scores = np.zeros((n, len(langs)), np.int64)
+        if len(data) >= 2:
+            valid = doc_idx[:-1] == doc_idx[1:]
+            codes = (data[:-1].astype(np.int64) * 256 + data[1:])[valid]
+            d = doc_idx[:-1][valid]
+            for j, l in enumerate(langs):
+                scores[:, j] = np.bincount(
+                    d, weights=w[l][codes], minlength=n
+                ).astype(np.int64)
+        pred = np.argmax(scores, axis=1)  # first max => lang-ascending tiebreak
+        best = scores[np.arange(n), pred]
+        true = batch.column("lang").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pred_lang": pa.array([langs[p] for p in pred], pa.string()),
+                "best_score": pa.array(best, pa.int64()),
+                "correct": pa.array(
+                    np.array([1 if langs[p] == t else 0 for p, t in zip(pred, true)],
+                             np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_LANGID_NGRAM = f"""
+WITH langs AS (SELECT DISTINCT lang FROM documents),
+pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, len(text) - 1)) AS i
+  FROM documents WHERE len(text) >= 2
+),
+bg AS (SELECT doc_id, substr(text, i, 2) AS g FROM pos),
+dbg AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+train AS (
+  SELECT d.lang, b.g, count(*) AS n
+  FROM bg b JOIN documents d USING (doc_id) GROUP BY 1, 2
+),
+tot AS (SELECT lang, sum(n) AS t FROM train GROUP BY 1),
+w AS (
+  SELECT train.lang, g, (n * {LANGID_SCALE}) // t AS w
+  FROM train JOIN tot USING (lang)
+),
+sc AS (
+  SELECT db.doc_id, w.lang, sum(db.c * w.w) AS s
+  FROM dbg db JOIN w ON w.g = db.g GROUP BY 1, 2
+),
+fl AS (
+  SELECT d.doc_id, l.lang, coalesce(s.s, 0) AS s
+  FROM documents d
+  CROSS JOIN langs l
+  LEFT JOIN sc s ON s.doc_id = d.doc_id AND s.lang = l.lang
+),
+best AS (
+  SELECT doc_id, lang AS pred_lang, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn
+  FROM fl
+)
+SELECT b.doc_id, b.pred_lang, CAST(b.s AS BIGINT) AS best_score,
+       CAST(CASE WHEN b.pred_lang = d.lang THEN 1 ELSE 0 END AS BIGINT) AS correct
+FROM best b JOIN documents d USING (doc_id)
+WHERE b.rn = 1
+"""
+
+QUERIES.update({"langid_ngram": q_langid_ngram})
+ORACLE_SQL.update({"langid_ngram": SQL_LANGID_NGRAM})

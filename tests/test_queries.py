@@ -2360,3 +2360,42 @@ class TestTrianglesTempMix:
             assert hi.p < hi.n_docs / n_total
         # monotone: more docs never gets a smaller share
         assert (np.diff(out.p.to_numpy()) >= 0).all()
+
+
+class TestLangidNgram:
+    def test_argmax_matches_driver_recount(self, ray_session):
+        import collections
+
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import LANGID_SCALE, QUERIES
+
+        out = QUERIES["langid_ngram"](SF_DIR).to_pandas().set_index("doc_id")
+        docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "lang"])
+        ids = docs.column("doc_id").to_pylist()
+        texts = docs.column("text").to_pylist()
+        langs_col = docs.column("lang").to_pylist()
+        assert len(out) == len(ids)
+        # train profiles exactly as the operator defines them
+        counts: dict = collections.defaultdict(collections.Counter)
+        for t, l in zip(texts, langs_col):
+            counts[l].update(t[i : i + 2] for i in range(len(t) - 1))
+        langs = sorted(counts)
+        w = {
+            l: {g: (n * LANGID_SCALE) // sum(c.values()) for g, n in c.items()}
+            for l, c in ((l, counts[l]) for l in langs)
+        }
+        n_correct = 0
+        for doc_id, t, true in list(zip(ids, texts, langs_col))[:60]:
+            bg = collections.Counter(t[i : i + 2] for i in range(len(t) - 1))
+            scores = [
+                (sum(c * w[l].get(g, 0) for g, c in bg.items()), l) for l in langs
+            ]
+            best = max(scores, key=lambda x: (x[0], [-ord(ch) for ch in x[1]]))
+            row = out.loc[doc_id]
+            assert row.best_score == best[0]
+            assert row.pred_lang == best[1]
+            assert row.correct == (1 if best[1] == true else 0)
+            n_correct += int(row.correct)
+        # sanity: correct column is 0/1
+        assert set(out.correct.unique()) <= {0, 1}
