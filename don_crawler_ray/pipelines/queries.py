@@ -13295,3 +13295,400 @@ WHERE b.rn = 1
 
 QUERIES.update({"langid_ngram": q_langid_ngram})
 ORACLE_SQL.update({"langid_ngram": SQL_LANGID_NGRAM})
+
+
+# ---------------------------------------------------------------------------
+# Per-domain document cap (C4-style source throttling)
+# ---------------------------------------------------------------------------
+
+DOMAIN_CAP = 20
+
+
+def q_domain_cap(sf_dir: str):
+    """Per-source document cap (the C4 / Common Crawl curation rule
+    "no domain may contribute more than N pages"): keep the first
+    ``DOMAIN_CAP`` documents of every source in doc_id order, with the
+    per-source rank carried so downstream mixture stages can tighten
+    the cap without re-shuffling.
+
+    Scale shape: bottom-k-per-key is a semilattice, so each batch
+    emits its own <= sources x k partial and two chained coalesced
+    combine passes (the ``q_topk_docs_per_lang`` tree) cut the
+    candidates ~10^4x before one driver-side final merge of
+    O(sources x k) slim rows — the text never moves, only
+    (source, doc_id) pairs. For web-scale source cardinality the same
+    kernel runs per hash-bucket instead of on the driver (the
+    ``_int_bucket_stage`` pattern); at the testdata's 20 sources the
+    broadcast-free partial tree is strictly cheaper."""
+    k = DOMAIN_CAP
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def partial_head(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((did, src))
+        src, did = src[order], did[order]
+        _, starts, lens = _segments(src)
+        take = (
+            np.concatenate([np.arange(s, s + min(k, ln)) for s, ln in zip(starts, lens)])
+            if len(starts)
+            else np.empty(0, np.int64)
+        )
+        return pa.table(
+            {
+                "source": pa.array(src[take].tolist(), pa.string()),
+                "doc_id": pa.array(did[take], pa.int64()),
+            }
+        )
+
+    parts = pa.Table.from_pylist(
+        ds.map_batches(partial_head, batch_format="pyarrow")
+        .map_batches(partial_head, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(partial_head, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .take_all()
+    )
+    merged = partial_head(parts)
+    src = merged.column("source").to_numpy(zero_copy_only=False)
+    rk = np.zeros(merged.num_rows, np.int64)
+    _, starts, lens = _segments(src)
+    for s, ln in zip(starts, lens):
+        rk[s : s + ln] = np.arange(ln)
+    return merged.append_column("rk", pa.array(rk, pa.int64()))
+
+
+SQL_DOMAIN_CAP = f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+              AS BIGINT) AS rk
+  FROM documents)
+SELECT source, doc_id, rk FROM ranked WHERE rk < {DOMAIN_CAP}
+"""
+
+QUERIES.update({"domain_cap": q_domain_cap})
+ORACLE_SQL.update({"domain_cap": SQL_DOMAIN_CAP})
+
+
+# ---------------------------------------------------------------------------
+# Per-source KL divergence from the corpus unigram distribution
+# (DoReMi-flavoured domain-mixture diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def q_kl_domain_weights(sf_dir: str):
+    """Per-source distribution shift: KL(p_source || p_corpus) over
+    the unigram token distributions — the domain-reweighting
+    diagnostic (DoReMi, arXiv:2305.10429, uses excess loss; the KL of
+    the source LM against the corpus LM is its count-level analog).
+    Sources whose token mix diverges most from the corpus get the
+    largest values and are the re-weighting candidates.
+
+    One distributed (source, token) count pass: per-batch
+    dictionary-encode + bincount pre-aggregation (interpreter-free),
+    then two chained combine passes re-aggregate partials by key, so
+    the driver folds only O(sources x vocab x tree-leaves) slim count
+    rows — never text. KL is then a driver-side fold over that tiny
+    table, reported on the 1e-6 grid (``kl_e6``): libm ln and
+    summation order differ across engines ~1e-13, far below the grid.
+    """
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        lists = pc.utf8_split_whitespace(batch.column("text"))
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        src = batch.column("source")
+        src_rep = src.take(pa.array(np.repeat(np.arange(batch.num_rows), lens)))
+        keep = pc.not_equal(flat, "")
+        flat, src_rep = flat.filter(keep), src_rep.filter(keep)
+        return _count_pairs(src_rep, flat, np.ones(len(flat), np.int64))
+
+    def combine(batch: pa.Table) -> pa.Table:
+        return _count_pairs(
+            batch.column("source"),
+            batch.column("token"),
+            batch.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+
+    def _count_pairs(src_col, tok_col, weights: np.ndarray) -> pa.Table:
+        src_enc = pc.dictionary_encode(
+            src_col.combine_chunks() if isinstance(src_col, pa.ChunkedArray) else src_col
+        )
+        tok_enc = pc.dictionary_encode(
+            tok_col.combine_chunks() if isinstance(tok_col, pa.ChunkedArray) else tok_col
+        )
+        s_idx = src_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        t_idx = tok_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok_codes = len(tok_enc.dictionary)
+        key = s_idx * n_tok_codes + t_idx
+        cnt = np.bincount(key, weights=weights, minlength=0).astype(np.int64)
+        uk = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "source": src_enc.dictionary.take(pa.array(uk // n_tok_codes)),
+                "token": tok_enc.dictionary.take(pa.array(uk % n_tok_codes)),
+                "cnt": pa.array(cnt[uk], pa.int64()),
+            }
+        )
+
+    parts = pa.Table.from_pylist(
+        ds.map_batches(tok_partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .take_all()
+    )
+    final = _count_pairs(
+        parts.column("source"),
+        parts.column("token"),
+        parts.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+    src = final.column("source").to_numpy(zero_copy_only=False)
+    tok = final.column("token").to_numpy(zero_copy_only=False)
+    cnt = final.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+    # corpus totals per token and per source
+    tok_u, tok_inv = np.unique(tok, return_inverse=True)
+    c_tok = np.bincount(tok_inv, weights=cnt).astype(np.int64)
+    grand = int(cnt.sum())
+    src_u, src_inv = np.unique(src, return_inverse=True)
+    n_src = np.bincount(src_inv, weights=cnt).astype(np.int64)
+    ps = cnt.astype(np.float64) / n_src[src_inv].astype(np.float64)
+    pc_ = c_tok[tok_inv].astype(np.float64) / np.float64(grand)
+    terms = ps * np.log(ps / pc_)
+    kl = np.bincount(src_inv, weights=terms, minlength=len(src_u))
+    n_types = np.bincount(src_inv, minlength=len(src_u)).astype(np.int64)
+    return pa.table(
+        {
+            "source": pa.array(src_u.tolist(), pa.string()),
+            "n_tok": pa.array(n_src, pa.int64()),
+            "n_types": pa.array(n_types, pa.int64()),
+            "kl_e6": pa.array(np.rint(kl * 1e6).astype(np.int64), pa.int64()),
+        }
+    )
+
+
+SQL_KL_DOMAIN = """
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+  FROM documents
+),
+st AS (SELECT source, token, count(*) AS c FROM toks GROUP BY 1, 2),
+s AS (SELECT source, sum(c) AS n_s FROM st GROUP BY 1),
+t AS (SELECT token, sum(c) AS c_t FROM st GROUP BY 1),
+g AS (SELECT sum(c) AS n FROM st),
+terms AS (
+  SELECT st.source,
+         (CAST(st.c AS DOUBLE) / CAST(s.n_s AS DOUBLE))
+         * ln((CAST(st.c AS DOUBLE) / CAST(s.n_s AS DOUBLE))
+              / (CAST(t.c_t AS DOUBLE) / CAST((SELECT n FROM g) AS DOUBLE))) AS term
+  FROM st JOIN s USING (source) JOIN t USING (token)
+)
+SELECT s.source, CAST(s.n_s AS BIGINT) AS n_tok,
+       CAST((SELECT count(*) FROM st WHERE st.source = s.source) AS BIGINT) AS n_types,
+       CAST(round((SELECT sum(term) FROM terms WHERE terms.source = s.source)
+                  * 1000000) AS BIGINT) AS kl_e6
+FROM s
+"""
+
+QUERIES.update({"kl_domain_weights": q_kl_domain_weights})
+ORACLE_SQL.update({"kl_domain_weights": SQL_KL_DOMAIN})
+
+
+# ---------------------------------------------------------------------------
+# Per-document token entropy / type-token ratio (lexical-diversity gate)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_entropy(sf_dir: str):
+    """Per-document unigram Shannon entropy + type-token ratio — the
+    lexical-diversity quality signal (low-entropy documents are
+    keyword-stuffed / template spam; the complement of the repetition
+    family, which measures duplication rather than concentration).
+
+    Embarrassingly parallel: zero shuffle, one vectorized pass —
+    Arrow ``utf8_split_whitespace`` -> ``dictionary_encode`` ->
+    composite (doc, token) bincount; the per-doc entropy is
+    ``ln n - (sum c ln c) / n`` via two more bincounts. Reported on
+    the 1e-6 grid (``entropy_e6``): engine libm/summation deltas are
+    ~1e-13. ``ttr_permille`` is exact integer arithmetic."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        lists = pc.utf8_split_whitespace(batch.column("text"))
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.num_rows
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_idx = doc_idx[nonempty]
+        enc = pc.dictionary_encode(flat.filter(pa.array(nonempty)))
+        t_idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = len(enc.dictionary)
+        key = doc_idx * max(v, 1) + t_idx
+        c = np.bincount(key, minlength=0).astype(np.int64)
+        uk = np.flatnonzero(c)
+        c = c[uk]
+        doc_of = uk // max(v, 1)
+        n_tok = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        slc = np.bincount(doc_of, weights=c * np.log(c.astype(np.float64)), minlength=n)
+        n_distinct = np.bincount(doc_of, minlength=n).astype(np.int64)
+        keep = n_tok > 0
+        nt = n_tok[keep].astype(np.float64)
+        ent = np.log(nt) - slc[keep] / nt
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(pa.array(keep)),
+                "n_tok": pa.array(n_tok[keep], pa.int64()),
+                "n_distinct": pa.array(n_distinct[keep], pa.int64()),
+                "ttr_permille": pa.array(
+                    (n_distinct[keep] * 1000) // n_tok[keep], pa.int64()
+                ),
+                "entropy_e6": pa.array(
+                    np.rint(ent * 1e6).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_DOC_ENTROPY = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+  FROM documents
+),
+c AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2),
+per AS (
+  SELECT doc_id, sum(c) AS n_tok, count(*) AS n_distinct,
+         sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS slc
+  FROM c GROUP BY 1
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST((n_distinct * 1000) // n_tok AS BIGINT) AS ttr_permille,
+       CAST(round((ln(CAST(n_tok AS DOUBLE)) - slc / CAST(n_tok AS DOUBLE))
+                  * 1000000) AS BIGINT) AS entropy_e6
+FROM per
+"""
+
+QUERIES.update({"doc_entropy": q_doc_entropy})
+ORACLE_SQL.update({"doc_entropy": SQL_DOC_ENTROPY})
+
+
+# ---------------------------------------------------------------------------
+# Event-type Markov transition matrix (user-journey model)
+# ---------------------------------------------------------------------------
+
+
+def q_markov_transitions(sf_dir: str):
+    """First-order Markov transition matrix over event types: for
+    every consecutive (prev -> next) pair within a user's (ts,
+    event_id)-ordered stream, the count and the transition probability
+    on an exact integer grid (``p_e6 = n * 1e6 // total_from_prev``).
+
+    Scale shape: the pair extraction rides the sessionize machinery —
+    fixed int bucket shuffle on ``user_id % 64``, one sort per bucket
+    handling every user vectorized; each bucket emits only its
+    <= types^2 count partial, and two chained combine passes fold
+    those before a driver-side final of O(types^2) rows. All-integer:
+    bit-exact at any parallelism."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def _pair_counts(prev_col, next_col, weights: np.ndarray) -> pa.Table:
+        p_enc = pc.dictionary_encode(
+            prev_col.combine_chunks() if isinstance(prev_col, pa.ChunkedArray) else prev_col
+        )
+        n_enc = pc.dictionary_encode(
+            next_col.combine_chunks() if isinstance(next_col, pa.ChunkedArray) else next_col
+        )
+        p_idx = p_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_idx = n_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(n_enc.dictionary)
+        cnt = np.bincount(p_idx * max(k, 1) + n_idx, weights=weights, minlength=0).astype(np.int64)
+        uk = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "prev_type": p_enc.dictionary.take(pa.array(uk // max(k, 1))),
+                "next_type": n_enc.dictionary.take(pa.array(uk % max(k, 1))),
+                "n": pa.array(cnt[uk], pa.int64()),
+            }
+        )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[
+                    ("user_id", "ascending"),
+                    ("ts", "ascending"),
+                    ("event_id", "ascending"),
+                ],
+            )
+        )
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(uid) < 2:
+            return pa.table(
+                {
+                    "prev_type": pa.array([], pa.string()),
+                    "next_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        et = g.column("event_type").combine_chunks()
+        same = uid[1:] == uid[:-1]
+        sel = pa.array(np.flatnonzero(same))
+        prev = et.take(sel)
+        nxt = et.take(pc.add(sel, 1))
+        return _pair_counts(prev, nxt, np.ones(len(prev), np.int64))
+
+    def combine(batch: pa.Table) -> pa.Table:
+        return _pair_counts(
+            batch.column("prev_type"),
+            batch.column("next_type"),
+            batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+
+    parts = pa.Table.from_pylist(
+        ds.map_batches(_int_bucket_stage("user_id"), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(pairs, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .take_all()
+    )
+    final = _pair_counts(
+        parts.column("prev_type"),
+        parts.column("next_type"),
+        parts.column("n").to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+    prev = final.column("prev_type").to_numpy(zero_copy_only=False)
+    n = final.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    p_u, p_inv = np.unique(prev, return_inverse=True)
+    tot = np.bincount(p_inv, weights=n).astype(np.int64)
+    p_e6 = (n * 1_000_000) // tot[p_inv]
+    return final.append_column("p_e6", pa.array(p_e6, pa.int64()))
+
+
+SQL_MARKOV_TRANSITIONS = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+p AS (
+  SELECT event_type AS prev_type, nxt AS next_type, count(*) AS n
+  FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+       CAST((CAST(n AS BIGINT) * 1000000)
+            // CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS BIGINT) AS p_e6
+FROM p
+"""
+
+QUERIES.update({"markov_transitions": q_markov_transitions})
+ORACLE_SQL.update({"markov_transitions": SQL_MARKOV_TRANSITIONS})

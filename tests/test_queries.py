@@ -2399,3 +2399,115 @@ class TestLangidNgram:
             n_correct += int(row.correct)
         # sanity: correct column is 0/1
         assert set(out.correct.unique()) <= {0, 1}
+
+
+class TestDomainCap:
+    def test_cap_keeps_smallest_doc_ids(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import DOMAIN_CAP, QUERIES
+
+        out = QUERIES["domain_cap"](SF_DIR).to_pandas()
+        docs = pq.read_table(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "source"]
+        ).to_pandas()
+        sizes = out.groupby("source").size()
+        assert (sizes <= DOMAIN_CAP).all()
+        for src, grp in out.groupby("source"):
+            want = sorted(docs.loc[docs.source == src, "doc_id"])[:DOMAIN_CAP]
+            got = grp.sort_values("rk")
+            assert got.doc_id.tolist() == want
+            assert got.rk.tolist() == list(range(len(want)))
+
+
+class TestKlDomainWeights:
+    def test_kl_matches_recount_and_is_nonnegative(self, ray_session):
+        import collections
+        import math
+
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import QUERIES
+
+        out = QUERIES["kl_domain_weights"](SF_DIR).to_pandas().set_index("source")
+        docs = pq.read_table(
+            f"{SF_DIR}/documents.parquet", columns=["source", "text"]
+        ).to_pandas()
+        per_src: dict = collections.defaultdict(collections.Counter)
+        for src, txt in zip(docs.source, docs.text):
+            per_src[src].update(txt.split())
+        corpus: collections.Counter = collections.Counter()
+        for c in per_src.values():
+            corpus.update(c)
+        grand = sum(corpus.values())
+        assert int(out.n_tok.sum()) == grand
+        # KL >= 0 up to the e6 rounding grid
+        assert (out.kl_e6 >= -1).all()
+        for src, c in per_src.items():
+            n_s = sum(c.values())
+            kl = sum(
+                (cnt / n_s) * math.log((cnt / n_s) / (corpus[t] / grand))
+                for t, cnt in c.items()
+            )
+            row = out.loc[src]
+            assert row.n_types == len(c)
+            assert abs(row.kl_e6 - kl * 1e6) <= 1.0
+
+
+class TestDocEntropy:
+    def test_entropy_and_ttr_match_recount(self, ray_session):
+        import collections
+        import math
+
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import QUERIES
+
+        out = QUERIES["doc_entropy"](SF_DIR).to_pandas().set_index("doc_id")
+        docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        ids = docs.column("doc_id").to_pylist()
+        texts = docs.column("text").to_pylist()
+        assert len(out) == len(ids)
+        for doc_id, t in list(zip(ids, texts))[:80]:
+            toks = t.split()
+            c = collections.Counter(toks)
+            n = len(toks)
+            h = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+            row = out.loc[doc_id]
+            assert row.n_tok == n
+            assert row.n_distinct == len(c)
+            assert row.ttr_permille == (len(c) * 1000) // n
+            assert abs(row.entropy_e6 - h * 1e6) <= 1.0
+            # 0 <= H <= ln(n_distinct)
+            assert -1 <= row.entropy_e6 <= math.log(len(c)) * 1e6 + 1
+
+
+class TestMarkovTransitions:
+    def test_counts_match_pandas_shift(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import QUERIES
+
+        out = QUERIES["markov_transitions"](SF_DIR).to_pandas()
+        ev = (
+            pq.read_table(
+                f"{SF_DIR}/events.parquet",
+                columns=["user_id", "ts", "event_id", "event_type"],
+            )
+            .to_pandas()
+            .sort_values(["user_id", "ts", "event_id"])
+        )
+        prev = ev.groupby("user_id").event_type.shift(1)
+        pairs = (
+            ev.assign(prev_type=prev)
+            .dropna(subset=["prev_type"])
+            .groupby(["prev_type", "event_type"])
+            .size()
+        )
+        got = out.set_index(["prev_type", "next_type"]).n
+        assert got.sort_index().tolist() == pairs.sort_index().tolist()
+        assert set(got.index) == set(pairs.index)
+        # per-prev probabilities sum to 1e6 up to floor losses
+        for _, grp in out.groupby("prev_type"):
+            s = grp.p_e6.sum()
+            assert 1_000_000 - len(grp) < s <= 1_000_000
