@@ -208,12 +208,14 @@ def _vec_bigram_counts(text_col, lower: bool = False):
     v = max(len(enc.dictionary), 1)
     same = doc_idx[1:] == doc_idx[:-1]
     key = t_idx[:-1][same] * v + t_idx[1:][same]
-    cnt = np.bincount(key, minlength=0).astype(np.int64)
-    uk = np.flatnonzero(cnt)
+    # np.unique, NOT bincount: the composite keyspace is v**2, so a
+    # bincount would allocate O(batch_vocab**2) bins — unique is
+    # O(pairs log pairs) memory-bounded by the token stream
+    uk, cnt = np.unique(key, return_counts=True)
     return (
         enc.dictionary.take(pa.array(uk // v)),
         enc.dictionary.take(pa.array(uk % v)),
-        cnt[uk],
+        cnt.astype(np.int64),
     )
 
 
@@ -13758,3 +13760,311 @@ FROM p
 
 QUERIES.update({"markov_transitions": q_markov_transitions})
 ORACLE_SQL.update({"markov_transitions": SQL_MARKOV_TRANSITIONS})
+
+
+WINDOW_W = 3
+COOCCUR_MIN = 8
+
+
+def q_window_cooccur(sf_dir: str):
+    """Skip-gram window co-occurrence counts (the word2vec-style
+    context-pair pass, window W=3, direction-preserving): for every
+    token position i and every offset d in 1..W inside the SAME
+    document, the ordered pair (tok[i], tok[i+d]). Same topology as
+    ``bigram_counts``: fully vectorized per-batch partials (all W
+    offsets materialized as one composite-key ``np.unique`` over the
+    flat token stream — one row per DISTINCT pair per batch), 256-way
+    exchange on the pair hash so each pair's global count lands wholly
+    in one bucket, per-bucket Arrow group-sum, and the min-count gate
+    applied per bucket (complete counts) so only heavy pairs reach the
+    driver."""
+    from don_crawler_ray.functions.dedup import fnv1a64_batch
+
+    ds = _read(sf_dir, "documents", columns=["text"]).repartition(32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, doc_idx = _vec_doc_tokens(batch.column("text"))
+        enc = pc.dictionary_encode(flat)
+        t_idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = max(len(enc.dictionary), 1)
+        keys = []
+        for d in range(1, WINDOW_W + 1):
+            if len(doc_idx) <= d:
+                break
+            same = doc_idx[d:] == doc_idx[:-d]
+            keys.append(t_idx[:-d][same] * v + t_idx[d:][same])
+        key = np.concatenate(keys) if keys else np.empty(0, np.int64)
+        uk, cnt = np.unique(key, return_counts=True)
+        w1 = enc.dictionary.take(pa.array(uk // v))
+        w2 = enc.dictionary.take(pa.array(uk % v))
+        return pa.table(
+            {
+                "w1": w1,
+                "w2": w2,
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                "_bucket": pa.array(
+                    (
+                        fnv1a64_batch(pc.binary_join_element_wise(w1, w2, "\x00"))
+                        % np.uint64(256)
+                    ).astype(np.int32)
+                ),
+            }
+        )
+
+    def bucket_sum(group: pa.Table) -> pa.Table:
+        agg = (
+            group.select(["w1", "w2", "cnt"])
+            .group_by(["w1", "w2"])
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["w1", "w2", "cnt"])
+        )
+        return agg.filter(pc.greater_equal(agg.column("cnt"), COOCCUR_MIN))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_sum, batch_format="pyarrow")
+    )
+
+
+SQL_WINDOW_COOCCUR = f"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents),
+pairs AS (
+  SELECT tk[i] AS w1, tk[i + d] AS w2
+  FROM toks, unnest(range(1, len(tk))) AS u(i), unnest([1, 2, 3]) AS dd(d)
+  WHERE i + d <= len(tk))
+SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY 1, 2 HAVING count(*) >= {COOCCUR_MIN}
+"""
+
+QUERIES.update({"window_cooccur": q_window_cooccur})
+ORACLE_SQL.update({"window_cooccur": SQL_WINDOW_COOCCUR})
+
+
+def q_doc_rarity_floor(sf_dir: str):
+    """Per-document rarity floor: the MINIMUM corpus-wide frequency
+    among the document's tokens, plus the argmin token (ties broken
+    lexicographically) — the min-idf signal a curation pipeline uses
+    to flag documents built entirely of boilerplate vocabulary vs
+    ones touching rare terms. Fully distributed, no broadcast
+    vocabulary: ONE 256-way token-hash exchange co-locates each
+    token's global count rows (kind=0 partials) with its distinct
+    (token, doc) incidence rows (kind=1) in the same bucket, where a
+    fixed-width-unicode searchsorted attaches counts and one lexsort
+    takes each doc's (cnt, token)-min over the bucket; a second slim
+    64-way doc exchange takes the global min per doc with the same
+    tiebreak."""
+    from don_crawler_ray.functions.dedup import fnv1a64_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, doc_idx = _vec_doc_tokens(batch.column("text"))
+        enc = pc.dictionary_encode(flat)
+        t_idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = len(enc.dictionary)
+        empty = pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                "kind": pa.array([], pa.int8()),
+                "cnt": pa.array([], pa.int64()),
+                "doc": pa.array([], pa.int64()),
+            }
+        )
+        if v == 0:
+            return empty.append_column("_bucket", pa.array([], pa.int32()))
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(t_idx, minlength=v).astype(np.int64)
+        # distinct (doc, token) incidence pairs of this batch
+        uk = np.unique(doc_idx * v + t_idx)
+        pair_doc = ids[uk // v]
+        pair_tok = (uk % v).astype(np.int64)
+        token = pa.concat_arrays(
+            [enc.dictionary, enc.dictionary.take(pa.array(pair_tok))]
+        )
+        out = pa.table(
+            {
+                "token": token,
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.zeros(v, np.int8), np.ones(len(pair_doc), np.int8)]
+                    ),
+                    pa.int8(),
+                ),
+                "cnt": pa.array(
+                    np.concatenate([cnt, np.zeros(len(pair_doc), np.int64)]),
+                    pa.int64(),
+                ),
+                "doc": pa.array(
+                    np.concatenate([np.full(v, -1, np.int64), pair_doc]), pa.int64()
+                ),
+            }
+        )
+        return out.append_column(
+            "_bucket",
+            pa.array((fnv1a64_batch(token) % np.uint64(256)).astype(np.int32)),
+        )
+
+    def bucket_min(group: pa.Table) -> pa.Table:
+        kind = group.column("kind").to_numpy(zero_copy_only=False)
+        counts = (
+            group.filter(pa.array(kind == 0))
+            .select(["token", "cnt"])
+            .group_by("token")
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["token", "cnt"])
+        )
+        pairs = group.filter(pa.array(kind == 1))
+        if pairs.num_rows == 0 or counts.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "rare_tok": pa.array([], pa.string()),
+                    "rare_cnt": pa.array([], pa.int64()),
+                    "_b2": pa.array([], pa.int32()),
+                }
+            )
+        ct = np.asarray(
+            counts.column("token").to_numpy(zero_copy_only=False), dtype="U"
+        )
+        cn = counts.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ct)
+        ct, cn = ct[order], cn[order]
+        pt = np.asarray(
+            pairs.column("token").to_numpy(zero_copy_only=False), dtype="U"
+        )
+        n = cn[np.searchsorted(ct, pt)]  # every pair token has a count row
+        doc = pairs.column("doc").to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.lexsort((pt, n, doc))
+        doc_s = doc[sel]
+        first = np.concatenate([[True], doc_s[1:] != doc_s[:-1]])
+        keep = sel[first]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[keep], pa.int64()),
+                "rare_tok": pa.array(pt[keep], pa.string()),
+                "rare_cnt": pa.array(n[keep], pa.int64()),
+                "_b2": pa.array((doc[keep] % 64).astype(np.int32)),
+            }
+        )
+
+    def doc_min(group: pa.Table) -> pa.Table:
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        tok = np.asarray(
+            group.column("rare_tok").to_numpy(zero_copy_only=False), dtype="U"
+        )
+        n = group.column("rare_cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.lexsort((tok, n, doc))
+        doc_s = doc[sel]
+        first = np.concatenate([[True], doc_s[1:] != doc_s[:-1]]) if len(doc_s) else np.empty(0, bool)
+        keep = sel[first]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[keep], pa.int64()),
+                "rare_tok": pa.array(tok[keep], pa.string()),
+                "rare_cnt": pa.array(n[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_min, batch_format="pyarrow")
+        .groupby("_b2")
+        .map_groups(doc_min, batch_format="pyarrow")
+    )
+
+
+SQL_DOC_RARITY_FLOOR = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+  FROM documents),
+c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+pairs AS (SELECT DISTINCT doc_id, tok FROM toks),
+r AS (
+  SELECT p.doc_id, p.tok AS rare_tok, c.n AS rare_cnt,
+         row_number() OVER (PARTITION BY p.doc_id ORDER BY c.n, p.tok) AS rk
+  FROM pairs p JOIN c ON p.tok = c.tok)
+SELECT doc_id, rare_tok, rare_cnt FROM r WHERE rk = 1
+"""
+
+QUERIES.update({"doc_rarity_floor": q_doc_rarity_floor})
+ORACLE_SQL.update({"doc_rarity_floor": SQL_DOC_RARITY_FLOOR})
+
+
+DECAY_MAX_WEEKS = 7
+
+
+def q_decay_scores(sf_dir: str):
+    """Per-user recency-decayed engagement score with EXACT integer
+    halving weights: weight = 128 >> min(weeks_before_corpus_max, 7),
+    score = sum of weights over the user's events — the time-decay
+    freshness scoring a feed/ranking pipeline keeps per entity,
+    expressed on the integer grid so engine and oracle agree bit-for-
+    bit in any summation order. Two passes: a tiny distributed max-day
+    (per-batch max partials -> driver fold of O(blocks) rows), then
+    per-batch per-user partial sums -> one 64-way user-bucket
+    exchange -> per-bucket Arrow group-sum."""
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def _days(batch: pa.Table) -> np.ndarray:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return us // 86_400_000_000
+
+    def max_partial(batch: pa.Table) -> pa.Table:
+        d = _days(batch)
+        return pa.table(
+            {"m": pa.array([int(d.max())] if len(d) else [], pa.int64())}
+        )
+
+    parts = ds.map_batches(max_partial, batch_format="pyarrow").take_all()
+    max_day = max(r["m"] for r in parts)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = _days(batch)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.right_shift(
+            np.int64(128),
+            np.minimum((max_day - d) // 7, DECAY_MAX_WEEKS).astype(np.int64),
+        )
+        u, inv = np.unique(uid, return_inverse=True)
+        s = np.bincount(inv, weights=w).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+                "_bucket": pa.array((u % 64).astype(np.int32)),
+            }
+        )
+
+    def bucket_sum(group: pa.Table) -> pa.Table:
+        return (
+            group.select(["user_id", "s"])
+            .group_by("user_id")
+            .aggregate([("s", "sum")])
+            .rename_columns(["user_id", "score"])
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_sum, batch_format="pyarrow")
+    )
+
+
+SQL_DECAY_SCORES = f"""
+WITH d AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events),
+mx AS (SELECT max(day) AS m FROM d)
+SELECT user_id,
+       CAST(sum(128 >> LEAST((m - day) // 7, {DECAY_MAX_WEEKS})) AS BIGINT) AS score
+FROM d, mx GROUP BY 1
+"""
+
+QUERIES.update({"decay_scores": q_decay_scores})
+ORACLE_SQL.update({"decay_scores": SQL_DECAY_SCORES})

@@ -2511,3 +2511,80 @@ class TestMarkovTransitions:
         for _, grp in out.groupby("prev_type"):
             s = grp.p_e6.sum()
             assert 1_000_000 - len(grp) < s <= 1_000_000
+
+
+class TestWindowCooccur:
+    def test_counts_match_window_recount(self, ray_session):
+        import collections
+
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import (
+            COOCCUR_MIN,
+            WINDOW_W,
+            QUERIES,
+        )
+
+        out = QUERIES["window_cooccur"](SF_DIR).to_pandas()
+        texts = (
+            pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])
+            .column("text")
+            .to_pylist()
+        )
+        c: collections.Counter = collections.Counter()
+        for t in texts:
+            toks = t.split()
+            for d in range(1, WINDOW_W + 1):
+                c.update(zip(toks, toks[d:]))
+        want = {k: v for k, v in c.items() if v >= COOCCUR_MIN}
+        got = {(r.w1, r.w2): r.cnt for r in out.itertuples()}
+        assert got == want
+
+
+class TestDocRarityFloor:
+    def test_min_freq_and_argmin_token(self, ray_session):
+        import collections
+
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import QUERIES
+
+        out = QUERIES["doc_rarity_floor"](SF_DIR).to_pandas().set_index("doc_id")
+        docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        ids = docs.column("doc_id").to_pylist()
+        texts = docs.column("text").to_pylist()
+        corpus: collections.Counter = collections.Counter()
+        for t in texts:
+            corpus.update(t.split())
+        assert len(out) == sum(1 for t in texts if t.split())
+        for doc_id, t in zip(ids, texts):
+            toks = set(t.split())
+            if not toks:
+                continue
+            cnt, tok = min((corpus[x], x) for x in toks)
+            row = out.loc[doc_id]
+            assert row.rare_cnt == cnt
+            assert row.rare_tok == tok
+
+
+class TestDecayScores:
+    def test_integer_halving_weights(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import DECAY_MAX_WEEKS, QUERIES
+
+        out = QUERIES["decay_scores"](SF_DIR).to_pandas().set_index("user_id")
+        ev = pq.read_table(
+            f"{SF_DIR}/events.parquet", columns=["ts", "user_id"]
+        ).to_pandas()
+        day = (ev.ts.astype("int64") // 1_000_000) // 86_400
+        max_day = int(day.max())
+        weeks = ((max_day - day) // 7).clip(upper=DECAY_MAX_WEEKS)
+        w = np.right_shift(128, weeks.to_numpy().astype(np.int64))
+        w = pd.Series(w, index=ev.index)
+        want = w.groupby(ev.user_id).sum()
+        assert len(out) == len(want)
+        for uid, s in want.items():
+            assert out.loc[uid].score == s
+        # weights live on the exact halving grid
+        assert set(np.unique(w)) <= {128 >> i for i in range(DECAY_MAX_WEEKS + 1)}
