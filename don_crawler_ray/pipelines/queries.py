@@ -14068,3 +14068,328 @@ FROM d, mx GROUP BY 1
 
 QUERIES.update({"decay_scores": q_decay_scores})
 ORACLE_SQL.update({"decay_scores": SQL_DECAY_SCORES})
+
+
+_Q5_START_US = int(np.datetime64("1997-01-01", "us").astype(np.int64))
+_Q5_END_US = int(np.datetime64("1999-01-01", "us").astype(np.int64))
+Q5_REGION = "ASIA"
+
+
+def q_q5_local_supplier(sf_dir: str):
+    """TPC-H Q5 shape (local supplier volume): customer ⋈ orders ⋈
+    lineitem ⋈ supplier ⋈ nation ⋈ region, revenue per nation where
+    the CUSTOMER's and the SUPPLIER's nation coincide inside one
+    region, over a 2-year order window — the canonical star-plus-self
+    multi-way join.
+
+    Scale shape: region⋈nation (tiny) folds on the driver into an
+    in-region nation set; supplier (the small dimension) broadcasts
+    ONCE via the batch closure as a sorted (suppkey -> nationkey)
+    array; the two big-big joins ride the same slim side-tagged
+    bucket exchanges as ``q3_shipping_priority`` (custkey, then
+    orderkey); revenue folds to (nation, rev) partials so the driver
+    sees O(buckets x nations) rows. At 10^10 rows the supplier
+    broadcast becomes a third bucket exchange on suppkey — noted, not
+    needed at dimension sizes that fit a worker heap (reference
+    analog: the vitality merge cascade, crawler/crawler.go:566-592,
+    is the same join-then-aggregate shape)."""
+    nation = pa.Table.from_pylist(_read(sf_dir, "nation").take_all())
+    region = pa.Table.from_pylist(_read(sf_dir, "region").take_all())
+    rkey = region.filter(pc.equal(region.column("r_name"), Q5_REGION)).column(
+        "r_regionkey"
+    )[0].as_py()
+    nat = nation.filter(pc.equal(nation.column("n_regionkey"), rkey))
+    nat_keys = nat.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nat_names = nat.column("n_name").to_pylist()
+    name_of = dict(zip(nat_keys.tolist(), nat_names))
+
+    supp = pa.Table.from_pylist(
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).take_all()
+    )
+    sk = supp.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    sn = supp.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    so = np.argsort(sk)
+    sk, sn = sk[so], sn[so]
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    asia = frozenset(nat_keys.tolist())
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        cn = batch.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(cn, nat_keys)
+        key = batch.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "side": pa.array(np.zeros(len(key), np.int8)),
+                "okey": pa.array(np.zeros(len(key), np.int64)),
+                "nat": pa.array(cn[keep]),
+                "_bucket": _bucket_col(key),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        date = batch.column("o_orderdate").to_numpy(zero_copy_only=False).view(np.int64)
+        keep = (date >= _Q5_START_US) & (date < _Q5_END_US)
+        key = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "side": pa.array(np.ones(len(key), np.int8)),
+                "okey": pc.cast(batch.column("o_orderkey"), pa.int64()).filter(pa.array(keep)),
+                "nat": pa.array(np.zeros(len(key), np.int64)),
+                "_bucket": _bucket_col(key),
+            }
+        )
+
+    def cust_join(group: pa.Table) -> pa.Table:
+        """Attach the customer's nation to each of their window orders."""
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        side = group.column("side").to_numpy(zero_copy_only=False).astype(np.int64)
+        nat = group.column("nat").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, key))
+        key_s, side_s = key[order], side[order]
+        _, seg_starts, seg_len = _segments(key_s)
+        has_cust = side_s[seg_starts] == 0
+        keep = np.repeat(has_cust, seg_len) & (side_s == 1)
+        cnat = np.repeat(nat[order][seg_starts], seg_len)[keep]
+        okey = (
+            group.column("okey")
+            .take(pa.array(order[keep]))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "key": pa.array(okey),
+                "side": pa.array(np.zeros(len(okey), np.int8)),
+                "nat": pa.array(cnat),
+                "rev": pa.array(np.zeros(len(okey), np.int64)),
+                "_bucket": _bucket_col(okey),
+            }
+        )
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        key = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        sup = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(sk, sup)
+        pos = np.clip(pos, 0, len(sk) - 1)
+        snat = np.where(sk[pos] == sup, sn[pos], np.int64(-1))
+        price = np.rint(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc = np.rint(
+            batch.column("l_discount").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        rev = price * (100 - disc)
+        keep = np.isin(snat, nat_keys)
+        key = key[keep]
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "side": pa.array(np.ones(len(key), np.int8)),
+                "nat": pa.array(snat[keep]),
+                "rev": pa.array(rev[keep]),
+                "_bucket": _bucket_col(key),
+            }
+        )
+
+    def order_join(group: pa.Table) -> pa.Table:
+        """Per order: lineitems whose supplier nation == customer nation;
+        fold to (nation, revenue) partials inside the bucket."""
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        side = group.column("side").to_numpy(zero_copy_only=False).astype(np.int64)
+        nat = group.column("nat").to_numpy(zero_copy_only=False)
+        rev = group.column("rev").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, key))
+        key_s, side_s = key[order], side[order]
+        nat_s, rev_s = nat[order], rev[order]
+        _, seg_starts, seg_len = _segments(key_s)
+        has_order = side_s[seg_starts] == 0
+        cnat = np.repeat(np.where(has_order, nat_s[seg_starts], np.int64(-2)), seg_len)
+        keep = (side_s == 1) & (nat_s == cnat)
+        if not keep.any():
+            return pa.table(
+                {"nationkey": pa.array([], pa.int64()), "rev": pa.array([], pa.int64())}
+            )
+        nk = nat_s[keep]
+        u, inv = np.unique(nk, return_inverse=True)
+        s = np.bincount(inv, weights=rev_s[keep]).astype(np.int64)
+        return pa.table({"nationkey": pa.array(u), "rev": pa.array(s, pa.int64())})
+
+    parts = pa.Table.from_pylist(
+        cust.map_batches(cust_side, batch_format="pyarrow")
+        .union(orders.map_batches(order_side, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(cust_join, batch_format="pyarrow")
+        .union(li.map_batches(li_side, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(order_join, batch_format="pyarrow")
+        .take_all()
+    )  # O(buckets x nations) rows
+    nk = parts.column("nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    rv = parts.column("rev").to_numpy(zero_copy_only=False).astype(np.int64)
+    u, inv = np.unique(nk, return_inverse=True)
+    s = np.bincount(inv, weights=rv).astype(np.int64)
+    names = np.array([name_of[int(k)] for k in u], dtype=object)
+    top = np.lexsort((names, -s))
+    return pa.table(
+        {
+            "n_name": pa.array(names[top].tolist(), pa.string()),
+            "revenue_e4": pa.array(s[top], pa.int64()),
+        }
+    )
+
+
+SQL_Q5 = f"""
+SELECT n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100.0) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100.0) AS BIGINT))) AS BIGINT)
+         AS revenue_e4
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{Q5_REGION}'
+  AND c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY 1
+"""
+
+QUERIES.update({"q5_local_supplier": q_q5_local_supplier})
+ORACLE_SQL.update({"q5_local_supplier": SQL_Q5})
+
+
+def q_ngram_novelty(sf_dir: str):
+    """Per-document n-gram novelty (contribution scoring): the share
+    of a document's DISTINCT bigrams that it OWNS — i.e. whose
+    earliest occurrence in the corpus (minimum doc_id containing the
+    bigram) is this document. High-novelty documents introduce new
+    n-grams; near-zero novelty marks template/boilerplate copies —
+    the per-doc complement of corpus-level dedup stats. Output is the
+    exact integer permille grid ``novelty_permille = n_owned * 1000
+    // n_bigrams``.
+
+    Scale shape: each document lives wholly in one batch, so the
+    per-batch distinct (bigram, doc) incidence pairs are globally
+    distinct; ONE 256-way exchange on the bigram hash computes every
+    bigram's global min-doc and, in the same group, tags each
+    incidence row owned/not; per-doc partial sums then ride a slim
+    64-way doc exchange. Bigram strings travel once; no broadcast
+    model."""
+    from don_crawler_ray.functions.dedup import fnv1a64_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, doc_idx = _vec_doc_tokens(batch.column("text"))
+        enc = pc.dictionary_encode(flat)
+        t_idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = max(len(enc.dictionary), 1)
+        empty = pa.table(
+            {
+                "bg": pa.array([], pa.string()),
+                "doc": pa.array([], pa.int64()),
+                "_bucket": pa.array([], pa.int32()),
+            }
+        )
+        if len(t_idx) < 2:
+            return empty
+        same = doc_idx[1:] == doc_idx[:-1]
+        w1i = t_idx[:-1][same]
+        w2i = t_idx[1:][same]
+        d = doc_idx[:-1][same]
+        # distinct (doc, bigram) incidence pairs of this batch
+        key = (d * v + w1i) * v + w2i
+        uk, first = np.unique(key, return_index=True)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bg = pc.binary_join_element_wise(
+            enc.dictionary.take(pa.array(w1i[first])),
+            enc.dictionary.take(pa.array(w2i[first])),
+            "\x00",
+        )
+        return pa.table(
+            {
+                "bg": bg,
+                "doc": pa.array(ids[d[first]], pa.int64()),
+                "_bucket": pa.array(
+                    (fnv1a64_batch(bg) % np.uint64(256)).astype(np.int32)
+                ),
+            }
+        )
+
+    def bucket_own(group: pa.Table) -> pa.Table:
+        bg = group.column("bg")
+        doc = group.column("doc").to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = pc.dictionary_encode(
+            bg.combine_chunks() if isinstance(bg, pa.ChunkedArray) else bg
+        )
+        g = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((doc, g))
+        g_s, doc_s = g[order], doc[order]
+        _, seg_starts, seg_len = _segments(g_s)
+        owner = np.repeat(doc_s[seg_starts], seg_len)
+        owned = (doc_s == owner).astype(np.int64)
+        # per-doc partials within the bucket
+        u, inv = np.unique(doc_s, return_inverse=True)
+        n_bg = np.bincount(inv).astype(np.int64)
+        n_owned = np.bincount(inv, weights=owned).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(u, pa.int64()),
+                "n_owned": pa.array(n_owned, pa.int64()),
+                "n_bg": pa.array(n_bg, pa.int64()),
+                "_b2": pa.array((u % 64).astype(np.int32)),
+            }
+        )
+
+    def doc_sum(group: pa.Table) -> pa.Table:
+        agg = (
+            group.select(["doc_id", "n_owned", "n_bg"])
+            .group_by("doc_id")
+            .aggregate([("n_owned", "sum"), ("n_bg", "sum")])
+            .rename_columns(["doc_id", "n_owned", "n_bg"])
+        )
+        owned = agg.column("n_owned").to_numpy(zero_copy_only=False).astype(np.int64)
+        nbg = agg.column("n_bg").to_numpy(zero_copy_only=False).astype(np.int64)
+        return agg.append_column(
+            "novelty_permille", pa.array(owned * 1000 // nbg, pa.int64())
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_own, batch_format="pyarrow")
+        .groupby("_b2")
+        .map_groups(doc_sum, batch_format="pyarrow")
+    )
+
+
+SQL_NGRAM_NOVELTY = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents),
+pairs AS (
+  SELECT DISTINCT doc_id, tk[i] || chr(0) || tk[i + 1] AS bg
+  FROM toks, unnest(range(1, len(tk))) AS u(i)),
+own AS (SELECT bg, min(doc_id) AS owner FROM pairs GROUP BY 1)
+SELECT p.doc_id,
+       CAST(sum(CASE WHEN o.owner = p.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_owned,
+       CAST(count(*) AS BIGINT) AS n_bg,
+       CAST(sum(CASE WHEN o.owner = p.doc_id THEN 1 ELSE 0 END) * 1000
+            // count(*) AS BIGINT) AS novelty_permille
+FROM pairs p JOIN own o ON p.bg = o.bg
+GROUP BY 1
+"""
+
+QUERIES.update({"ngram_novelty": q_ngram_novelty})
+ORACLE_SQL.update({"ngram_novelty": SQL_NGRAM_NOVELTY})

@@ -2588,3 +2588,73 @@ class TestDecayScores:
             assert out.loc[uid].score == s
         # weights live on the exact halving grid
         assert set(np.unique(w)) <= {128 >> i for i in range(DECAY_MAX_WEEKS + 1)}
+
+
+class TestQ5LocalSupplier:
+    def test_matches_pandas_recompute(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import QUERIES, Q5_REGION
+
+        out = QUERIES["q5_local_supplier"](SF_DIR).to_pandas()
+        cust = pq.read_table(f"{SF_DIR}/customer.parquet").to_pandas()
+        orders = pq.read_table(f"{SF_DIR}/orders.parquet").to_pandas()
+        li = pq.read_table(f"{SF_DIR}/lineitem.parquet").to_pandas()
+        supp = pq.read_table(f"{SF_DIR}/supplier.parquet").to_pandas()
+        nat = pq.read_table(f"{SF_DIR}/nation.parquet").to_pandas()
+        reg = pq.read_table(f"{SF_DIR}/region.parquet").to_pandas()
+        rk = reg.loc[reg.r_name == Q5_REGION, "r_regionkey"].iloc[0]
+        nat = nat[nat.n_regionkey == rk]
+        o = orders[
+            (orders.o_orderdate >= "1997-01-01") & (orders.o_orderdate < "1999-01-01")
+        ]
+        j = (
+            li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+            .merge(cust, left_on="o_custkey", right_on="c_custkey")
+            .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+            .merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+        )
+        j = j[j.c_nationkey == j.s_nationkey]
+        rev = (
+            (j.l_extendedprice * 100.0).round().astype("int64")
+            * (100 - (j.l_discount * 100.0).round().astype("int64"))
+        )
+        want = rev.groupby(j.n_name).sum().sort_values(ascending=False)
+        got = out.set_index("n_name").revenue_e4
+        assert got.to_dict() == want.to_dict()
+        # output is sorted by revenue desc then name
+        assert list(out.revenue_e4) == sorted(out.revenue_e4, reverse=True)
+
+
+class TestNgramNovelty:
+    def test_ownership_and_permille_grid(self, ray_session):
+        import collections
+
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import QUERIES
+
+        out = QUERIES["ngram_novelty"](SF_DIR).to_pandas().set_index("doc_id")
+        docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        ids = docs.column("doc_id").to_pylist()
+        texts = docs.column("text").to_pylist()
+        owner: dict = {}
+        per_doc: dict = {}
+        for doc_id, t in sorted(zip(ids, texts)):
+            toks = t.split()
+            bgs = set(zip(toks, toks[1:]))
+            per_doc[doc_id] = bgs
+            for b in bgs:
+                owner.setdefault(b, doc_id)
+        n_docs_with_bg = sum(1 for b in per_doc.values() if b)
+        assert len(out) == n_docs_with_bg
+        for doc_id, bgs in per_doc.items():
+            if not bgs:
+                continue
+            n_owned = sum(1 for b in bgs if owner[b] == doc_id)
+            row = out.loc[doc_id]
+            assert row.n_bg == len(bgs)
+            assert row.n_owned == n_owned
+            assert row.novelty_permille == n_owned * 1000 // len(bgs)
+        # every bigram has exactly one owner: owned sums to distinct bigrams
+        assert int(out.n_owned.sum()) == len(owner)
