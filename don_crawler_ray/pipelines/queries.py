@@ -14393,3 +14393,185 @@ GROUP BY 1
 
 QUERIES.update({"ngram_novelty": q_ngram_novelty})
 ORACLE_SQL.update({"ngram_novelty": SQL_NGRAM_NOVELTY})
+
+
+def q_containment_pairs(sf_dir: str):
+    """Asymmetric set CONTAINMENT of every verified near-dup pair —
+    ``C(A,B) = |A ∩ B| / |A|`` over the word-4gram sets, both
+    directions, on the exact integer permille grid. Containment is
+    the dedup diagnostic Jaccard hides: a quote or subset page has
+    high containment one way and low the other, while a true mirror
+    is high both ways. Candidates are the memoized exact-Jaccard
+    pairs (recall 1.0 at J >= 0.5, PPJoin prefix filter, see
+    ``_jaccard_pairs_table``); this pass re-attaches the pair texts
+    (broadcast when provably small, shuffle joins otherwise) and
+    computes the exact integer intersection per pair."""
+    import ray
+
+    from don_crawler_ray.functions.dedup import word_ngrams
+
+    pairs = _jaccard_pairs_table(sf_dir).select(["a", "b"])
+    pairs_ds = ray.data.from_arrow(pairs)
+    with_texts = _attach_pair_texts(sf_dir, pairs_ds, pairs.num_rows)
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = JACCARD_NGRAM
+        memo: dict = {}
+
+        def sh(doc_id, text):
+            s = memo.get(doc_id)
+            if s is None:
+                s = memo[doc_id] = set(word_ngrams(text, n))
+            return s
+
+        a_out, b_out, i_out, na_out, nb_out = [], [], [], [], []
+        for a, b, ta, tb in zip(
+            batch.column("a").to_pylist(),
+            batch.column("b").to_pylist(),
+            batch.column("text_a").to_pylist(),
+            batch.column("text_b").to_pylist(),
+        ):
+            sa, sb = sh(a, ta), sh(b, tb)
+            inter = len(sa & sb)
+            a_out.append(a)
+            b_out.append(b)
+            i_out.append(inter)
+            na_out.append(len(sa))
+            nb_out.append(len(sb))
+        inter = np.array(i_out, np.int64)
+        na = np.array(na_out, np.int64)
+        nb = np.array(nb_out, np.int64)
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.int64()),
+                "b": pa.array(b_out, pa.int64()),
+                "inter": pa.array(inter, pa.int64()),
+                "na": pa.array(na, pa.int64()),
+                "nb": pa.array(nb, pa.int64()),
+                "cont_a_permille": pa.array(inter * 1000 // np.maximum(na, 1), pa.int64()),
+                "cont_b_permille": pa.array(inter * 1000 // np.maximum(nb, 1), pa.int64()),
+            }
+        )
+
+    return with_texts.map_batches(score, batch_format="pyarrow")
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id, {_NGRAM_SQL} AS s
+  FROM toks WHERE len(t) >= {JACCARD_NGRAM}),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         len(list_intersect(x.s, y.s)) AS i, len(x.s) AS na, len(y.s) AS nb
+  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+SELECT a, b, CAST(i AS BIGINT) AS inter,
+       CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+       CAST(CAST(i AS BIGINT) * 1000 // GREATEST(na, 1) AS BIGINT) AS cont_a_permille,
+       CAST(CAST(i AS BIGINT) * 1000 // GREATEST(nb, 1) AS BIGINT) AS cont_b_permille
+FROM pairs
+WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {JACCARD_TAU}
+"""
+
+QUERIES.update({"containment_pairs": q_containment_pairs})
+ORACLE_SQL.update({"containment_pairs": SQL_CONTAINMENT_PAIRS})
+
+
+def q_winsorize_values(sf_dir: str):
+    """Winsorized per-type value aggregate: clip every event's value at
+    the type's EXACT p5/p95 order statistics (1-based ceil index
+    ``(p*n + 99) // 100``, the ``group_quantiles`` contract), then
+    report the clipped integer-cent sum and the clip counts — the
+    robust-statistics step of metric pipelines, exact on both sides.
+
+    Scale shape: order statistics are not partial-mergeable, so this
+    rides the bucket segment kernel (one shuffle on the type key
+    space, one sort per bucket handling every type in it vectorized);
+    clipping and the clipped sums happen in the same pass on the
+    already-sorted runs, so each bucket emits one complete row per
+    type and the driver folds nothing."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        cents = np.rint(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        enc = pc.dictionary_encode(et.combine_chunks() if isinstance(et, pa.ChunkedArray) else et)
+        # bucket on a stable content hash of the type name so the
+        # bucketing is identical at any batch boundary
+        from don_crawler_ray.functions.dedup import fnv1a64_batch
+
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = (fnv1a64_batch(enc.dictionary) % np.uint64(64)).astype(np.int32)
+        return pa.table(
+            {
+                "event_type": et,
+                "cents": pa.array(cents, pa.int64()),
+                "_bucket": pa.array(bh[codes]),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")
+        enc = pc.dictionary_encode(et.combine_chunks() if isinstance(et, pa.ChunkedArray) else et)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = group.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((cents, codes))
+        codes_s, cents_s = codes[order], cents[order]
+        _, seg_starts, seg_len = _segments(codes_s)
+        lo_idx = seg_starts + (5 * seg_len + 99) // 100 - 1
+        hi_idx = seg_starts + (95 * seg_len + 99) // 100 - 1
+        lo = cents_s[lo_idx]
+        hi = cents_s[hi_idx]
+        lo_full = np.repeat(lo, seg_len)
+        hi_full = np.repeat(hi, seg_len)
+        clipped = np.clip(cents_s, lo_full, hi_full)
+        s = np.add.reduceat(clipped, seg_starts)
+        n_lo = np.add.reduceat((cents_s < lo_full).astype(np.int64), seg_starts)
+        n_hi = np.add.reduceat((cents_s > hi_full).astype(np.int64), seg_starts)
+        return pa.table(
+            {
+                "event_type": enc.dictionary.take(pa.array(codes_s[seg_starts])),
+                "n": pa.array(seg_len, pa.int64()),
+                "lo_e2": pa.array(lo, pa.int64()),
+                "hi_e2": pa.array(hi, pa.int64()),
+                "sum_clipped_e2": pa.array(s, pa.int64()),
+                "n_clipped_lo": pa.array(n_lo, pa.int64()),
+                "n_clipped_hi": pa.array(n_hi, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+SQL_WINSORIZE = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100.0) AS BIGINT) AS cents FROM events),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v),
+b AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         max(CASE WHEN rk = (5 * n + 99) // 100 THEN cents END) AS lo_e2,
+         max(CASE WHEN rk = (95 * n + 99) // 100 THEN cents END) AS hi_e2
+  FROM r GROUP BY 1)
+SELECT v.event_type, b.n, b.lo_e2, b.hi_e2,
+       CAST(sum(LEAST(GREATEST(v.cents, b.lo_e2), b.hi_e2)) AS BIGINT) AS sum_clipped_e2,
+       CAST(sum(CASE WHEN v.cents < b.lo_e2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+       CAST(sum(CASE WHEN v.cents > b.hi_e2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi
+FROM v JOIN b USING (event_type)
+GROUP BY 1, 2, 3, 4
+"""
+
+QUERIES.update({"winsorize_values": q_winsorize_values})
+ORACLE_SQL.update({"winsorize_values": SQL_WINSORIZE})

@@ -2658,3 +2658,70 @@ class TestNgramNovelty:
             assert row.novelty_permille == n_owned * 1000 // len(bgs)
         # every bigram has exactly one owner: owned sums to distinct bigrams
         assert int(out.n_owned.sum()) == len(owner)
+
+
+class TestContainmentPairs:
+    def test_containment_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.functions.dedup import word_ngrams
+        from don_crawler_ray.pipelines.queries import (
+            JACCARD_NGRAM,
+            JACCARD_TAU,
+            QUERIES,
+        )
+
+        out = QUERIES["containment_pairs"](SF_DIR).to_pandas()
+        docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        sets = {
+            d: set(word_ngrams(t, JACCARD_NGRAM))
+            for d, t in zip(
+                docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+            )
+            if len(t.split()) >= JACCARD_NGRAM
+        }
+        ids = sorted(sets)
+        want = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a]) + len(sets[b]) - inter
+                if union and inter / union >= JACCARD_TAU:
+                    want[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+        got = {
+            (r.a, r.b): (r.inter, r.na, r.nb) for r in out.itertuples()
+        }
+        assert got == want
+        for r in out.itertuples():
+            assert r.cont_a_permille == r.inter * 1000 // max(r.na, 1)
+            assert r.cont_b_permille == r.inter * 1000 // max(r.nb, 1)
+            # containment >= jaccard always (inter/|A| >= inter/union)
+            assert r.cont_a_permille >= 500 or r.cont_b_permille >= 500
+
+
+class TestWinsorizeValues:
+    def test_clip_bounds_and_sums(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import QUERIES
+
+        out = QUERIES["winsorize_values"](SF_DIR).to_pandas().set_index("event_type")
+        ev = pq.read_table(
+            f"{SF_DIR}/events.parquet", columns=["event_type", "value"]
+        ).to_pandas()
+        cents = (ev.value * 100.0).round().astype("int64")
+        for et, grp in cents.groupby(ev.event_type):
+            v = np.sort(grp.to_numpy())
+            n = len(v)
+            lo = v[(5 * n + 99) // 100 - 1]
+            hi = v[(95 * n + 99) // 100 - 1]
+            row = out.loc[et]
+            assert row.n == n
+            assert row.lo_e2 == lo
+            assert row.hi_e2 == hi
+            assert row.sum_clipped_e2 == int(np.clip(v, lo, hi).sum())
+            assert row.n_clipped_lo == int((v < lo).sum())
+            assert row.n_clipped_hi == int((v > hi).sum())
+            # clip counts bounded by the percentile definition
+            assert row.n_clipped_lo <= (5 * n) // 100
+            assert row.n_clipped_hi <= n - (95 * n + 99) // 100 + n // 100
