@@ -14575,3 +14575,213 @@ GROUP BY 1, 2, 3, 4
 
 QUERIES.update({"winsorize_values": q_winsorize_values})
 ORACLE_SQL.update({"winsorize_values": SQL_WINSORIZE})
+
+
+DUP_MATRIX_PREFIX = 32
+
+
+def q_dup_matrix(sf_dir: str):
+    """Cross-source HEAD-duplication matrix — for every document whose
+    32-token lowercased head (prefix fingerprint, the snapshot /
+    boilerplate-head dedup rule) matches an earlier doc_id, one
+    ``(orig_source, dup_source)`` credit; the matrix tells a curation
+    pipeline WHERE its duplication comes from (mirrors within one
+    source vs syndication across sources). Same fingerprint exchange
+    as ``exact_dedup_docs``; each group emits <= sources^2 partial
+    counts, folded by two chained combine levels and a tiny driver
+    merge (O(sources^2) rows)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5(
+                " ".join(t.lower().split()[:DUP_MATRIX_PREFIX]).encode()
+            ).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "fingerprint": pa.array(fps, pa.string()),
+            }
+        )
+
+    def _pairs(orig_col, dup_col, weights: np.ndarray) -> pa.Table:
+        o_enc = pc.dictionary_encode(
+            orig_col.combine_chunks() if isinstance(orig_col, pa.ChunkedArray) else orig_col
+        )
+        d_enc = pc.dictionary_encode(
+            dup_col.combine_chunks() if isinstance(dup_col, pa.ChunkedArray) else dup_col
+        )
+        oi = o_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        di = d_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = max(len(d_enc.dictionary), 1)
+        uk, inv = np.unique(oi * k + di, return_inverse=True)
+        cnt = np.bincount(inv, weights=weights).astype(np.int64)
+        return pa.table(
+            {
+                "orig_source": o_enc.dictionary.take(pa.array(uk // k)),
+                "dup_source": d_enc.dictionary.take(pa.array(uk % k)),
+                "n": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    def per_group(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
+        g = group.take(idx)
+        if g.num_rows < 2:
+            return pa.table(
+                {
+                    "orig_source": pa.array([], pa.string()),
+                    "dup_source": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        src = g.column("source")
+        dup = src.slice(1)
+        orig_rep = pa.array([src[0].as_py()] * (g.num_rows - 1), pa.string())
+        return _pairs(
+            orig_rep,
+            dup.combine_chunks() if isinstance(dup, pa.ChunkedArray) else dup,
+            np.ones(g.num_rows - 1, np.int64),
+        )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        return _pairs(
+            batch.column("orig_source"),
+            batch.column("dup_source"),
+            batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+
+    parts = pa.Table.from_pylist(
+        ds.map_batches(fp, batch_format="pyarrow")
+        .groupby("fingerprint")
+        .map_groups(per_group, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .take_all()
+    )
+    if parts.num_rows == 0:
+        return pa.table(
+            {
+                "orig_source": pa.array([], pa.string()),
+                "dup_source": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    return _pairs(
+        parts.column("orig_source"),
+        parts.column("dup_source"),
+        parts.column("n").to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+
+
+SQL_DUP_MATRIX = f"""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(array_to_string(list_slice(
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''),
+           1, {DUP_MATRIX_PREFIX}), ' ')) AS f
+  FROM documents),
+o AS (SELECT f, min(doc_id) AS orig FROM fp GROUP BY 1),
+j AS (
+  SELECT fo.source AS orig_source, fd.source AS dup_source
+  FROM fp fd
+  JOIN o ON fd.f = o.f
+  JOIN fp fo ON fo.doc_id = o.orig
+  WHERE fd.doc_id <> o.orig)
+SELECT orig_source, dup_source, CAST(count(*) AS BIGINT) AS n
+FROM j GROUP BY 1, 2
+"""
+
+QUERIES.update({"dup_matrix": q_dup_matrix})
+ORACLE_SQL.update({"dup_matrix": SQL_DUP_MATRIX})
+
+
+def q_stratified_eval_split(sf_dir: str):
+    """Stratified deterministic eval split: per language, EXACTLY
+    ``ceil(5%)`` of documents go to eval, chosen by md5-of-id order —
+    the per-stratum twin of ``train_val_split`` (which is globally
+    ~90/10 but makes no per-group guarantee). Stable across runs,
+    machines, and parallelism; count-exact per stratum.
+
+    Scale shape: one bucket exchange on the language key (each lang's
+    rows land wholly in one group), one sort per bucket ordering every
+    lang's rows by (md5_hex, doc_id), rank-below-cut flagging — the
+    ``group_quantiles`` segment kernel over an order-statistic that
+    happens to be a hash."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        from don_crawler_ray.functions.dedup import fnv1a64_batch
+
+        lang = batch.column("lang")
+        enc = pc.dictionary_encode(
+            lang.combine_chunks() if isinstance(lang, pa.ChunkedArray) else lang
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = (fnv1a64_batch(enc.dictionary) % np.uint64(64)).astype(np.int32)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = np.array(
+            [hashlib.md5(str(i).encode()).hexdigest() for i in ids.tolist()],
+            dtype="U32",
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": lang,
+                "h": pa.array(h.tolist(), pa.string()),
+                "_bucket": pa.array(bh[codes]),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        lang = group.column("lang")
+        enc = pc.dictionary_encode(
+            lang.combine_chunks() if isinstance(lang, pa.ChunkedArray) else lang
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = np.asarray(group.column("h").to_numpy(zero_copy_only=False), dtype="U32")
+        order = np.lexsort((ids, h, codes))
+        codes_s, ids_s = codes[order], ids[order]
+        _, seg_starts, seg_len = _segments(codes_s)
+        cut = (5 * seg_len + 99) // 100
+        rank = np.arange(len(codes_s), dtype=np.int64) - np.repeat(seg_starts, seg_len)
+        is_eval = rank < np.repeat(cut, seg_len)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_s, pa.int64()),
+                "lang": enc.dictionary.take(pa.array(codes_s)),
+                "split": pa.array(
+                    np.where(is_eval, "eval", "train"), pa.string()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+SQL_STRATIFIED_EVAL = """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN rk <= (5 * n + 99) // 100 THEN 'eval' ELSE 'train' END AS split
+FROM r
+"""
+
+QUERIES.update({"stratified_eval_split": q_stratified_eval_split})
+ORACLE_SQL.update({"stratified_eval_split": SQL_STRATIFIED_EVAL})

@@ -2725,3 +2725,61 @@ class TestWinsorizeValues:
             # clip counts bounded by the percentile definition
             assert row.n_clipped_lo <= (5 * n) // 100
             assert row.n_clipped_hi <= n - (95 * n + 99) // 100 + n // 100
+
+
+class TestDupMatrix:
+    def test_credits_match_prefix_recount(self, ray_session):
+        import collections
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import DUP_MATRIX_PREFIX, QUERIES
+
+        out = QUERIES["dup_matrix"](SF_DIR).to_pandas()
+        docs = pq.read_table(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "source", "text"]
+        ).to_pandas()
+        first: dict = {}
+        want: collections.Counter = collections.Counter()
+        for _, r in docs.sort_values("doc_id").iterrows():
+            f = hashlib.md5(
+                " ".join(r.text.lower().split()[:DUP_MATRIX_PREFIX]).encode()
+            ).hexdigest()
+            if f in first:
+                want[(first[f], r.source)] += 1
+            else:
+                first[f] = r.source
+        got = {(r.orig_source, r.dup_source): r.n for r in out.itertuples()}
+        assert got == dict(want)
+        assert int(out.n.sum()) == sum(want.values())
+
+
+class TestStratifiedEvalSplit:
+    def test_exact_per_lang_ceil_5pct(self, ray_session):
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import QUERIES
+
+        out = QUERIES["stratified_eval_split"](SF_DIR).to_pandas()
+        docs = pq.read_table(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang"]
+        ).to_pandas()
+        assert len(out) == len(docs)
+        for lang, grp in docs.groupby("lang"):
+            n = len(grp)
+            cut = (5 * n + 99) // 100
+            sub = out[out.lang == lang]
+            assert (sub.split == "eval").sum() == cut
+            # eval member set = first `cut` ids by (md5, id)
+            ordered = sorted(
+                grp.doc_id, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+            )
+            assert set(sub.loc[sub.split == "eval", "doc_id"]) == set(ordered[:cut])
+        # determinism across invocations
+        out2 = QUERIES["stratified_eval_split"](SF_DIR).to_pandas()
+        a = out.sort_values("doc_id").reset_index(drop=True)
+        b = out2.sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
