@@ -14785,3 +14785,365 @@ FROM r
 
 QUERIES.update({"stratified_eval_split": q_stratified_eval_split})
 ORACLE_SQL.update({"stratified_eval_split": SQL_STRATIFIED_EVAL})
+
+
+PRIORITY_SAMPLE_K = 100
+
+
+def q_priority_sample(sf_dir: str):
+    """Weighted priority sample (Duffield/Lund/Thorup bottom-k shape):
+    each document draws the integer priority ``splitmix64(doc_id) //
+    max(n_chars, 1)`` — a fixed uniform key divided by the weight, so
+    longer documents get proportionally smaller priorities — and the
+    global sample is the K rows with the smallest ``(priority,
+    doc_id)``. The deterministic weighted-sampling primitive a
+    curation pipeline uses to pull a size-biased audit set without a
+    random state.
+
+    Scale shape: bottom-k is a semilattice — per-batch partial
+    bottom-K (a combiner: <= K rows leave every batch) + two chained
+    combine levels re-truncating, then a <= K-row driver cut. No
+    shuffle; the oracle re-derives the mix bit-for-bit."""
+    from don_crawler_ray.functions.dedup import _mix64
+
+    K = PRIORITY_SAMPLE_K
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        if "pr" in batch.column_names:
+            pr = batch.column("pr").to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            # order-preserving signed view of the uint64 priority
+            # (uint64 rows overflow from_pylist on take_all)
+            wts = np.maximum(w, 1).astype(np.uint64)
+            pr = (
+                (_mix64(doc.astype(np.uint64)) // wts) ^ np.uint64(1 << 63)
+            ).astype(np.int64)
+        order = np.lexsort((doc, pr))[:K]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[order], pa.int64()),
+                "n_chars": pa.array(w[order], pa.int64()),
+                "pr": pa.array(pr[order], pa.int64()),
+            }
+        )
+
+    cand = pa.Table.from_pylist(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .take_all()
+    )
+    doc = cand.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    w = cand.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+    pr = cand.column("pr").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((doc, pr))[:K]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()),
+            "doc_id": pa.array(doc[order], pa.int64()),
+            "n_chars": pa.array(w[order], pa.int64()),
+        }
+    )
+
+
+def _build_priority_sample_sql() -> str:
+    """splitmix64(doc_id) via the 32-bit-limb mulmod chain, integer
+    division by the weight, bottom-K window."""
+    m64 = 1 << 64
+    c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    mulmod = _sql_mulmod
+    return f"""
+WITH ma AS (SELECT doc_id, n_chars,
+            CAST((CAST(doc_id AS HUGEINT) + {c1}) % {m64} AS UBIGINT) AS z FROM documents),
+mb AS (SELECT doc_id, n_chars, {mulmod('xor(z, z >> 30)', c2)} AS z FROM ma),
+mc AS (SELECT doc_id, n_chars, {mulmod('xor(z, z >> 27)', c3)} AS z FROM mb),
+md AS (SELECT doc_id, n_chars,
+        xor(z, z >> 31) // CAST(GREATEST(n_chars, 1) AS UBIGINT) AS pr FROM mc),
+r AS (SELECT doc_id, n_chars,
+        row_number() OVER (ORDER BY pr, doc_id) AS rn FROM md)
+SELECT CAST(rn AS BIGINT) AS rank, doc_id, n_chars
+FROM r WHERE rn <= {PRIORITY_SAMPLE_K}
+"""
+
+
+SQL_PRIORITY_SAMPLE = _build_priority_sample_sql()
+
+QUERIES.update({"priority_sample": q_priority_sample})
+ORACLE_SQL.update({"priority_sample": SQL_PRIORITY_SAMPLE})
+
+
+HH_THRESHOLD = 64  # report tokens with count * 64 > total tokens
+HH_SUMMARY_K = 127  # Misra-Gries counters; error <= N / (K+1) = N / 128
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Exact frequent tokens via a SHUFFLE-FREE two-pass: (1) a
+    mergeable Misra-Gries summary (Agarwal et al., PODS'12 mergeable
+    summaries) over per-batch token counts — each merge sums counters
+    and subtracts the (K+1)-th largest, so the summary never exceeds K
+    counters and undercounts by at most N/(K+1) < N/threshold, hence
+    every true heavy hitter survives; (2) an exact count of only the
+    <= K surviving candidates (broadcast as a tiny filter) plus the
+    exact total token count, tree-combined. Output = exactly the
+    tokens with count * 64 > N, with exact counts — the
+    frequent-items primitive at corpus scale without the bucket
+    shuffle ``vocab_topk`` pays.
+
+    Pass-1 merge order varies with parallelism, but only the CANDIDATE
+    SET depends on it, and any superset of the true heavy hitters
+    yields the same final output after the exact pass — deterministic
+    at any width."""
+
+    K = HH_SUMMARY_K
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def mg_compress(tok: pa.Array, cnt: np.ndarray) -> pa.Table:
+        if len(cnt) > K:
+            kth = np.partition(cnt, len(cnt) - K - 1)[len(cnt) - K - 1]
+            keep = cnt > kth
+            tok, cnt = tok.filter(pa.array(keep)), cnt[keep] - kth
+        return pa.table(
+            {"token": tok, "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if "token" in batch.column_names:  # combine level: merge summaries
+            agg = (
+                batch.group_by("token")
+                .aggregate([("n", "sum")])
+                .rename_columns(["token", "n"])
+            )
+            return mg_compress(
+                agg.column("token").combine_chunks(),
+                agg.column("n").to_numpy(zero_copy_only=False).astype(np.int64),
+            )
+        toks, cnt = _vec_unigram_counts(batch.column("text"))
+        return mg_compress(toks, cnt)
+
+    cand = pa.Table.from_pylist(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .take_all()
+    )
+    final = partial(cand) if cand.num_rows else cand
+    cand_set = set(final.column("token").to_pylist()) if final.num_rows else set()
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        if "token" in batch.column_names:  # combine level: plain sums
+            g = batch.group_by("token").aggregate([("n", "sum"), ("total", "sum")])
+            return g.rename_columns(["token", "n", "total"])
+        toks, cnt = _vec_unigram_counts(batch.column("text"))
+        total = int(cnt.sum())
+        keep = np.asarray(pc.is_in(toks, value_set=pa.array(sorted(cand_set), pa.string())))
+        toks, cnt = toks.filter(pa.array(keep)), cnt[keep]
+        # carry the batch's total token count on the first row (or a
+        # sentinel row when no candidate appears in the batch)
+        tot = np.zeros(len(cnt), np.int64)
+        if len(cnt):
+            tot[0] = total
+            return pa.table(
+                {
+                    "token": toks,
+                    "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                    "total": pa.array(tot, pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "token": pa.array([""], pa.string()),
+                "n": pa.array([0], pa.int64()),
+                "total": pa.array([total], pa.int64()),
+            }
+        )
+
+    rows = pa.Table.from_pylist(
+        ds.map_batches(exact_partial, batch_format="pyarrow")
+        .map_batches(exact_partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(exact_partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .take_all()
+    )
+    if rows.num_rows == 0:
+        return pa.table(
+            {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    total = int(pc.sum(rows.column("total")).as_py() or 0)
+    agg = rows.group_by("token").aggregate([("n", "sum")]).rename_columns(["token", "n"])
+    n = agg.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = n * HH_THRESHOLD > total
+    out = agg.filter(pa.array(keep))
+    idx = pc.sort_indices(out, sort_keys=[("n", "descending"), ("token", "ascending")])
+    return out.take(idx)
+
+
+SQL_HEAVY_HITTERS = rf"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
+  FROM documents),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM toks GROUP BY token
+HAVING count(*) * {HH_THRESHOLD} > (SELECT n FROM tot)
+ORDER BY n DESC, token
+"""
+
+QUERIES.update({"heavy_hitters": q_heavy_hitters})
+ORACLE_SQL.update({"heavy_hitters": SQL_HEAVY_HITTERS})
+
+
+# (column, is_int, track_distinct): ints render min/max via str(),
+# strings natively; exact distinct sets are carried ONLY for columns
+# that are low-cardinality BY SCHEMA DESIGN (flags, line numbers) so
+# the merged set stays O(1) at any corpus size — high-cardinality
+# keys report the -1 sentinel instead of an unbounded union.
+PROFILE_COLUMNS = [
+    ("l_linenumber", True, True),
+    ("l_linestatus", False, True),
+    ("l_orderkey", True, False),
+    ("l_partkey", True, False),
+    ("l_returnflag", False, True),
+    ("l_suppkey", True, False),
+]
+_PROFILE_IMIN = -(1 << 62)
+_PROFILE_IMAX = 1 << 62
+
+
+def q_profile_columns(sf_dir: str):
+    """Column-profile / data-quality validation (the expectations
+    check a pipeline runs before training): per column, row count,
+    null count, min / max, and — for schema-bounded low-cardinality
+    columns — the exact distinct count. One streaming pass; each batch
+    emits SIX tiny partial rows (one per profiled column) carrying
+    native-typed min/max plus the distinct-value set, merged through
+    two chained combine levels and a <= 6-row driver fold. No shuffle,
+    no driver materialization; min/max comparisons stay in the native
+    type through the whole merge tree and only render to VARCHAR in
+    the final projection."""
+    cols = [c for c, _, _ in PROFILE_COLUMNS]
+    ds = _read(sf_dir, "lineitem", columns=cols)
+
+    def fold(rows: pa.Table) -> pa.Table:
+        out = {k: [] for k in (
+            "col", "n", "n_null", "min_i", "max_i", "min_s", "max_s", "dvals")}
+        for col in sorted(set(rows.column("col").to_pylist())):
+            m = pc.equal(rows.column("col"), col)
+            g = rows.filter(m)
+            out["col"].append(col)
+            out["n"].append(int(pc.sum(g.column("n")).as_py()))
+            out["n_null"].append(int(pc.sum(g.column("n_null")).as_py()))
+            out["min_i"].append(int(pc.min(g.column("min_i")).as_py()))
+            out["max_i"].append(int(pc.max(g.column("max_i")).as_py()))
+            ss = [s for s in g.column("min_s").to_pylist() if s != ""]
+            out["min_s"].append(min(ss) if ss else "")
+            out["max_s"].append(max(g.column("max_s").to_pylist()))
+            dv = sorted({v for row in g.column("dvals").to_pylist() for v in row})
+            out["dvals"].append(dv)
+        return pa.table(
+            {
+                "col": pa.array(out["col"], pa.string()),
+                "n": pa.array(out["n"], pa.int64()),
+                "n_null": pa.array(out["n_null"], pa.int64()),
+                "min_i": pa.array(out["min_i"], pa.int64()),
+                "max_i": pa.array(out["max_i"], pa.int64()),
+                "min_s": pa.array(out["min_s"], pa.string()),
+                "max_s": pa.array(out["max_s"], pa.string()),
+                "dvals": pa.array(out["dvals"], pa.list_(pa.string())),
+            }
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if "col" in batch.column_names:  # combine level
+            return fold(batch)
+        rows = {k: [] for k in (
+            "col", "n", "n_null", "min_i", "max_i", "min_s", "max_s", "dvals")}
+        for col, is_int, track in PROFILE_COLUMNS:
+            arr = batch.column(col)
+            rows["col"].append(col)
+            rows["n"].append(batch.num_rows)
+            rows["n_null"].append(arr.null_count)
+            mm = pc.min_max(arr)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            if is_int:
+                rows["min_i"].append(int(lo) if lo is not None else _PROFILE_IMAX)
+                rows["max_i"].append(int(hi) if hi is not None else _PROFILE_IMIN)
+                rows["min_s"].append("")
+                rows["max_s"].append("")
+            else:
+                rows["min_i"].append(_PROFILE_IMAX)
+                rows["max_i"].append(_PROFILE_IMIN)
+                rows["min_s"].append(lo if lo is not None else "")
+                rows["max_s"].append(hi if hi is not None else "")
+            if track:
+                uniq = pc.unique(arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr)
+                dv = sorted(str(v) for v in uniq.to_pylist() if v is not None)
+            else:
+                dv = []
+            rows["dvals"].append(dv)
+        return pa.table(
+            {
+                "col": pa.array(rows["col"], pa.string()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "n_null": pa.array(rows["n_null"], pa.int64()),
+                "min_i": pa.array(rows["min_i"], pa.int64()),
+                "max_i": pa.array(rows["max_i"], pa.int64()),
+                "min_s": pa.array(rows["min_s"], pa.string()),
+                "max_s": pa.array(rows["max_s"], pa.string()),
+                "dvals": pa.array(rows["dvals"], pa.list_(pa.string())),
+            }
+        )
+
+    cand = pa.Table.from_pylist(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .take_all()
+    )
+    final = fold(cand)
+    spec = {c: (i, t) for c, i, t in PROFILE_COLUMNS}
+    min_v, max_v, n_distinct = [], [], []
+    for i, col in enumerate(final.column("col").to_pylist()):
+        is_int, track = spec[col]
+        if is_int:
+            min_v.append(str(final.column("min_i")[i].as_py()))
+            max_v.append(str(final.column("max_i")[i].as_py()))
+        else:
+            min_v.append(final.column("min_s")[i].as_py())
+            max_v.append(final.column("max_s")[i].as_py())
+        n_distinct.append(len(final.column("dvals")[i].as_py()) if track else -1)
+    return pa.table(
+        {
+            "col": final.column("col"),
+            "n": final.column("n"),
+            "n_null": final.column("n_null"),
+            "min_v": pa.array(min_v, pa.string()),
+            "max_v": pa.array(max_v, pa.string()),
+            "n_distinct": pa.array(n_distinct, pa.int64()),
+        }
+    )
+
+
+def _build_profile_sql() -> str:
+    parts = []
+    for col, _is_int, track in PROFILE_COLUMNS:
+        nd = (
+            f"CAST(count(DISTINCT {col}) AS BIGINT)"
+            if track
+            else "CAST(-1 AS BIGINT)"
+        )
+        parts.append(
+            f"SELECT '{col}' AS col, CAST(count(*) AS BIGINT) AS n,"
+            f" CAST(count(*) - count({col}) AS BIGINT) AS n_null,"
+            f" CAST(min({col}) AS VARCHAR) AS min_v,"
+            f" CAST(max({col}) AS VARCHAR) AS max_v,"
+            f" {nd} AS n_distinct FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col"
+
+
+SQL_PROFILE_COLUMNS = _build_profile_sql()
+
+QUERIES.update({"profile_columns": q_profile_columns})
+ORACLE_SQL.update({"profile_columns": SQL_PROFILE_COLUMNS})

@@ -2783,3 +2783,67 @@ class TestStratifiedEvalSplit:
         a = out.sort_values("doc_id").reset_index(drop=True)
         b = out2.sort_values("doc_id").reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestPrioritySample:
+    def test_bottomk_matches_brute_force(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.functions.dedup import _mix64
+        from don_crawler_ray.pipelines.queries import PRIORITY_SAMPLE_K, QUERIES
+
+        out = QUERIES["priority_sample"](SF_DIR).to_pandas()
+        docs = pq.read_table(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "n_chars"]
+        ).to_pandas()
+        doc = docs.doc_id.to_numpy()
+        w = np.maximum(docs.n_chars.to_numpy(), 1).astype(np.uint64)
+        pr = _mix64(doc.astype(np.uint64)) // w
+        order = np.lexsort((doc, pr))[:PRIORITY_SAMPLE_K]
+        assert list(out.doc_id) == list(doc[order])
+        assert list(out["rank"]) == list(range(1, len(order) + 1))
+        # size bias: the sampled docs skew longer than the corpus mean
+        assert out.n_chars.mean() > docs.n_chars.mean()
+
+
+class TestHeavyHitters:
+    def test_exact_threshold_set(self, ray_session):
+        import collections
+
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import HH_THRESHOLD, QUERIES
+
+        out = QUERIES["heavy_hitters"](SF_DIR).to_pandas()
+        docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"]).to_pandas()
+        cnt: collections.Counter = collections.Counter()
+        for t in docs.text:
+            cnt.update(t.split())
+        total = sum(cnt.values())
+        want = {t: c for t, c in cnt.items() if c * HH_THRESHOLD > total}
+        assert dict(zip(out.token, out.n)) == want
+        # output is (n desc, token asc)
+        key = list(zip(-out.n, out.token))
+        assert key == sorted(key)
+
+
+class TestProfileColumns:
+    def test_matches_pandas_profile(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import PROFILE_COLUMNS, QUERIES
+
+        out = (
+            QUERIES["profile_columns"](SF_DIR).to_pandas().set_index("col")
+        )
+        li = pq.read_table(
+            f"{SF_DIR}/lineitem.parquet", columns=[c for c, _, _ in PROFILE_COLUMNS]
+        ).to_pandas()
+        assert list(out.index) == sorted(c for c, _, _ in PROFILE_COLUMNS)
+        for col, _is_int, track in PROFILE_COLUMNS:
+            row = out.loc[col]
+            assert row.n == len(li)
+            assert row.n_null == int(li[col].isna().sum())
+            assert row.min_v == str(li[col].min())
+            assert row.max_v == str(li[col].max())
+            assert row.n_distinct == (li[col].nunique() if track else -1)
