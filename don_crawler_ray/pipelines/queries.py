@@ -15147,3 +15147,141 @@ SQL_PROFILE_COLUMNS = _build_profile_sql()
 
 QUERIES.update({"profile_columns": q_profile_columns})
 ORACLE_SQL.update({"profile_columns": SQL_PROFILE_COLUMNS})
+
+
+def q_source_similarity(sf_dir: str):
+    """Corpus-to-corpus similarity matrix: one 64-perm MinHash
+    signature PER SOURCE (the elementwise min of its documents' doc
+    signatures == the signature of the union of their shingle sets,
+    by min-associativity), then pairwise coordinate agreement — the
+    estimated shingle-set Jaccard between every pair of sources. The
+    "how much does source A overlap source B" diagnostic a mixture
+    designer reads before setting sampling weights.
+
+    Scale shape: each batch emits one 64-long signature row per
+    source it saw (a combiner); chained combine levels take
+    elementwise mins, and the driver folds O(sources) rows — the
+    full corpus streams once with no shuffle. Signature values are
+    < 2^61 so they ride int64 exactly; the oracle re-derives the
+    FNV shingle hashes and the (a*x+b) mod 2^61-1 permutations
+    bit-for-bit (same CTE family as ``minhash_pairs``)."""
+    from don_crawler_ray.functions.dedup import minhash_signatures_batch
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def _fold_rows(src_arr, sig_mat: np.ndarray) -> pa.Table:
+        order = np.argsort(src_arr, kind="stable")
+        src_s = src_arr[order]
+        sig_s = sig_mat[order]
+        _, starts, _ = _segments(
+            np.searchsorted(np.unique(src_s), src_s).astype(np.int64)
+        )
+        mins = np.minimum.reduceat(sig_s, starts, axis=0)
+        return pa.table(
+            {
+                "source": pa.array(src_s[starts], pa.string()),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mins.ravel().astype(np.int64), pa.int64()), 64
+                ),
+            }
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if "sig" in batch.column_names:  # combine level
+            src = np.asarray(batch.column("source").to_pylist(), dtype=object)
+            col = batch.column("sig")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            mat = np.asarray(col.flatten(), dtype=np.int64).reshape(len(src), 64)
+            return _fold_rows(src, mat)
+        texts = batch.column("text").to_pylist()
+        sigs = minhash_signatures_batch(texts).astype(np.int64)
+        src = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        return _fold_rows(src, sigs)
+
+    cand = pa.Table.from_pylist(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .take_all()
+    )
+    src = np.asarray(cand.column("source").to_pylist(), dtype=object)
+    col = cand.column("sig")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    mat = np.asarray(col.flatten(), dtype=np.int64).reshape(len(src), 64)
+    final = _fold_rows(src, mat)
+    names = final.column("source").to_pylist()
+    sigs = np.asarray(
+        final.column("sig").combine_chunks().flatten(), dtype=np.int64
+    ).reshape(len(names), 64)
+    rows_a, rows_b, agree = [], [], []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            rows_a.append(names[i])
+            rows_b.append(names[j])
+            agree.append(int((sigs[i] == sigs[j]).sum()))
+    agree_a = np.asarray(agree, np.int64)
+    return pa.table(
+        {
+            "src_a": pa.array(rows_a, pa.string()),
+            "src_b": pa.array(rows_b, pa.string()),
+            "agree": pa.array(agree_a, pa.int64()),
+            "est_jaccard": pa.array(agree_a / 64.0, pa.float64()),
+        }
+    )
+
+
+def _build_source_similarity_sql() -> str:
+    """Per-source MinHash signature re-derived in SQL: the
+    ``minhash_pairs`` shingle/permutation CTEs grouped by source
+    instead of doc_id, then a coordinate-agreement self-join."""
+    from don_crawler_ray.functions.dedup import _MERSENNE61, _perm_params
+
+    a, b = _perm_params(64)
+    perm_values = ", ".join(f"({j + 1}, {int(a[j])}, {int(b[j])})" for j in range(64))
+    m61 = _MERSENNE61
+    m64 = 1 << 64
+    fnv_prime, fnv_offset = 1099511628211, 1469598103934665603
+    return f"""
+WITH perms(j, a, b) AS (VALUES {perm_values}),
+t AS (SELECT source, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
+tp AS (
+  SELECT source,
+         CASE WHEN len(toks) >= 3 THEN toks
+              ELSE toks || (SELECT list(x) FROM (SELECT '' AS x, unnest(generate_series(1, 3 - len(toks))))) END AS toks
+  FROM t
+),
+pos AS (SELECT source, toks, unnest(generate_series(1, greatest(1, len(toks) - 2))) AS i FROM tp),
+shstr AS (
+  SELECT source,
+         coalesce(toks[i], '') || ' ' || coalesce(toks[i+1], '') || ' ' || coalesce(toks[i+2], '') || ' ' AS s
+  FROM pos
+),
+shh AS (
+  SELECT DISTINCT source,
+    list_reduce(
+      list_prepend(CAST({fnv_offset} AS UBIGINT),
+        list_transform(regexp_extract_all(s, '.'), c -> CAST(ascii(c) AS UBIGINT))),
+      (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * {fnv_prime}) % {m64} AS UBIGINT)
+    ) AS sh
+  FROM shstr
+),
+sig AS (
+  SELECT shh.source, p.j,
+         CAST(min((CAST(p.a AS HUGEINT) * CAST(shh.sh % {m61} AS HUGEINT) + p.b) % {m61}) AS BIGINT) AS sv
+  FROM shh CROSS JOIN perms p
+  GROUP BY 1, 2
+)
+SELECT x.source AS src_a, y.source AS src_b,
+       CAST(sum(CASE WHEN x.sv = y.sv THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+       sum(CASE WHEN x.sv = y.sv THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+FROM sig x JOIN sig y ON x.j = y.j AND x.source < y.source
+GROUP BY 1, 2
+"""
+
+
+SQL_SOURCE_SIMILARITY = _build_source_similarity_sql()
+
+QUERIES.update({"source_similarity": q_source_similarity})
+ORACLE_SQL.update({"source_similarity": SQL_SOURCE_SIMILARITY})

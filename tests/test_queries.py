@@ -2847,3 +2847,28 @@ class TestProfileColumns:
             assert row.min_v == str(li[col].min())
             assert row.max_v == str(li[col].max())
             assert row.n_distinct == (li[col].nunique() if track else -1)
+
+
+class TestSourceSimilarity:
+    def test_signature_agreement_matches_brute_force(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.functions.dedup import minhash_signatures_batch
+        from don_crawler_ray.pipelines.queries import QUERIES
+
+        out = QUERIES["source_similarity"](SF_DIR).to_pandas()
+        docs = pq.read_table(
+            f"{SF_DIR}/documents.parquet", columns=["source", "text"]
+        ).to_pandas()
+        sigs = minhash_signatures_batch(list(docs.text))
+        per_src = {
+            src: sigs[docs.index[docs.source == src]].min(axis=0)
+            for src in docs.source.unique()
+        }
+        names = sorted(per_src)
+        assert len(out) == len(names) * (len(names) - 1) // 2
+        for r in out.itertuples():
+            want = int((per_src[r.src_a] == per_src[r.src_b]).sum())
+            assert r.agree == want
+            assert r.est_jaccard == want / 64.0
+            assert r.src_a < r.src_b
