@@ -194,13 +194,20 @@ def scaling_main(sf_dir: str) -> dict:
     """N vs 4N CPUs in fresh processes on the same input (BASELINE.md)."""
     results = {}
     # pre-generate the frontier at full parallelism so the 8-cpu worker
-    # doesn't pay generation at 8-way
-    subprocess.run(
-        [sys.executable, "-c",
-         "import ray, bench; ray.init(address='local', num_cpus=32, include_dashboard=False); "
-         f"bench.ensure_frontier(bench.SCALING_ROWS, bench.BENCH_FRONTIER_HOSTS); ray.shutdown()"],
-        check=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+    # doesn't pay generation at 8-way; skip the Ray session entirely when
+    # the cached frontier is already on disk (a needless ray.init here can
+    # wedge under heavy external load and stall the whole pair)
+    marker = os.path.join(
+        FRONTIER_CACHE, f"bench_{SCALING_ROWS}_{BENCH_FRONTIER_HOSTS}_s42v3z.done"
     )
+    if not os.path.exists(marker):
+        subprocess.run(
+            [sys.executable, "-c",
+             "import ray, bench; ray.init(address='local', num_cpus=32, include_dashboard=False); "
+             f"bench.ensure_frontier(bench.SCALING_ROWS, bench.BENCH_FRONTIER_HOSTS); ray.shutdown()"],
+            check=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=900,
+        )
     for cpus in (8, 32):
         out_json = f"/tmp/bench_scaling_{cpus}.json"
         env = dict(os.environ)
@@ -215,7 +222,19 @@ def scaling_main(sf_dir: str) -> dict:
             "--out",
             out_json,
         ]
-        subprocess.run(cmd, check=True, env=env, cwd=os.path.dirname(os.path.abspath(__file__)))
+        # one retry: a fresh-process Ray startup can (rarely) wedge under
+        # external load; a hung side must not stall the pair forever
+        for attempt in (1, 2):
+            try:
+                subprocess.run(
+                    cmd, check=True, env=env,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                    timeout=1200,
+                )
+                break
+            except subprocess.TimeoutExpired:
+                if attempt == 2:
+                    raise
         with open(out_json) as f:
             results[cpus] = json.load(f)
     thr8 = results[8]["value"]
