@@ -13225,23 +13225,15 @@ def _text_bytes(col) -> tuple[np.ndarray, np.ndarray]:
     return data, offs
 
 
-def q_langid_ngram(sf_dir: str):
-    """Character-bigram language identification (the langid.py /
-    CLD-style n-gram heuristic): phase 1 trains per-language bigram
-    profiles from the corpus's own labels; phase 2 scores every doc
-    against every profile and predicts the argmax. The likelihood is
-    the INTEGER rational ``count(lang, bigram) * 1e9 // total(lang)``
-    summed over the doc's bigram occurrences — exact at any
-    parallelism and reproducible in SQL (a log-prob would differ in
-    libm ULPs; argmax over these monotone scores is the same rule).
-
-    Ray shape: train = per-batch vectorized (lang, bigram-code) count
-    partials (byte pairs via the Arrow data buffer — zero Python rows)
-    -> two chained combine passes -> O(langs x 64Ki) driver fold into
-    dense lookup tables (~0.5 MiB/lang, broadcast-sized by contract);
-    score = one zero-shuffle ``map_batches`` doing ``langs`` bincounts
-    per batch. Classic train-once / broadcast / batched-inference."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+def _langid_profiles(sf_dir: str):
+    """Distributed training fold shared by ``langid_ngram`` and
+    ``langid_confusion``: per-batch vectorized (lang, bigram-code)
+    count partials -> two chained combine passes -> O(langs x 64Ki)
+    driver fold into dense integer likelihood tables
+    ``count(lang, bigram) * LANGID_SCALE // total(lang)``
+    (~0.5 MiB/lang, broadcast-sized by contract). Returns
+    ``(langs, w)`` with ``w[lang]`` a 65536-wide int64 array."""
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
 
     def train_partial(batch: pa.Table) -> pa.Table:
         data, offs = _text_bytes(batch.column("text"))
@@ -13289,23 +13281,50 @@ def q_langid_ngram(sf_dir: str):
     w = {l: np.zeros(65536, np.int64) for l in langs}
     for (l, code), n in acc.items():
         w[l][code] = (n * LANGID_SCALE) // totals[l]
+    return langs, w
+
+
+def _langid_scores(batch: pa.Table, langs: list, w: dict):
+    """Vectorized inference kernel shared by the langid queries: one
+    bincount per language over the batch's byte-pair stream. Returns
+    ``(pred_idx, best_score)`` numpy arrays (argmax takes the first /
+    lang-ascending winner on ties, matching the SQL row_number rule)."""
+    data, offs = _text_bytes(batch.column("text"))
+    n = batch.num_rows
+    lens = np.diff(offs)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    scores = np.zeros((n, len(langs)), np.int64)
+    if len(data) >= 2:
+        valid = doc_idx[:-1] == doc_idx[1:]
+        codes = (data[:-1].astype(np.int64) * 256 + data[1:])[valid]
+        d = doc_idx[:-1][valid]
+        for j, l in enumerate(langs):
+            scores[:, j] = np.bincount(
+                d, weights=w[l][codes], minlength=n
+            ).astype(np.int64)
+    pred = np.argmax(scores, axis=1)
+    return pred, scores[np.arange(n), pred]
+
+
+def q_langid_ngram(sf_dir: str):
+    """Character-bigram language identification (the langid.py /
+    CLD-style n-gram heuristic): phase 1 trains per-language bigram
+    profiles from the corpus's own labels; phase 2 scores every doc
+    against every profile and predicts the argmax. The likelihood is
+    the INTEGER rational ``count(lang, bigram) * 1e9 // total(lang)``
+    summed over the doc's bigram occurrences — exact at any
+    parallelism and reproducible in SQL (a log-prob would differ in
+    libm ULPs; argmax over these monotone scores is the same rule).
+
+    Ray shape: train-once / broadcast / batched-inference — see
+    ``_langid_profiles`` (distributed train fold) and
+    ``_langid_scores`` (zero-shuffle scoring kernel)."""
+    langs, w = _langid_profiles(sf_dir)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
     def score(batch: pa.Table) -> pa.Table:
-        data, offs = _text_bytes(batch.column("text"))
+        pred, best = _langid_scores(batch, langs, w)
         n = batch.num_rows
-        lens = np.diff(offs)
-        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
-        scores = np.zeros((n, len(langs)), np.int64)
-        if len(data) >= 2:
-            valid = doc_idx[:-1] == doc_idx[1:]
-            codes = (data[:-1].astype(np.int64) * 256 + data[1:])[valid]
-            d = doc_idx[:-1][valid]
-            for j, l in enumerate(langs):
-                scores[:, j] = np.bincount(
-                    d, weights=w[l][codes], minlength=n
-                ).astype(np.int64)
-        pred = np.argmax(scores, axis=1)  # first max => lang-ascending tiebreak
-        best = scores[np.arange(n), pred]
         true = batch.column("lang").to_pylist()
         return pa.table(
             {
@@ -13323,7 +13342,9 @@ def q_langid_ngram(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
-SQL_LANGID_NGRAM = f"""
+# CTE chain shared by langid_ngram and langid_confusion: train the
+# integer bigram profiles and rank every (doc, lang) score.
+_LANGID_SQL_CTE = f"""
 WITH langs AS (SELECT DISTINCT lang FROM documents),
 pos AS (
   SELECT doc_id, text, unnest(generate_series(1, len(text) - 1)) AS i
@@ -13355,6 +13376,9 @@ best AS (
          row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn
   FROM fl
 )
+"""
+
+SQL_LANGID_NGRAM = _LANGID_SQL_CTE + """
 SELECT b.doc_id, b.pred_lang, CAST(b.s AS BIGINT) AS best_score,
        CAST(CASE WHEN b.pred_lang = d.lang THEN 1 ELSE 0 END AS BIGINT) AS correct
 FROM best b JOIN documents d USING (doc_id)
@@ -15285,3 +15309,420 @@ SQL_SOURCE_SIMILARITY = _build_source_similarity_sql()
 
 QUERIES.update({"source_similarity": q_source_similarity})
 ORACLE_SQL.update({"source_similarity": SQL_SOURCE_SIMILARITY})
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal Rank Fusion of two retrieval rankings (search-result merging)
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_TOPN = 100
+
+
+def _retopk_by_side(batch: pa.Table) -> pa.Table:
+    """Tree-level combiner for the RRF candidate partials: per-side
+    top-``RRF_TOPN`` re-truncation by (val desc, doc_id asc). The key
+    is an exact int64 total order, so re-truncation is a semilattice
+    (same argument as ``_retopk_by_query``)."""
+    side = batch.column("side").to_numpy(zero_copy_only=False).astype(np.int64)
+    did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    val = batch.column("val").to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = []
+    for s in np.unique(side):
+        m = np.flatnonzero(side == s)
+        order = np.lexsort((did[m], -val[m]))[:RRF_TOPN]
+        keep.append(m[order])
+    sel = np.concatenate(keep) if keep else np.empty(0, np.int64)
+    return batch.take(pa.array(sel))
+
+
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal Rank Fusion (Cormack et al.) of two document
+    rankings — the standard way to merge retrieval lists from
+    different scorers without score calibration. List A ranks by
+    whitespace-token count, list B by ``n_chars`` (both desc,
+    doc_id-asc tiebreak, top ``RRF_TOPN`` each); the fused score of a
+    doc is ``sum over lists of 1/(RRF_K + rank)``, reported as the
+    exact ``floor(1e9 * score)`` grid (a fixed two-term double
+    expression, bit-identical in DuckDB).
+
+    Ray shape: ONE zero-shuffle pass emits per-batch (side, doc_id,
+    val) top-``RRF_TOPN`` partials for both scorers -> two chained
+    re-truncation tree levels -> O(2 x RRF_TOPN) driver fold that
+    assigns ranks and fuses. The corpus text never moves; at any
+    block count the exchange carries <= 2 x RRF_TOPN rows per block."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        _, doc_idx = _vec_doc_tokens(batch.column("text"))
+        n_tok = np.bincount(doc_idx, minlength=batch.num_rows).astype(np.int64)
+        n_chars = (
+            batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        out_side, out_doc, out_val = [], [], []
+        for s, val in ((0, n_tok), (1, n_chars)):
+            order = np.lexsort((did, -val))[:RRF_TOPN]
+            out_side.append(np.full(len(order), s, np.int64))
+            out_doc.append(did[order])
+            out_val.append(val[order])
+        return pa.table(
+            {
+                "side": pa.array(np.concatenate(out_side)),
+                "doc_id": pa.array(np.concatenate(out_doc)),
+                "val": pa.array(np.concatenate(out_val)),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(_retopk_by_side, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(_retopk_by_side, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .take_all()
+    )
+    side = np.array([r["side"] for r in rows], np.int64)
+    did = np.array([r["doc_id"] for r in rows], np.int64)
+    val = np.array([r["val"] for r in rows], np.int64)
+    ranks: dict[int, dict[int, int]] = {0: {}, 1: {}}
+    for s in (0, 1):
+        m = np.flatnonzero(side == s)
+        order = np.lexsort((did[m], -val[m]))[:RRF_TOPN]
+        for rank, j in enumerate(order, start=1):
+            ranks[s][int(did[m[j]])] = rank
+    fused = sorted(set(ranks[0]) | set(ranks[1]))
+    out = {"doc_id": [], "rank_a": [], "rank_b": [], "rrf_e9": []}
+    for d in fused:
+        ra = ranks[0].get(d, 0)
+        rb = ranks[1].get(d, 0)
+        score = (1.0 / (RRF_K + ra) if ra else 0.0) + (
+            1.0 / (RRF_K + rb) if rb else 0.0
+        )
+        out["doc_id"].append(d)
+        out["rank_a"].append(ra)
+        out["rank_b"].append(rb)
+        out["rrf_e9"].append(int(np.floor(score * 1e9)))
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "rank_a": pa.array(out["rank_a"], pa.int64()),
+            "rank_b": pa.array(out["rank_b"], pa.int64()),
+            "rrf_e9": pa.array(out["rrf_e9"], pa.int64()),
+        }
+    )
+
+
+SQL_RRF_FUSION = f"""
+WITH scores AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tok,
+         n_chars
+  FROM documents
+),
+ra AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY n_tok DESC, doc_id ASC) AS r
+    FROM scores
+  ) WHERE r <= {RRF_TOPN}
+),
+rb AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS r
+    FROM scores
+  ) WHERE r <= {RRF_TOPN}
+),
+u AS (
+  SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+         coalesce(ra.r, 0) AS rank_a, coalesce(rb.r, 0) AS rank_b
+  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+)
+SELECT doc_id, CAST(rank_a AS BIGINT) AS rank_a, CAST(rank_b AS BIGINT) AS rank_b,
+       CAST(floor(1000000000 * (
+         (CASE WHEN rank_a > 0 THEN 1.0 / ({RRF_K} + rank_a) ELSE 0 END)
+       + (CASE WHEN rank_b > 0 THEN 1.0 / ({RRF_K} + rank_b) ELSE 0 END)
+       )) AS BIGINT) AS rrf_e9
+FROM u
+"""
+
+QUERIES.update({"rrf_fusion": q_rrf_fusion})
+ORACLE_SQL.update({"rrf_fusion": SQL_RRF_FUSION})
+
+
+# ---------------------------------------------------------------------------
+# 7-day trailing window over daily event counts (rolling aggregate)
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_daily(sf_dir: str):
+    """7-active-day trailing window over daily event counts — the
+    rolling aggregate every monitoring/trend pipeline needs. Window
+    semantics match SQL ``ROWS BETWEEN 6 PRECEDING AND CURRENT ROW``
+    over day-ordered ACTIVE days (not calendar days); the mean is the
+    exact integer rational ``sum_7d * 1e6 // window_n``.
+
+    Ray shape: per-batch (day, n) count partials -> two chained
+    combine passes -> O(days) driver series where the rolling sum is
+    one vectorized cumsum-difference. The window runs on the driver
+    because the aggregate IS driver-sized; the distributed work is the
+    count, which never shuffles raw events."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        di = day.to_numpy(zero_copy_only=False).view(np.int64)
+        uniq, cnt = np.unique(di, return_counts=True)
+        return pa.table(
+            {"day": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("day").aggregate([("n", "sum")])
+        return g.rename_columns(["day", "n"])
+
+    rows = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .take_all()
+    )
+    acc: dict[int, int] = {}
+    for r in rows:
+        acc[int(r["day"])] = acc.get(int(r["day"]), 0) + int(r["n"])
+    days = np.array(sorted(acc), np.int64)
+    n = np.array([acc[d] for d in days], np.int64)
+    cum = np.concatenate([[0], np.cumsum(n)])
+    idx = np.arange(len(days))
+    lo = np.maximum(idx - 6, 0)
+    sum7 = cum[idx + 1] - cum[lo]
+    win = idx + 1 - lo
+    return pa.table(
+        {
+            "day": pa.array(days.view("datetime64[us]")),
+            "n_events": pa.array(n),
+            "sum_7d": pa.array(sum7.astype(np.int64)),
+            "avg7_e6": pa.array((sum7 * 1_000_000) // win),
+        }
+    )
+
+
+SQL_ROLLING_DAILY = """
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT day, CAST(n AS BIGINT) AS n_events,
+       CAST(sum(n) OVER w AS BIGINT) AS sum_7d,
+       CAST((sum(n) OVER w) * 1000000 // (count(*) OVER w) AS BIGINT) AS avg7_e6
+FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES.update({"rolling_daily": q_rolling_daily})
+ORACLE_SQL.update({"rolling_daily": SQL_ROLLING_DAILY})
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (classifier evaluation as a pipeline op)
+# ---------------------------------------------------------------------------
+
+
+def q_langid_confusion(sf_dir: str):
+    """Confusion matrix of the character-bigram language identifier:
+    document counts per (true lang, predicted lang) cell plus the
+    exact per-true-row permille share ``n * 1000 // row_total`` — the
+    standard classifier-evaluation aggregate, expressed as a pipeline
+    operator so model-quality tracking runs inside the engine.
+
+    Ray shape: train once (``_langid_profiles``), broadcast, then a
+    zero-shuffle scoring pass that emits per-batch (true, pred, n)
+    partials -> two chained combine passes -> O(langs^2) driver fold.
+    Raw documents never shuffle; the exchange is at most langs^2 rows
+    per block."""
+    langs, w = _langid_profiles(sf_dir)
+    lang_code = {l: i for i, l in enumerate(langs)}
+    nl = len(langs)
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        pred, _ = _langid_scores(batch, langs, w)
+        true = np.array(
+            [lang_code[t] for t in batch.column("lang").to_pylist()], np.int64
+        )
+        key = true * nl + pred
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "true_lang": pa.array([langs[k] for k in (uniq // nl)], pa.string()),
+                "pred_lang": pa.array([langs[k] for k in (uniq % nl)], pa.string()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["true_lang", "pred_lang"]).aggregate([("n", "sum")])
+        return g.rename_columns(["true_lang", "pred_lang", "n"])
+
+    rows = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .take_all()
+    )
+    acc: dict[tuple[str, str], int] = {}
+    for r in rows:
+        k = (r["true_lang"], r["pred_lang"])
+        acc[k] = acc.get(k, 0) + int(r["n"])
+    row_tot: dict[str, int] = {}
+    for (t, _), v in acc.items():
+        row_tot[t] = row_tot.get(t, 0) + v
+    keys = sorted(acc)
+    return pa.table(
+        {
+            "true_lang": pa.array([k[0] for k in keys], pa.string()),
+            "pred_lang": pa.array([k[1] for k in keys], pa.string()),
+            "n": pa.array([acc[k] for k in keys], pa.int64()),
+            "row_permille": pa.array(
+                [acc[k] * 1000 // row_tot[k[0]] for k in keys], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_LANGID_CONFUSION = _LANGID_SQL_CTE + """
+, cm AS (
+  SELECT d.lang AS true_lang, b.pred_lang, count(*) AS n
+  FROM best b JOIN documents d USING (doc_id)
+  WHERE b.rn = 1
+  GROUP BY 1, 2
+)
+SELECT true_lang, pred_lang, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000 // sum(n) OVER (PARTITION BY true_lang) AS BIGINT)
+         AS row_permille
+FROM cm
+"""
+
+QUERIES.update({"langid_confusion": q_langid_confusion})
+ORACLE_SQL.update({"langid_confusion": SQL_LANGID_CONFUSION})
+
+
+# ---------------------------------------------------------------------------
+# Pairwise Jensen-Shannon divergence between source token distributions
+# ---------------------------------------------------------------------------
+
+
+def q_js_divergence_sources(sf_dir: str):
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    token distributions — the symmetric, bounded corpus-drift /
+    mixture-diagnostic measure (KL's well-behaved sibling; used to
+    monitor how far each crawl source strays from the others before
+    mixing). Reported in nats on the 1e-6 grid (libm/summation deltas
+    are ~1e-13, the ``doc_entropy`` precedent).
+
+    Ray shape: per-batch vectorized (source, token, n) count partials
+    (composite-key unique over dictionary codes) -> two chained
+    combine passes -> O(sources x vocab) driver fold -> O(sources^2)
+    pairwise JSD on dense vectors. Raw text never shuffles; the
+    exchange carries slim count rows only. At open web vocabulary the
+    same fold runs per token-hash bucket with a head+tail split (the
+    ``kl_domain_weights`` scale path)."""
+    ds = _read(sf_dir, "documents", columns=["text", "source"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        flat, doc_idx = _vec_doc_tokens(batch.column("text"))
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        senc = pc.dictionary_encode(src)
+        s_idx = senc.indices.to_numpy(zero_copy_only=False).astype(np.int64)[doc_idx]
+        tenc = pc.dictionary_encode(flat)
+        t_idx = tenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = max(len(tenc.dictionary), 1)
+        uniq, cnt = np.unique(s_idx * v + t_idx, return_counts=True)
+        return pa.table(
+            {
+                "source": senc.dictionary.take(pa.array(uniq // v)),
+                "token": tenc.dictionary.take(pa.array(uniq % v)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source", "token"]).aggregate([("n", "sum")])
+        return g.rename_columns(["source", "token", "n"])
+
+    rows = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .take_all()
+    )
+    acc: dict[tuple[str, str], int] = {}
+    for r in rows:
+        k = (r["source"], r["token"])
+        acc[k] = acc.get(k, 0) + int(r["n"])
+    sources = sorted({k[0] for k in acc})
+    vocab = sorted({k[1] for k in acc})
+    tok_i = {t: i for i, t in enumerate(vocab)}
+    mat = np.zeros((len(sources), len(vocab)), np.float64)
+    for (s, t), v in acc.items():
+        mat[sources.index(s), tok_i[t]] = v
+    tot = mat.sum(axis=1, keepdims=True)
+    p = mat / np.maximum(tot, 1.0)
+    out = {"src_a": [], "src_b": [], "jsd_e6": []}
+    for i in range(len(sources)):
+        for j in range(i + 1, len(sources)):
+            pa_, pb_ = p[i], p[j]
+            m = pa_ + pb_
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ta = np.where(pa_ > 0, 0.5 * pa_ * np.log(2.0 * pa_ / m), 0.0)
+                tb = np.where(pb_ > 0, 0.5 * pb_ * np.log(2.0 * pb_ / m), 0.0)
+            jsd = float(np.sum(ta) + np.sum(tb))
+            out["src_a"].append(sources[i])
+            out["src_b"].append(sources[j])
+            out["jsd_e6"].append(int(np.rint(jsd * 1e6)))
+    return pa.table(
+        {
+            "src_a": pa.array(out["src_a"], pa.string()),
+            "src_b": pa.array(out["src_b"], pa.string()),
+            "jsd_e6": pa.array(out["jsd_e6"], pa.int64()),
+        }
+    )
+
+
+SQL_JS_DIVERGENCE = """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+           AS token
+  FROM documents
+),
+c AS (SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2),
+t AS (SELECT source, sum(n) AS tot FROM c GROUP BY 1),
+p AS (
+  SELECT c.source, c.token, CAST(n AS DOUBLE) / tot AS p
+  FROM c JOIN t USING (source)
+),
+v AS (SELECT DISTINCT token FROM c),
+s AS (SELECT DISTINCT source FROM c),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM s a JOIN s b ON a.source < b.source
+),
+grid AS (SELECT src_a, src_b, token FROM pairs CROSS JOIN v),
+g AS (
+  SELECT grid.src_a, grid.src_b,
+         coalesce(px.p, 0) AS p_a, coalesce(py.p, 0) AS p_b
+  FROM grid
+  LEFT JOIN p px ON px.source = grid.src_a AND px.token = grid.token
+  LEFT JOIN p py ON py.source = grid.src_b AND py.token = grid.token
+)
+SELECT src_a, src_b,
+       CAST(round(sum(
+         (CASE WHEN p_a > 0 THEN 0.5 * p_a * ln(2 * p_a / (p_a + p_b)) ELSE 0 END)
+       + (CASE WHEN p_b > 0 THEN 0.5 * p_b * ln(2 * p_b / (p_a + p_b)) ELSE 0 END)
+       ) * 1000000) AS BIGINT) AS jsd_e6
+FROM g GROUP BY 1, 2
+"""
+
+QUERIES.update({"js_divergence_sources": q_js_divergence_sources})
+ORACLE_SQL.update({"js_divergence_sources": SQL_JS_DIVERGENCE})

@@ -2872,3 +2872,120 @@ class TestSourceSimilarity:
             assert r.agree == want
             assert r.est_jaccard == want / 64.0
             assert r.src_a < r.src_b
+
+
+class TestRrfFusion:
+    def test_matches_brute_force_ranks(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import QUERIES, RRF_K, RRF_TOPN
+
+        out = QUERIES["rrf_fusion"](SF_DIR).to_pandas().set_index("doc_id")
+        docs = pq.read_table(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+        ).to_pandas()
+        n_tok = docs.text.map(lambda t: len(t.split()))
+        ra = {
+            int(d): r + 1
+            for r, d in enumerate(
+                docs.doc_id.iloc[
+                    np.lexsort((docs.doc_id.values, -n_tok.values))[:RRF_TOPN]
+                ]
+            )
+        }
+        rb = {
+            int(d): r + 1
+            for r, d in enumerate(
+                docs.doc_id.iloc[
+                    np.lexsort((docs.doc_id.values, -docs.n_chars.values))[:RRF_TOPN]
+                ]
+            )
+        }
+        assert set(out.index) == set(ra) | set(rb)
+        for d, row in out.iterrows():
+            assert row.rank_a == ra.get(d, 0)
+            assert row.rank_b == rb.get(d, 0)
+            want = (1.0 / (RRF_K + row.rank_a) if row.rank_a else 0.0) + (
+                1.0 / (RRF_K + row.rank_b) if row.rank_b else 0.0
+            )
+            assert row.rrf_e9 == int(np.floor(want * 1e9))
+
+
+class TestRollingDaily:
+    def test_matches_pandas_rolling(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import QUERIES
+
+        out = QUERIES["rolling_daily"](SF_DIR).to_pandas()
+        ev = pq.read_table(f"{SF_DIR}/events.parquet", columns=["ts"]).to_pandas()
+        daily = ev.ts.dt.floor("D").value_counts().sort_index()
+        assert list(out.day) == list(daily.index)
+        assert list(out.n_events) == list(daily.values)
+        roll = daily.rolling(7, min_periods=1)
+        assert list(out.sum_7d) == [int(x) for x in roll.sum()]
+        assert list(out.avg7_e6) == [
+            s * 1_000_000 // c for s, c in zip(out.sum_7d, roll.count().astype(int))
+        ]
+
+
+class TestLangidConfusion:
+    def test_matches_langid_predictions(self, ray_session):
+        import collections
+
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import QUERIES
+
+        out = QUERIES["langid_confusion"](SF_DIR).to_pandas()
+        pred = QUERIES["langid_ngram"](SF_DIR).to_pandas().set_index("doc_id")
+        docs = pq.read_table(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang"]
+        ).to_pandas()
+        cm = collections.Counter(
+            (t, pred.loc[d, "pred_lang"]) for d, t in zip(docs.doc_id, docs.lang)
+        )
+        assert {(r.true_lang, r.pred_lang): r.n for r in out.itertuples()} == dict(cm)
+        assert out.n.sum() == len(docs)
+        row_tot = out.groupby("true_lang").n.sum()
+        for r in out.itertuples():
+            assert r.row_permille == r.n * 1000 // int(row_tot[r.true_lang])
+
+
+class TestJsDivergence:
+    def test_matches_brute_force_and_bounds(self, ray_session):
+        import collections
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import QUERIES
+
+        out = QUERIES["js_divergence_sources"](SF_DIR).to_pandas()
+        docs = pq.read_table(
+            f"{SF_DIR}/documents.parquet", columns=["source", "text"]
+        ).to_pandas()
+        counts: dict = collections.defaultdict(collections.Counter)
+        for src, txt in zip(docs.source, docs.text):
+            counts[src].update(txt.split())
+        sources = sorted(counts)
+        vocab = sorted({t for c in counts.values() for t in c})
+        mat = np.zeros((len(sources), len(vocab)), np.float64)
+        for i, s in enumerate(sources):
+            for j, t in enumerate(vocab):
+                mat[i, j] = counts[s][t]
+        p = mat / mat.sum(axis=1, keepdims=True)
+        assert len(out) == len(sources) * (len(sources) - 1) // 2
+        got = {(r.src_a, r.src_b): r.jsd_e6 for r in out.itertuples()}
+        for i in range(len(sources)):
+            for j in range(i + 1, len(sources)):
+                a, b = p[i], p[j]
+                m = a + b
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    ta = np.where(a > 0, 0.5 * a * np.log(2.0 * a / m), 0.0)
+                    tb = np.where(b > 0, 0.5 * b * np.log(2.0 * b / m), 0.0)
+                want = int(np.rint((np.sum(ta) + np.sum(tb)) * 1e6))
+                assert got[(sources[i], sources[j])] == want
+                # JSD is bounded by ln 2 and non-negative
+                assert 0 <= want <= int(np.log(2) * 1e6) + 1
