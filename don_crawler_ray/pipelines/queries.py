@@ -15726,3 +15726,202 @@ FROM g GROUP BY 1, 2
 
 QUERIES.update({"js_divergence_sources": q_js_divergence_sources})
 ORACLE_SQL.update({"js_divergence_sources": SQL_JS_DIVERGENCE})
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth curve (corpus-analysis diagnostic)
+# ---------------------------------------------------------------------------
+
+VOCAB_GROWTH_STEPS = 10
+
+
+def q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth curve: how many DISTINCT tokens the
+    corpus has introduced by each doc_id decile — the sublinear
+    vocab-vs-corpus-size law every tokenizer/vocab-budget decision
+    leans on. A token's introduction point is the MINIMUM doc_id that
+    contains it, so the curve is exact and order-insensitive (min is a
+    semilattice), not a sequential scan.
+
+    Ray shape: per-batch (token, min doc_id) partials (vectorized
+    dictionary-encode + segment-min) -> two chained min-combine passes
+    -> O(vocab) driver fold counted against ``VOCAB_GROWTH_STEPS``
+    doc_id-quantile boundaries (boundaries from the documents table's
+    own doc_id deciles, computed with one tiny aggregate). Raw text
+    never shuffles. At open web vocabulary the fold runs per
+    token-hash bucket and only the O(steps) histogram merges."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, doc_idx = _vec_doc_tokens(batch.column("text"))
+        enc = pc.dictionary_encode(flat)
+        t_idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = len(enc.dictionary)
+        if v == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "first_doc": pa.array([], pa.int64())}
+            )
+        # segment-min of doc_id per token code
+        order = np.lexsort((did[doc_idx], t_idx))
+        ts, ds_ = t_idx[order], did[doc_idx][order]
+        first = np.ones(len(ts), bool)
+        first[1:] = ts[1:] != ts[:-1]
+        return pa.table(
+            {
+                "token": enc.dictionary.take(pa.array(ts[first])),
+                "first_doc": pa.array(ds_[first]),
+            }
+        )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("token").aggregate([("first_doc", "min")])
+        return g.rename_columns(["token", "first_doc"])
+
+    rows = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .take_all()
+    )
+    acc: dict[str, int] = {}
+    for r in rows:
+        d = int(r["first_doc"])
+        t = r["token"]
+        if t not in acc or d < acc[t]:
+            acc[t] = d
+    firsts = np.array(sorted(acc.values()), np.int64)
+
+    # doc_id decile boundaries: the d-th boundary is the max doc_id of
+    # the first ceil(n*d/steps) docs in doc_id order (exact quantile by
+    # rank, no interpolation) — reproduced in SQL by row_number.
+    dids = np.sort(
+        _read_table(sf_dir, "documents", columns=["doc_id"])
+        .column("doc_id")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    n = len(dids)
+    out = {"step": [], "boundary_doc": [], "n_docs": [], "vocab_size": []}
+    for s in range(1, VOCAB_GROWTH_STEPS + 1):
+        k = -(-n * s // VOCAB_GROWTH_STEPS)  # ceil
+        b = int(dids[k - 1]) if k else -1
+        out["step"].append(s)
+        out["boundary_doc"].append(b)
+        out["n_docs"].append(k)
+        out["vocab_size"].append(int(np.searchsorted(firsts, b, side="right")))
+    return pa.table(
+        {
+            "step": pa.array(out["step"], pa.int64()),
+            "boundary_doc": pa.array(out["boundary_doc"], pa.int64()),
+            "n_docs": pa.array(out["n_docs"], pa.int64()),
+            "vocab_size": pa.array(out["vocab_size"], pa.int64()),
+        }
+    )
+
+
+SQL_VOCAB_GROWTH = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+           AS token
+  FROM documents
+),
+firsts AS (SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY 1),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM documents
+),
+steps AS (SELECT unnest(generate_series(1, {VOCAB_GROWTH_STEPS})) AS step),
+bounds AS (
+  SELECT s.step,
+         CAST(ceil(r.n * s.step / {VOCAB_GROWTH_STEPS}.0) AS BIGINT) AS k
+  FROM steps s CROSS JOIN (SELECT DISTINCT n FROM ranked) r
+),
+bdocs AS (
+  SELECT b.step, b.k AS n_docs, r.doc_id AS boundary_doc
+  FROM bounds b JOIN ranked r ON r.rn = b.k
+)
+SELECT b.step, b.boundary_doc, b.n_docs,
+       CAST((SELECT count(*) FROM firsts f WHERE f.first_doc <= b.boundary_doc)
+            AS BIGINT) AS vocab_size
+FROM bdocs b
+"""
+
+QUERIES.update({"vocab_growth": q_vocab_growth})
+ORACLE_SQL.update({"vocab_growth": SQL_VOCAB_GROWTH})
+
+
+# ---------------------------------------------------------------------------
+# Burst-day detection over daily event counts (anomaly flagging)
+# ---------------------------------------------------------------------------
+
+
+def q_burst_days(sf_dir: str):
+    """Burst detection over the daily event series: a day is a burst
+    when its count strictly exceeds twice the mean of the PRECEDING
+    (up to) 7 active days — the classic spike rule, kept exact by
+    comparing ``n * window_n > 2 * sum_prev`` in integers instead of
+    dividing. Days with no preceding history are never bursts.
+
+    Ray shape: same count-partial + combine tree as ``rolling_daily``;
+    the flag is one vectorized cumsum-difference comparison on the
+    driver-sized day series."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        di = day.to_numpy(zero_copy_only=False).view(np.int64)
+        uniq, cnt = np.unique(di, return_counts=True)
+        return pa.table(
+            {"day": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("day").aggregate([("n", "sum")])
+        return g.rename_columns(["day", "n"])
+
+    rows = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .take_all()
+    )
+    acc: dict[int, int] = {}
+    for r in rows:
+        acc[int(r["day"])] = acc.get(int(r["day"]), 0) + int(r["n"])
+    days = np.array(sorted(acc), np.int64)
+    n = np.array([acc[d] for d in days], np.int64)
+    cum = np.concatenate([[0], np.cumsum(n)])
+    idx = np.arange(len(days))
+    lo = np.maximum(idx - 7, 0)
+    sum_prev = cum[idx] - cum[lo]
+    win = idx - lo
+    burst = (win > 0) & (n * np.maximum(win, 1) > 2 * sum_prev)
+    return pa.table(
+        {
+            "day": pa.array(days.view("datetime64[us]")),
+            "n_events": pa.array(n),
+            "sum_prev7": pa.array(sum_prev.astype(np.int64)),
+            "is_burst": pa.array(burst.astype(np.int64)),
+        }
+    )
+
+
+SQL_BURST_DAYS = """
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT day, CAST(n AS BIGINT) AS n_events,
+       CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS sum_prev7,
+       CAST(CASE WHEN count(*) OVER w > 0
+                  AND n * (count(*) OVER w) > 2 * sum(n) OVER w
+            THEN 1 ELSE 0 END AS BIGINT) AS is_burst
+FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+"""
+
+QUERIES.update({"burst_days": q_burst_days})
+ORACLE_SQL.update({"burst_days": SQL_BURST_DAYS})

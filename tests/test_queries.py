@@ -2989,3 +2989,52 @@ class TestJsDivergence:
                 assert got[(sources[i], sources[j])] == want
                 # JSD is bounded by ln 2 and non-negative
                 assert 0 <= want <= int(np.log(2) * 1e6) + 1
+
+
+class TestVocabGrowth:
+    def test_matches_brute_force_curve(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import QUERIES, VOCAB_GROWTH_STEPS
+
+        out = QUERIES["vocab_growth"](SF_DIR).to_pandas()
+        docs = pq.read_table(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas()
+        first: dict = {}
+        for d, t in zip(docs.doc_id, docs.text):
+            for tok in t.split():
+                if tok not in first or d < first[tok]:
+                    first[tok] = d
+        dids = np.sort(docs.doc_id.values)
+        n = len(dids)
+        assert list(out.step) == list(range(1, VOCAB_GROWTH_STEPS + 1))
+        for r in out.itertuples():
+            k = -(-n * r.step // VOCAB_GROWTH_STEPS)
+            assert r.n_docs == k
+            assert r.boundary_doc == dids[k - 1]
+            assert r.vocab_size == sum(1 for v in first.values() if v <= r.boundary_doc)
+        # Heaps-law curve is nondecreasing and ends at the full vocab
+        assert list(out.vocab_size) == sorted(out.vocab_size)
+        assert out.vocab_size.iloc[-1] == len(first)
+        assert out.n_docs.iloc[-1] == n
+
+
+class TestBurstDays:
+    def test_matches_pandas_prev_window(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import QUERIES
+
+        out = QUERIES["burst_days"](SF_DIR).to_pandas()
+        ev = pq.read_table(f"{SF_DIR}/events.parquet", columns=["ts"]).to_pandas()
+        daily = ev.ts.dt.floor("D").value_counts().sort_index()
+        assert list(out.day) == list(daily.index)
+        assert list(out.n_events) == list(daily.values)
+        vals = list(daily.values)
+        for i, r in enumerate(out.itertuples()):
+            prev = vals[max(0, i - 7): i]
+            assert r.sum_prev7 == sum(prev)
+            want = 1 if prev and r.n_events * len(prev) > 2 * sum(prev) else 0
+            assert r.is_burst == want
