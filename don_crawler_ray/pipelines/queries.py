@@ -15925,3 +15925,156 @@ FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
 
 QUERIES.update({"burst_days": q_burst_days})
 ORACLE_SQL.update({"burst_days": SQL_BURST_DAYS})
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit + top-K token coverage curve (tokenizer budgeting)
+# ---------------------------------------------------------------------------
+
+ZIPF_MAX_RANKS = 64
+COVERAGE_KS = (1, 2, 4, 8, 16, 32)
+
+
+def _corpus_token_counts(sf_dir: str) -> dict[str, int]:
+    """Distributed corpus-wide token occurrence counts: per-batch
+    vectorized partials -> two chained combine passes -> O(vocab_head)
+    driver fold. Shared by ``zipf_fit`` and ``token_coverage``. At
+    open web vocabulary the callers only consume the frequency HEAD,
+    which a count-ordered partial prune preserves exactly (the
+    ``bm25_topk`` stats argument)."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        toks, cnt = _vec_unigram_counts(batch.column("text"))
+        return pa.table({"token": toks, "n": pa.array(cnt)})
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("token").aggregate([("n", "sum")])
+        return g.rename_columns(["token", "n"])
+
+    rows = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .map_batches(combine, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .take_all()
+    )
+    acc: dict[str, int] = {}
+    for r in rows:
+        acc[r["token"]] = acc.get(r["token"], 0) + int(r["n"])
+    return acc
+
+
+def q_zipf_fit(sf_dir: str):
+    """Zipf rank-frequency diagnostic: OLS fit of ``ln(freq)`` against
+    ``ln(rank)`` over the top ``ZIPF_MAX_RANKS`` tokens (count desc,
+    token asc tiebreak — a total order, so ranks are deterministic).
+    A natural corpus has slope near -1; strong deviation flags
+    templated/spammy text. Slope/intercept are doubles reported on the
+    1e-6 grid (``doc_entropy`` precedent for libm deltas).
+
+    Ray shape: the ``_corpus_token_counts`` fold, then an O(ranks)
+    driver regression — two exact integer count inputs, float only in
+    the final fixed-shape OLS expressions."""
+    acc = _corpus_token_counts(sf_dir)
+    items = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_MAX_RANKS]
+    k = len(items)
+    x = np.log(np.arange(1, k + 1, dtype=np.float64))
+    y = np.log(np.array([c for _, c in items], np.float64))
+    n = float(k)
+    sx, sy = float(np.sum(x)), float(np.sum(y))
+    sxx, sxy = float(np.sum(x * x)), float(np.sum(x * y))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pa.table(
+        {
+            "n_ranks": pa.array([k], pa.int64()),
+            "slope_e6": pa.array([int(np.rint(slope * 1e6))], pa.int64()),
+            "intercept_e6": pa.array([int(np.rint(intercept * 1e6))], pa.int64()),
+        }
+    )
+
+
+SQL_ZIPF_FIT = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+           AS token
+  FROM documents
+),
+c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+ranked AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS DOUBLE)) AS x,
+         ln(CAST(n AS DOUBLE)) AS y,
+         row_number() OVER (ORDER BY n DESC, token ASC) AS rn
+  FROM c
+),
+top AS (SELECT x, y FROM ranked WHERE rn <= {ZIPF_MAX_RANKS}),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM top
+)
+SELECT CAST(n AS BIGINT) AS n_ranks,
+       CAST(round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000)
+            AS BIGINT) AS slope_e6,
+       CAST(round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                  * 1000000) AS BIGINT) AS intercept_e6
+FROM s
+"""
+
+QUERIES.update({"zipf_fit": q_zipf_fit})
+ORACLE_SQL.update({"zipf_fit": SQL_ZIPF_FIT})
+
+
+def q_token_coverage(sf_dir: str):
+    """Top-K token coverage curve: for each K in ``COVERAGE_KS``, the
+    exact permille of all corpus token occurrences covered by the K
+    most frequent tokens (count desc, token asc) — the curve that
+    prices a vocabulary budget (the frequency-ordered cousin of
+    ``vocab_growth``). Pure integer arithmetic end to end.
+
+    Ray shape: the shared ``_corpus_token_counts`` fold, then an
+    O(vocab_head) driver cumsum against the K checkpoints."""
+    acc = _corpus_token_counts(sf_dir)
+    counts = np.array(
+        [c for _, c in sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))],
+        np.int64,
+    )
+    total = int(counts.sum())
+    cum = np.cumsum(counts)
+    out = {"k": [], "covered": [], "covered_permille": []}
+    for k in COVERAGE_KS:
+        cov = int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
+        out["k"].append(k)
+        out["covered"].append(cov)
+        out["covered_permille"].append(cov * 1000 // max(total, 1))
+    return pa.table(
+        {
+            "k": pa.array(out["k"], pa.int64()),
+            "covered": pa.array(out["covered"], pa.int64()),
+            "covered_permille": pa.array(out["covered_permille"], pa.int64()),
+        }
+    )
+
+
+SQL_TOKEN_COVERAGE = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+           AS token
+  FROM documents
+),
+c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS rn FROM c
+),
+tot AS (SELECT sum(n) AS t FROM c),
+ks AS (SELECT unnest(ARRAY{list(COVERAGE_KS)}) AS k)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(coalesce((SELECT sum(n) FROM ranked WHERE rn <= ks.k), 0) AS BIGINT)
+         AS covered,
+       CAST(coalesce((SELECT sum(n) FROM ranked WHERE rn <= ks.k), 0) * 1000
+            // greatest((SELECT t FROM tot), 1) AS BIGINT) AS covered_permille
+FROM ks
+"""
+
+QUERIES.update({"token_coverage": q_token_coverage})
+ORACLE_SQL.update({"token_coverage": SQL_TOKEN_COVERAGE})

@@ -3038,3 +3038,56 @@ class TestBurstDays:
             assert r.sum_prev7 == sum(prev)
             want = 1 if prev and r.n_events * len(prev) > 2 * sum(prev) else 0
             assert r.is_burst == want
+
+
+class TestZipfFit:
+    def test_matches_brute_force_ols(self, ray_session):
+        import collections
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import QUERIES, ZIPF_MAX_RANKS
+
+        out = QUERIES["zipf_fit"](SF_DIR).to_pandas()
+        docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"]).to_pandas()
+        cnt: collections.Counter = collections.Counter()
+        for t in docs.text:
+            cnt.update(t.split())
+        items = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_MAX_RANKS]
+        x = np.log(np.arange(1, len(items) + 1, dtype=np.float64))
+        y = np.log(np.array([c for _, c in items], np.float64))
+        n = float(len(items))
+        sx, sy, sxx, sxy = np.sum(x), np.sum(y), np.sum(x * x), np.sum(x * y)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        assert out.n_ranks[0] == len(items)
+        assert out.slope_e6[0] == int(np.rint(slope * 1e6))
+        assert out.intercept_e6[0] == int(np.rint(intercept * 1e6))
+        # a rank-frequency fit must slope downward
+        assert out.slope_e6[0] < 0
+
+
+class TestTokenCoverage:
+    def test_matches_brute_force_cumshare(self, ray_session):
+        import collections
+
+        import pyarrow.parquet as pq
+
+        from don_crawler_ray.pipelines.queries import COVERAGE_KS, QUERIES
+
+        out = QUERIES["token_coverage"](SF_DIR).to_pandas()
+        docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"]).to_pandas()
+        cnt: collections.Counter = collections.Counter()
+        for t in docs.text:
+            cnt.update(t.split())
+        ordered = [c for _, c in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))]
+        total = sum(ordered)
+        assert list(out.k) == list(COVERAGE_KS)
+        for r in out.itertuples():
+            cov = sum(ordered[: r.k])
+            assert r.covered == cov
+            assert r.covered_permille == cov * 1000 // total
+        # the curve is nondecreasing and ends <= 1000
+        assert list(out.covered_permille) == sorted(out.covered_permille)
+        assert out.covered_permille.iloc[-1] <= 1000
