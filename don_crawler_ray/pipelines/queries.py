@@ -16078,3 +16078,74 @@ FROM ks
 
 QUERIES.update({"token_coverage": q_token_coverage})
 ORACLE_SQL.update({"token_coverage": SQL_TOKEN_COVERAGE})
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation: IVF answers scored against brute-force ground truth
+# ---------------------------------------------------------------------------
+
+
+def q_ann_recall_eval(sf_dir: str):
+    """Recall@10 of the IVF (nprobe-limited) ANN path against the
+    brute-force exact top-10 — the quality gate every approximate
+    similarity-search deployment monitors before trusting the cheap
+    path at scale. Exact integer summary per query: ground-truth size,
+    overlap count, and ``recall_permille = n_common * 1000 //
+    n_brute``.
+
+    Ray shape: runs the two existing distributed operators
+    (``q_ann_topk`` exact / ``q_ann_ivf_topk`` probed) and folds their
+    O(queries x 10) result tables on the driver — the eval itself adds
+    no distributed work, which is exactly right: the expensive part is
+    the search, and it is already partial-top-k shaped."""
+    brute = q_ann_topk(sf_dir)
+    ivf = q_ann_ivf_topk(sf_dir)
+
+    def ids_by_query(t: pa.Table) -> dict[int, set]:
+        q = t.column("query_id").to_pylist()
+        v = t.column("vec_id").to_pylist()
+        out: dict[int, set] = {}
+        for a, b in zip(q, v):
+            out.setdefault(int(a), set()).add(int(b))
+        return out
+
+    bq, iq = ids_by_query(brute), ids_by_query(ivf)
+    out = {"query_id": [], "n_brute": [], "n_common": [], "recall_permille": []}
+    for qid in sorted(bq):
+        nb = len(bq[qid])
+        nc = len(bq[qid] & iq.get(qid, set()))
+        out["query_id"].append(qid)
+        out["n_brute"].append(nb)
+        out["n_common"].append(nc)
+        out["recall_permille"].append(nc * 1000 // nb)
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "n_brute": pa.array(out["n_brute"], pa.int64()),
+            "n_common": pa.array(out["n_common"], pa.int64()),
+            "recall_permille": pa.array(out["recall_permille"], pa.int64()),
+        }
+    )
+
+
+def _build_ann_recall_sql() -> str:
+    """Compose the existing brute-force and IVF oracle queries as
+    parenthesized subqueries (DuckDB supports WITH inside a derived
+    table) and join on (query_id, vec_id)."""
+    return f"""
+WITH brute AS (SELECT * FROM ({ORACLE_SQL["ann_topk"]}) tb),
+ivf AS (SELECT * FROM ({ORACLE_SQL["ann_ivf_topk"]}) ti)
+SELECT b.query_id,
+       CAST(count(*) AS BIGINT) AS n_brute,
+       CAST(count(i.vec_id) AS BIGINT) AS n_common,
+       CAST(count(i.vec_id) * 1000 // count(*) AS BIGINT) AS recall_permille
+FROM brute b
+LEFT JOIN ivf i ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+GROUP BY 1
+"""
+
+
+SQL_ANN_RECALL_EVAL = _build_ann_recall_sql()
+
+QUERIES.update({"ann_recall_eval": q_ann_recall_eval})
+ORACLE_SQL.update({"ann_recall_eval": SQL_ANN_RECALL_EVAL})

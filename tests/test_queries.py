@@ -3091,3 +3091,20 @@ class TestTokenCoverage:
         # the curve is nondecreasing and ends <= 1000
         assert list(out.covered_permille) == sorted(out.covered_permille)
         assert out.covered_permille.iloc[-1] <= 1000
+
+
+class TestAnnRecallEval:
+    def test_consistent_with_component_queries(self, ray_session):
+        from don_crawler_ray.pipelines.queries import QUERIES
+
+        out = QUERIES["ann_recall_eval"](SF_DIR).to_pandas()
+        brute = QUERIES["ann_topk"](SF_DIR).to_pandas()
+        ivf = QUERIES["ann_ivf_topk"](SF_DIR).to_pandas()
+        for r in out.itertuples():
+            b = set(brute[brute.query_id == r.query_id].vec_id)
+            i = set(ivf[ivf.query_id == r.query_id].vec_id)
+            assert r.n_brute == len(b) == 10
+            assert r.n_common == len(b & i)
+            assert r.recall_permille == r.n_common * 1000 // r.n_brute
+            assert 0 <= r.recall_permille <= 1000
+        assert sorted(out.query_id) == sorted(brute.query_id.unique())
