@@ -16149,3 +16149,70 @@ SQL_ANN_RECALL_EVAL = _build_ann_recall_sql()
 
 QUERIES.update({"ann_recall_eval": q_ann_recall_eval})
 ORACLE_SQL.update({"ann_recall_eval": SQL_ANN_RECALL_EVAL})
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH recall evaluation against the exact set-similarity join
+# ---------------------------------------------------------------------------
+
+
+def _pairs_table(res) -> pa.Table:
+    if isinstance(res, pa.Table):
+        return res
+    return pa.Table.from_pandas(res.to_pandas())
+
+
+def q_lsh_recall_eval(sf_dir: str):
+    """Recall of the banded MinHash-LSH near-dup path against the
+    EXACT Jaccard >= 0.5 set-similarity join — the standard audit for
+    "how many true near-dups do the bands miss". Precision is 1.0 by
+    construction (``minhash_pairs`` verifies candidates with exact
+    Jaccard before keeping them), so the one number that matters is
+    recall; reported as the exact integer
+    ``n_found * 1000 // n_true``.
+
+    Ray shape: runs the two existing distributed operators —
+    ``q_jaccard_pairs`` (exact PPJoin prefix-filter join, recall 1.0)
+    and ``q_minhash_pairs`` (banded LSH + exact verify) — and folds
+    their slim (a, b) pair tables on the driver. The oracle composes
+    the two oracle queries verbatim, so the eval is itself
+    value-hash-verified; the truth side's SQL is quadratic (oracle
+    only — the engine truth path is the prefix-filtered join)."""
+    truth = _pairs_table(q_jaccard_pairs(sf_dir))
+    found = _pairs_table(q_minhash_pairs(sf_dir))
+
+    def keys(t: pa.Table) -> set:
+        return set(zip(t.column("a").to_pylist(), t.column("b").to_pylist()))
+
+    kt, kf = keys(truth), keys(found)
+    n_true, n_found, n_hit = len(kt), len(kf), len(kt & kf)
+    return pa.table(
+        {
+            "n_true": pa.array([n_true], pa.int64()),
+            "n_found": pa.array([n_found], pa.int64()),
+            "n_hit": pa.array([n_hit], pa.int64()),
+            "recall_permille": pa.array(
+                [n_hit * 1000 // max(n_true, 1)], pa.int64()
+            ),
+        }
+    )
+
+
+def _build_lsh_recall_sql() -> str:
+    return f"""
+WITH truth AS (SELECT a, b FROM ({ORACLE_SQL["jaccard_pairs"]}) tj),
+found AS (SELECT a, b FROM ({ORACLE_SQL["minhash_pairs"]}) tm),
+hit AS (SELECT count(*) AS n FROM truth t JOIN found f ON f.a = t.a AND f.b = t.b)
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,
+       CAST((SELECT n FROM hit) AS BIGINT) AS n_hit,
+       CAST((SELECT n FROM hit) * 1000
+            // greatest((SELECT count(*) FROM truth), 1) AS BIGINT)
+         AS recall_permille
+"""
+
+
+SQL_LSH_RECALL_EVAL = _build_lsh_recall_sql()
+
+QUERIES.update({"lsh_recall_eval": q_lsh_recall_eval})
+ORACLE_SQL.update({"lsh_recall_eval": SQL_LSH_RECALL_EVAL})
