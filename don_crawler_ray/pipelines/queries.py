@@ -16216,3 +16216,214 @@ SQL_LSH_RECALL_EVAL = _build_lsh_recall_sql()
 
 QUERIES.update({"lsh_recall_eval": q_lsh_recall_eval})
 ORACLE_SQL.update({"lsh_recall_eval": SQL_LSH_RECALL_EVAL})
+
+
+# ---------------------------------------------------------------------------
+# Per-source boilerplate line removal (RefinedWeb / CCNet line filtering)
+# ---------------------------------------------------------------------------
+
+BOILER_SEG_TOKENS = 4
+BOILER_MIN_DOCS = 2  # a segment shared verbatim by >= 2 docs of one source
+_BOILER_BUCKETS = 64
+
+
+def q_boilerplate_lines(sf_dir: str):
+    """Per-source boilerplate segment removal — the RefinedWeb /
+    CCNet line-filtering pass (Penedo et al. 2023 §3.1 "line-wise
+    corrections"; Wenzek et al. 2020 dedups lines across pages of one
+    site): a ``BOILER_SEG_TOKENS``-token segment that appears verbatim
+    in >= ``BOILER_MIN_DOCS`` DISTINCT documents of the SAME source is
+    site boilerplate (nav bars, footers, cookie banners) and is
+    dropped from EVERY document carrying it. Unlike
+    ``paragraph_dedup`` (corpus-wide, first occurrence survives), the
+    boilerplate rule is per-source and removes all occurrences —
+    including the first. Docs whose every segment is boilerplate
+    vanish; survivors report ``n_dropped``.
+
+    Scale shape (reference semantics: don-crawler's skippable-line
+    README filter, crawler/crawler.go:698-714, generalized from a
+    static rule to a corpus-derived one):
+      1. explode docs into (doc_id, seg_idx, seg, source) rows —
+         one Arrow split + binary_join per batch, no Python row loop —
+         bucketed by fnv1a64(source || US || seg) so every occurrence
+         of one (source, segment) lands in one bucket;
+      2. per-bucket: ONE sort by (source, seg, doc_id) + adjacent
+         run masks count DISTINCT docs per (source, seg) vectorized;
+         rows in runs with >= BOILER_MIN_DOCS distinct docs are
+         flagged; everything re-buckets by doc_id;
+      3. per-bucket rebuild: sort (doc_id, seg_idx), run-length doc
+         segments, one binary_join for surviving text + an integer
+         n_dropped per doc.
+    The exchanges carry only (ids, short segment text, flags) — never
+    whole documents — and each stage is a fixed-bucket groupby, so the
+    shape holds at 100 TB (swap segment text for a 128-bit digest +
+    verify pass if exchange width ever dominates)."""
+    from don_crawler_ray.functions.dedup import fnv1a64_batch
+
+    k = BOILER_SEG_TOKENS
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_rep, seg_idx, segs = _split_token_segments(batch, k)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = batch.column("source").combine_chunks()
+        src_rep = src.take(pa.array(doc_rep, pa.int64()))
+        keyed = pc.binary_join_element_wise(src_rep, segs, "\x1f")
+        bucket = (fnv1a64_batch(keyed) % np.uint64(_BOILER_BUCKETS)).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_rep], pa.int64()),
+                "seg_idx": pa.array(seg_idx, pa.int64()),
+                "seg": segs,
+                "source": src_rep,
+                "_bucket": pa.array(bucket),
+            }
+        )
+
+    def flag(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "seg_idx": pa.array([], pa.int64()),
+                    "seg": pa.array([], pa.string()),
+                    "boiler": pa.array([], pa.bool_()),
+                    "_b2": pa.array([], pa.int32()),
+                }
+            )
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("source", "ascending"),
+                ("seg", "ascending"),
+                ("doc_id", "ascending"),
+            ],
+        )
+        g = group.take(idx).combine_chunks()
+        n = g.num_rows
+        seg = g.column("seg").combine_chunks()
+        src = g.column("source").combine_chunks()
+        dids = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        new_run = np.ones(n, dtype=bool)
+        if n > 1:
+            seg_ne = np.asarray(
+                pc.not_equal(seg.slice(1), seg.slice(0, n - 1)).to_numpy(
+                    zero_copy_only=False
+                ),
+                dtype=bool,
+            )
+            src_ne = np.asarray(
+                pc.not_equal(src.slice(1), src.slice(0, n - 1)).to_numpy(
+                    zero_copy_only=False
+                ),
+                dtype=bool,
+            )
+            new_run[1:] = seg_ne | src_ne
+        run_id = np.cumsum(new_run) - 1
+        # distinct docs per run: doc_ids are sorted within a run, so a
+        # distinct doc is a row whose doc differs from its predecessor
+        new_doc = np.ones(n, dtype=bool)
+        if n > 1:
+            new_doc[1:] = (dids[1:] != dids[:-1]) | new_run[1:]
+        nd = np.bincount(run_id[new_doc], minlength=int(run_id[-1]) + 1)
+        boiler = (nd >= BOILER_MIN_DOCS)[run_id]
+        b2 = (dids % _BOILER_BUCKETS).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "seg_idx": g.column("seg_idx"),
+                "seg": g.column("seg"),
+                "boiler": pa.array(boiler),
+                "_b2": pa.array(b2),
+            }
+        )
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "n_dropped": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(
+            group, sort_keys=[("doc_id", "ascending"), ("seg_idx", "ascending")]
+        )
+        g = group.take(idx).combine_chunks()
+        dids = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        boiler = np.asarray(
+            g.column("boiler").combine_chunks().to_numpy(zero_copy_only=False),
+            dtype=bool,
+        )
+        _, doc_starts, doc_len = _segments(dids)
+        doc_slot = np.repeat(np.arange(len(doc_starts)), doc_len)
+        n_drop = np.bincount(doc_slot, weights=boiler, minlength=len(doc_starts)).astype(
+            np.int64
+        )
+        keep_docs = n_drop < doc_len  # at least one surviving segment
+        if not keep_docs.any():
+            return empty
+        kept = g.filter(pa.array(~boiler))
+        kdids = kept.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        _, k_starts, k_len = _segments(kdids)
+        off = np.append(k_starts, len(kdids)).astype(np.int32)
+        segs = kept.column("seg").combine_chunks()
+        text = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(off, pa.int32()), segs), " "
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(kdids[k_starts], pa.int64()),
+                "text": text,
+                "n_dropped": pa.array(n_drop[keep_docs], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(flag, batch_format="pyarrow")
+        .groupby("_b2")
+        .map_groups(rebuild, batch_format="pyarrow")
+    )
+
+
+SQL_BOILERPLATE_LINES = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, source, u.seg_idx AS seg_idx, u.seg AS seg FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(
+             range(CAST(ceil(len(toks) / {BOILER_SEG_TOKENS}.0) AS BIGINT)),
+             i -> struct_pack(
+               seg_idx := i,
+               seg := array_to_string(
+                 list_slice(toks, i * {BOILER_SEG_TOKENS} + 1,
+                            i * {BOILER_SEG_TOKENS} + {BOILER_SEG_TOKENS}), ' ')))) AS u
+    FROM t WHERE len(toks) > 0)
+),
+cnt AS (
+  SELECT source, seg, count(DISTINCT doc_id) AS nd
+  FROM segs GROUP BY source, seg
+),
+flagged AS (
+  SELECT s.doc_id, s.seg_idx, s.seg, (c.nd >= {BOILER_MIN_DOCS}) AS boiler
+  FROM segs s JOIN cnt c ON s.source = c.source AND s.seg = c.seg
+)
+SELECT doc_id,
+       string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE NOT boiler) AS text,
+       CAST(count(*) FILTER (WHERE boiler) AS BIGINT) AS n_dropped
+FROM flagged
+GROUP BY doc_id
+HAVING count(*) FILTER (WHERE NOT boiler) > 0
+"""
+
+QUERIES.update({"boilerplate_lines": q_boilerplate_lines})
+ORACLE_SQL.update({"boilerplate_lines": SQL_BOILERPLATE_LINES})
