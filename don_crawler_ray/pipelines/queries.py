@@ -145,6 +145,29 @@ def _segments(codes: np.ndarray):
     return change, seg_starts, seg_len
 
 
+def _segment_pairs(starts: np.ndarray, lens: np.ndarray):
+    """Global index pairs ``(gi, gj)`` of every unordered within-segment
+    pair — the union of ``np.triu_indices(len, k=1)`` over all run
+    segments, in the same i-major order, with NO Python loop over
+    segments. Total output is ``sum C(len, 2)``; the two ``repeat`` /
+    ``_ranges`` passes are O(output)."""
+    from don_crawler_ray.functions.dedup import _ranges
+
+    starts = starts.astype(np.int64, copy=False)
+    lens = lens.astype(np.int64, copy=False)
+    m = np.maximum(lens - 1, 0)  # i-group count per segment
+    if int(m.sum()) == 0:
+        e = np.empty(0, np.int64)
+        return e, e
+    i_vals = _ranges(m)  # per-segment 0..len-2
+    seg_of_i = np.repeat(np.arange(len(lens), dtype=np.int64), m)
+    rep = lens[seg_of_i] - 1 - i_vals  # pairs per i-group
+    gi_group = starts[seg_of_i] + i_vals
+    gi = np.repeat(gi_group, rep)
+    gj = np.repeat(gi_group + 1, rep) + _ranges(rep)
+    return gi, gj
+
+
 def _vec_doc_tokens(text_col, lower: bool = False):
     """Vectorized ``str.split()`` over a whole batch: returns
     ``(flat_tokens, doc_idx)`` — the non-empty tokens of every row as
@@ -12897,8 +12920,9 @@ def q_triangle_count(sf_dir: str):
 
     Ray shape, four bucketed exchanges and NO driver state:
       1. (order, part) partials -> order-bucket groupby -> per-order
-         sorted-distinct parts -> oriented pair rows (vectorized
-         ``np.triu_indices`` per segment; baskets are small).
+         sorted-distinct parts -> oriented pair rows (one
+         ``_segment_pairs`` call per bucket — all baskets' pairs in
+         one vectorized pass, no per-order Python loop).
       2. pair-hash bucket groupby -> exact distinct edge set
          (materialized once — O(edges) object-store state, reused by
          both consumers below), plus per-bucket degree partials.
@@ -12947,15 +12971,8 @@ def q_triangle_count(sf_dir: str):
         keep[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
         o, p = o[keep], p[keep]
         _, starts, lens = _segments(o)
-        us, vs = [], []
-        for s, ln in zip(starts, lens):
-            if ln < 2:
-                continue
-            i, j = np.triu_indices(int(ln), k=1)
-            us.append(p[s + i])
-            vs.append(p[s + j])
-        u = np.concatenate(us) if us else np.empty(0, np.int64)
-        v = np.concatenate(vs) if vs else np.empty(0, np.int64)
+        gi, gj = _segment_pairs(starts, lens)
+        u, v = p[gi], p[gj]
         eb = (_mix64((u * PK + v).astype(np.uint64)) % np.uint64(256)).astype(np.int32)
         return pa.table(
             {
@@ -13007,17 +13024,8 @@ def q_triangle_count(sf_dir: str):
         order = np.lexsort((v, u))
         u, v = u[order], v[order]
         _, starts, lens = _segments(u)
-        aa, w1, w2 = [], [], []
-        for s, ln in zip(starts, lens):
-            if ln < 2:
-                continue
-            i, j = np.triu_indices(int(ln), k=1)
-            aa.append(np.full(len(i), u[s], np.int64))
-            w1.append(v[s + i])
-            w2.append(v[s + j])
-        a = np.concatenate(aa) if aa else np.empty(0, np.int64)
-        x = np.concatenate(w1) if w1 else np.empty(0, np.int64)
-        y = np.concatenate(w2) if w2 else np.empty(0, np.int64)
+        gi, gj = _segment_pairs(starts, lens)
+        a, x, y = u[gi], v[gi], v[gj]
         tb = (_mix64((x * PK + y).astype(np.uint64)) % np.uint64(256)).astype(np.int32)
         return pa.table(
             {
