@@ -16435,3 +16435,90 @@ HAVING count(*) FILTER (WHERE NOT boiler) > 0
 
 QUERIES.update({"boilerplate_lines": q_boilerplate_lines})
 ORACLE_SQL.update({"boilerplate_lines": SQL_BOILERPLATE_LINES})
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel report (per-stage survivor counts — pipeline observability)
+# ---------------------------------------------------------------------------
+
+
+def q_curation_funnel(sf_dir: str):
+    """Per-stage survivor counts through the flagship curation chain —
+    the observability report every production data pipeline monitors
+    (what fraction did the language gate / length gate / dedup remove,
+    and how many training chunks came out). Mirrors
+    ``curation_pipeline``'s exact stage semantics: lang='en', then
+    n_chars>=100, then exact-Jaccard dedup-cluster representatives,
+    then ``ceil(len(text)/CHUNK_STRIDE)`` chunks per survivor.
+
+    Scale shape: ONE streaming pass over the documents read — each
+    batch emits a single 5-integer partial row (total / lang / len /
+    dedup / chunks), the survivor membership is the same broadcast
+    sorted id array the pipeline itself uses, and the driver folds
+    O(blocks) tiny rows. Integer-exact at any parallelism."""
+    from don_crawler_ray.stages.graph import self_labeled_ids
+
+    keep = self_labeled_ids(*_dedup_cluster_shards(sf_dir))
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m_lang = np.asarray(
+            pc.equal(batch.column("lang"), "en").to_numpy(zero_copy_only=False),
+            dtype=bool,
+        )
+        m_len = m_lang & np.asarray(
+            pc.greater_equal(batch.column("n_chars"), 100).to_numpy(
+                zero_copy_only=False
+            ),
+            dtype=bool,
+        )
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        m_dedup = m_len.copy()
+        if len(keep):
+            idx = np.clip(np.searchsorted(keep, ids), 0, len(keep) - 1)
+            m_dedup &= keep[idx] == ids
+        else:
+            m_dedup[:] = False
+        tl = pc.utf8_length(batch.column("text")).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        n_chunks = int(((tl[m_dedup] + CHUNK_STRIDE - 1) // CHUNK_STRIDE).sum())
+        return pa.table(
+            {
+                "n_total": pa.array([batch.num_rows], pa.int64()),
+                "n_lang": pa.array([int(m_lang.sum())], pa.int64()),
+                "n_len_gate": pa.array([int(m_len.sum())], pa.int64()),
+                "n_dedup": pa.array([int(m_dedup.sum())], pa.int64()),
+                "n_chunks": pa.array([n_chunks], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    cols = ["n_total", "n_lang", "n_len_gate", "n_dedup", "n_chunks"]
+    return pa.table(
+        {c: pa.array([int(sum(r[c] for r in parts))], pa.int64()) for c in cols}
+    )
+
+
+SQL_CURATION_FUNNEL = f"""
+WITH surv AS (
+  SELECT c.doc_id FROM ({SQL_DEDUP_CLUSTERS}) c WHERE c.rep = c.doc_id),
+f AS (
+  SELECT d.lang = 'en' AS p_lang,
+         d.lang = 'en' AND d.n_chars >= 100 AS p_len,
+         d.lang = 'en' AND d.n_chars >= 100
+           AND d.doc_id IN (SELECT doc_id FROM surv) AS p_dedup,
+         length(d.text) AS tl
+  FROM documents d)
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN p_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+       CAST(sum(CASE WHEN p_len THEN 1 ELSE 0 END) AS BIGINT) AS n_len_gate,
+       CAST(sum(CASE WHEN p_dedup THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+       CAST(sum(CASE WHEN p_dedup
+                THEN (tl + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}
+                ELSE 0 END) AS BIGINT) AS n_chunks
+FROM f
+"""
+
+QUERIES.update({"curation_funnel": q_curation_funnel})
+ORACLE_SQL.update({"curation_funnel": SQL_CURATION_FUNNEL})
