@@ -16522,3 +16522,96 @@ FROM f
 
 QUERIES.update({"curation_funnel": q_curation_funnel})
 ORACLE_SQL.update({"curation_funnel": SQL_CURATION_FUNNEL})
+
+
+# ---------------------------------------------------------------------------
+# Temporal train/test split report (leakage-safe holdout + cold-start users)
+# ---------------------------------------------------------------------------
+
+TEMPORAL_CUTOFF = "2024-01-24 00:00:00"
+_TEMPORAL_CUTOFF_US = int(np.datetime64("2024-01-24T00:00:00", "us").astype(np.int64))
+
+
+def q_temporal_split(sf_dir: str):
+    """Temporal holdout split report — the leakage-safe evaluation
+    protocol for anything time-ordered (train strictly before the
+    cutoff, test at-or-after; hash splits like ``train_val_split``
+    leak future data into training): per user, train/test event
+    counts plus the ``cold_start`` flag (test events but NO train
+    events — the users a temporal recommender eval must score
+    separately because the model has never seen them).
+
+    Scale shape: per-batch (user, n_train, n_test) integer partials
+    via one composite-key np.unique — the exchange carries at most
+    2 rows per distinct user per block, never events — then one
+    user-bucket groupby folds partials and derives the flag. Integer
+    sums => exact at any parallelism."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch.column("ts").to_numpy(zero_copy_only=False).view(np.int64)
+        is_test = (ts >= _TEMPORAL_CUTOFF_US).astype(np.int64)
+        key = uid * 2 + is_test
+        uniq, cnt = np.unique(key, return_counts=True)
+        u = uniq >> 1
+        t = uniq & 1
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "n_train": pa.array(np.where(t == 0, cnt, 0).astype(np.int64)),
+                "n_test": pa.array(np.where(t == 1, cnt, 0).astype(np.int64)),
+                "_bucket": _bucket_col(u),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_train": pa.array([], pa.int64()),
+                    "n_test": pa.array([], pa.int64()),
+                    "cold_start": pa.array([], pa.int64()),
+                }
+            )
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        tr = group.column("n_train").to_numpy(zero_copy_only=False)
+        te = group.column("n_test").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        s_tr = np.zeros(len(uniq), np.int64)
+        s_te = np.zeros(len(uniq), np.int64)
+        np.add.at(s_tr, inv, tr)
+        np.add.at(s_te, inv, te)
+        cold = ((s_tr == 0) & (s_te > 0)).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq, pa.int64()),
+                "n_train": pa.array(s_tr, pa.int64()),
+                "n_test": pa.array(s_te, pa.int64()),
+                "cold_start": pa.array(cold, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+SQL_TEMPORAL_SPLIT = f"""
+SELECT user_id,
+       CAST(sum(CASE WHEN ts <  TIMESTAMP '{TEMPORAL_CUTOFF}' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN ts >= TIMESTAMP '{TEMPORAL_CUTOFF}' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_test,
+       CAST(CASE WHEN sum(CASE WHEN ts < TIMESTAMP '{TEMPORAL_CUTOFF}' THEN 1 ELSE 0 END) = 0
+                  AND sum(CASE WHEN ts >= TIMESTAMP '{TEMPORAL_CUTOFF}' THEN 1 ELSE 0 END) > 0
+            THEN 1 ELSE 0 END AS BIGINT) AS cold_start
+FROM events
+GROUP BY user_id
+"""
+
+QUERIES.update({"temporal_split": q_temporal_split})
+ORACLE_SQL.update({"temporal_split": SQL_TEMPORAL_SPLIT})
