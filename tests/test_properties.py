@@ -246,3 +246,29 @@ def test_prefix_filter_candidates_superset_of_true_pairs(token_lists, tau):
             inter = len(sa & sb)
             if inter / (len(sa) + len(sb) - inter) >= tau:
                 assert (ai, bi) in candidates, (texts[ai], texts[bi], tau)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=9), min_size=0, max_size=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_segment_pairs_matches_triu(lens_list):
+    """_segment_pairs == the concatenation of np.triu_indices(k=1) per
+    segment (same i-major order, same global offsets), for any segment
+    length multiset including empty and singleton segments."""
+    import numpy as np
+
+    from don_crawler_ray.pipelines.queries import _segment_pairs
+
+    lens = np.asarray(lens_list, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1] if len(lens) else np.empty(0, np.int64)
+    gi, gj = _segment_pairs(starts, lens)
+    ei, ej = [], []
+    for s, ln in zip(starts, lens):
+        i, j = np.triu_indices(int(ln), k=1)
+        ei.append(s + i)
+        ej.append(s + j)
+    exp_i = np.concatenate(ei) if ei else np.empty(0, np.int64)
+    exp_j = np.concatenate(ej) if ej else np.empty(0, np.int64)
+    assert np.array_equal(gi, exp_i)
+    assert np.array_equal(gj, exp_j)
