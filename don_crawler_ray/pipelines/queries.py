@@ -16615,3 +16615,67 @@ GROUP BY user_id
 
 QUERIES.update({"temporal_split": q_temporal_split})
 ORACLE_SQL.update({"temporal_split": SQL_TEMPORAL_SPLIT})
+
+
+# ---------------------------------------------------------------------------
+# Per-document duplication degree (RedPajama-v2-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+def q_dup_degree(sf_dir: str):
+    """Near-duplicate NEIGHBOR COUNT per document — the RedPajama-v2
+    "duplication count" quality signal (how many other docs each doc
+    is an exact word-2gram Jaccard >= 0.5 near-dup of; 0 for unique
+    docs). Heavily-duplicated docs get down-weighted or dropped by
+    mixture builders; the signal needs every doc_id present, zeros
+    included.
+
+    Scale shape: the expensive part is the exact set-similarity join,
+    which is the existing distributed PPJoin operator
+    (``_jaccard_pairs_table`` — prefix-filtered, never all-pairs); its
+    output is O(duplicate pairs), slim. The degree fold over that
+    table is a numpy unique-count, broadcast as a sorted id->count
+    array into a zero-fill ``map_batches`` over a doc_id-only pushdown
+    read — no second shuffle, no text movement."""
+    pairs = _pairs_table(q_jaccard_pairs(sf_dir))
+    both = np.concatenate(
+        [
+            pairs.column("a").to_numpy(zero_copy_only=False).astype(np.int64),
+            pairs.column("b").to_numpy(zero_copy_only=False).astype(np.int64),
+        ]
+    )
+    deg_ids, deg_n = (
+        np.unique(both, return_counts=True)
+        if len(both)
+        else (np.empty(0, np.int64), np.empty(0, np.int64))
+    )
+    deg_n = deg_n.astype(np.int64)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def fill(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.zeros(len(ids), np.int64)
+        if len(deg_ids):
+            pos = np.clip(np.searchsorted(deg_ids, ids), 0, len(deg_ids) - 1)
+            hit = deg_ids[pos] == ids
+            n[hit] = deg_n[pos[hit]]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "n_dups": pa.array(n, pa.int64())}
+        )
+
+    return ds.map_batches(fill, batch_format="pyarrow")
+
+
+SQL_DUP_DEGREE = f"""
+WITH pairs AS ({SQL_JACCARD_PAIRS}),
+ends AS (
+  SELECT a AS doc_id FROM pairs UNION ALL SELECT b AS doc_id FROM pairs),
+deg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ends GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(deg.n, 0) AS BIGINT) AS n_dups
+FROM documents d LEFT JOIN deg ON d.doc_id = deg.doc_id
+"""
+
+QUERIES.update({"dup_degree": q_dup_degree})
+ORACLE_SQL.update({"dup_degree": SQL_DUP_DEGREE})
