@@ -16679,3 +16679,57 @@ FROM documents d LEFT JOIN deg ON d.doc_id = deg.doc_id
 
 QUERIES.update({"dup_degree": q_dup_degree})
 ORACLE_SQL.update({"dup_degree": SQL_DUP_DEGREE})
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster-size histogram (template-storm diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def q_dup_cluster_sizes(sf_dir: str):
+    """Histogram of near-dup CLUSTER sizes — the template-storm
+    diagnostic (a healthy corpus shows a long tail of size-1 clusters;
+    a burst of size-50 clusters means one boilerplate template
+    spammed the crawl). Exact: sizes come from the same converged
+    min-label components every dedup consumer shares
+    (``_dedup_cluster_shards``).
+
+    Scale shape: each label shard ships only its (rep, n) uniques
+    (``stages.graph._label_counts`` — O(distinct labels per shard)
+    rows, never nodes); the driver folds O(labels x shards) tiny rows
+    into per-cluster sizes and then the size histogram. Integer-exact
+    at any parallelism."""
+    import ray as _ray
+
+    from don_crawler_ray.stages.graph import _label_counts
+
+    node_refs, labels = _dedup_cluster_shards(sf_dir)
+    parts = _ray.get([_label_counts.remote(l, "rep", "n") for l in labels])
+    reps = np.concatenate(
+        [p.column("rep").to_numpy(zero_copy_only=False) for p in parts]
+    ).astype(np.int64)
+    ns = np.concatenate(
+        [p.column("n").to_numpy(zero_copy_only=False) for p in parts]
+    ).astype(np.int64)
+    uniq, inv = np.unique(reps, return_inverse=True)
+    size = np.zeros(len(uniq), np.int64)
+    np.add.at(size, inv, ns)
+    hist_sz, hist_n = np.unique(size, return_counts=True)
+    return pa.table(
+        {
+            "cluster_size": pa.array(hist_sz, pa.int64()),
+            "n_clusters": pa.array(hist_n.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+SQL_DUP_CLUSTER_SIZES = f"""
+WITH clusters AS ({SQL_DEDUP_CLUSTERS}),
+sz AS (SELECT rep, count(*) AS cluster_size FROM clusters GROUP BY rep)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM sz GROUP BY cluster_size
+"""
+
+QUERIES.update({"dup_cluster_sizes": q_dup_cluster_sizes})
+ORACLE_SQL.update({"dup_cluster_sizes": SQL_DUP_CLUSTER_SIZES})
